@@ -1,0 +1,56 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+import graft.metrics._
+
+/** Worked example: run a Checkita-style metric suite — one fused single-pass
+  * job + batched grouping jobs — against a parquet table.
+  *
+  * Usage: sbt "runMain graft.examples.MetricSuiteDemo [sfDir]"
+  */
+object MetricSuiteDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val suite: Seq[RowMetric] = Seq(
+      RowCountMetric("row_cnt"),
+      NullValuesMetric("nulls", Seq("l_returnflag", "l_quantity")),
+      CompletenessMetric("compl", Seq("l_returnflag")),
+      NumberExtremeMetric("qty_max", Seq("l_quantity"), isMax = true),
+      AvgNumberMetric("qty_avg", "l_quantity"),
+      StdNumberMetric("qty_std", "l_quantity"),
+      QuantileMetric("qty_med", "l_quantity", 0.5),
+      RegexMatchMetric("flag_re", Seq("l_returnflag"), "^[ARN]$"),
+      CovarianceMetric("cov", "l_quantity", "l_extendedprice",
+        CovarianceMetric.Kind.Population),
+      TopNMetric("top_flag", "l_returnflag", n = 3),
+      ApproxDistinctMetric("ok_dist", "l_orderkey"))
+
+    val grouping: Seq[GroupingMetric] = Seq(
+      DistinctValuesMetric("exact_dist", Seq("l_returnflag")),
+      DuplicateValuesMetric("dups", Seq("l_orderkey", "l_linenumber")))
+
+    val t0 = System.nanoTime()
+    val res = MetricProcessor.process(li, suite, grouping,
+      MetricProcessor.Config(sourceId = "lineitem",
+        keyFields = Seq("l_orderkey", "l_linenumber"), errorDumpSize = 5))
+    res.foreach { r =>
+      println(f"${r.metricId}%-12s ${r.metricName}%-30s ${r.value}%.6f " +
+        f"add=${r.additional.getOrElse("")} errs=${r.errors.size}")
+    }
+    println(f"elapsed ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      f"(${suite.size} fused single-pass + ${grouping.size} grouping metrics)")
+    println("== fused single-pass physical plan ==")
+    MetricProcessor.rowMetricsFrame(li, suite).explain("formatted")
+    spark.stop()
+  }
+}

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.memory.Memory
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass approximate top-N-most-frequent-values aggregate.
+  *
+  * Capability parity with the reference's SpaceSaver top-N metric
+  * (checkita-core .../metrics/df/functions/SpaceSavingTopN.scala:39-151),
+  * rebuilt on Apache DataSketches' frequent-items sketch, which is already on
+  * the Spark classpath and mergeable (partial aggregation on executors, final
+  * merge — no row ever leaves its partition except sketch bytes).
+  *
+  * Returns `array<struct<value:string, frequency:double>>` of the top
+  * `n` items ordered by estimated count desc (ties by value asc, so the
+  * output is deterministic); `frequency` is the estimated share of non-null
+  * rows. `maxMapSize` bounds sketch memory and must be a power of 2; the
+  * estimate is exact whenever the column's cardinality fits in the sketch.
+  */
+case class TopNSketch(
+    child: Expression,
+    n: Int,
+    maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ItemsSketch[String]] with UnaryLike[Expression] {
+
+  require(n > 0, s"top_n_sketch requires n > 0, got $n")
+  require(maxMapSize > 0 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"top_n_sketch maxMapSize must be a power of 2, got $maxMapSize")
+
+  @transient private lazy val serde = new ArrayOfStringsSerDe()
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("value", StringType, nullable = false),
+    StructField("frequency", DoubleType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buffer: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.toString)
+    buffer
+  }
+
+  override def merge(buffer: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] =
+    buffer.merge(other)
+
+  override def eval(buffer: ItemsSketch[String]): Any = {
+    val total = buffer.getStreamLength
+    val rows = buffer.getFrequentItems(0L, ErrorType.NO_FALSE_NEGATIVES)
+      .sortBy(r => (-r.getEstimate, r.getItem))
+      .take(n)
+      .map { r =>
+        val freq = if (total == 0L) 0.0 else r.getEstimate.toDouble / total.toDouble
+        InternalRow(UTF8String.fromString(r.getItem), freq)
+      }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buffer: ItemsSketch[String]): Array[Byte] =
+    buffer.toByteArray(serde)
+
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopNSketch =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopNSketch =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression): TopNSketch =
+    copy(child = newChild)
+
+  override def prettyName: String = "top_n_sketch"
+
+  /** Helper for consumers that need to decode the eval() result. */
+  def decode(data: ArrayData): Seq[(String, Double)] =
+    (0 until data.numElements()).map { i =>
+      val row = data.getStruct(i, 2)
+      (row.getUTF8String(0).toString, row.getDouble(1))
+    }
+}

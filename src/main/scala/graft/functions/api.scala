@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.Bridge
+
+/** Public `Column`-level API for graft's custom Catalyst aggregates.
+  *
+  * Mirrors the style of `org.apache.spark.sql.functions` — every custom
+  * expression is exposed as a plain function returning a `Column`, so user
+  * code never imports catalyst internals.
+  */
+object api {
+
+  /** Size-capped collect_list — bounded-memory error/sample dumps. */
+  def collect_list_limit(c: Column, limit: Int): Column =
+    Bridge.column(CollectListLimit(Bridge.expression(c), limit)
+      .toAggregateExpression())
+
+  /** Approximate top-N most frequent values:
+    * `array<struct<value:string,frequency:double>>`. Exact when the column
+    * cardinality fits in `maxMapSize`.
+    */
+  def top_n_sketch(c: Column, n: Int, maxMapSize: Int = 1024): Column =
+    Bridge.column(TopNSketch(Bridge.expression(c), n, maxMapSize)
+      .toAggregateExpression())
+}

@@ -1,0 +1,87 @@
+package graft.metrics
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.api.top_n_sketch
+
+/** APPROXIMATE_DISTINCT_VALUES — HLL cardinality estimate, single pass.
+  * The reference ports Algebird HLL as a custom aggregate
+  * (ApproxCardinalityDFMetrics.scala:24-68, HLLCountDistinct.scala:39-151);
+  * Spark's built-in `approx_count_distinct` (HyperLogLog++) is the same
+  * capability, mergeable, codegen'd, and sized by relative standard error. */
+final case class ApproxDistinctMetric(id: String, column: String,
+    accuracyError: Double = 0.01) extends RowMetric {
+  val name = "APPROXIMATE_DISTINCT_VALUES"
+  val columns = Seq(column)
+  def result: Column =
+    approx_count_distinct(col(column), accuracyError).cast("double").as(id)
+  override def errorCondition: Option[Column] = Some(col(column).isNull)
+}
+
+/** APPROXIMATE_SEQUENCE_COMPLETENESS — approx #distinct / expected sequence
+  * size ((max-min)/increment + 1), all in ONE fused pass
+  * (ref: ApproxCardinalityDFMetrics.scala:81-128). */
+final case class ApproxSeqCompletenessMetric(id: String, column: String,
+    increment: Long = 1L, accuracyError: Double = 0.01) extends RowMetric {
+  val name = "APPROXIMATE_SEQUENCE_COMPLETENESS"
+  val columns = Seq(column)
+  def result: Column = {
+    val c = col(column).try_cast("long")
+    try_divide(
+      approx_count_distinct(c, accuracyError).cast("double"),
+      (max(c) - min(c)).cast("double") / lit(increment.toDouble) + lit(1.0)).as(id)
+  }
+}
+
+/** TOP_N — approximate top-N most frequent values, single pass over a
+  * mergeable frequent-items sketch (ref: ApproxCardinalityDFMetrics.scala:
+  * 131-188, SpaceSavingTopN.scala:39-151 → rebuilt on DataSketches in
+  * [[graft.functions.TopNSketch]]). Value is the top-1 frequency; the full
+  * ranking is serialized into `additional` as `value:freq` pairs. */
+final case class TopNMetric(id: String, column: String, n: Int = 10,
+    maxCapacity: Int = 1024) extends RowMetric {
+  val name = "TOP_N"
+  val columns = Seq(column)
+  def result: Column = top_n_sketch(col(column).cast("string"), n, maxCapacity).as(id)
+  override def decode(raw: Any): (Double, Option[String]) = {
+    val items = MetricDecode.topN(raw)
+    val top = items.headOption.map(_._2).getOrElse(Double.NaN)
+    (top, Some(items.map { case (v, f) => s"$v:$f" }.mkString(",")))
+  }
+}
+
+/** DISTINCT_VALUES — exact distinct count of the column tuple. Requires a
+  * shuffle on the tuple (ref: GroupingDFMetrics.scala:31-100). At 100 TB this
+  * is the operator the reference's own benchmark OOMs on with naive state —
+  * here it is a plain partial-aggregated groupBy; prefer
+  * [[ApproxDistinctMetric]] when an estimate suffices. */
+final case class DistinctValuesMetric(id: String, columns: Seq[String]) extends GroupingMetric {
+  val name = "DISTINCT_VALUES"
+  def groupResult: Column = lit(1L).as(s"${id}_grp")
+  def finalResult: Column = sum(col(s"${id}_grp")).cast("double").as(id)
+}
+
+/** DUPLICATE_VALUES — Σ per-group (count − 1)
+  * (ref: GroupingDFMetrics.scala:109-170). */
+final case class DuplicateValuesMetric(id: String, columns: Seq[String]) extends GroupingMetric {
+  val name = "DUPLICATE_VALUES"
+  def groupResult: Column = (count(lit(1)) - lit(1L)).as(s"${id}_grp")
+  def finalResult: Column = sum(col(s"${id}_grp")).cast("double").as(id)
+  override def errorCondition: Option[Column] = Some(col(s"${id}_grp") > 0L)
+}
+
+/** SEQUENCE_COMPLETENESS — exact #distinct / ((max-min)/increment + 1)
+  * (ref: GroupingDFMetrics.scala:184-269). */
+final case class SeqCompletenessMetric(id: String, column: String,
+    increment: Long = 1L) extends GroupingMetric {
+  val name = "SEQUENCE_COMPLETENESS"
+  val columns = Seq(column)
+  def groupResult: Column = lit(1L).as(s"${id}_grp")
+  def finalResult: Column = {
+    val c = col(column).try_cast("long")
+    try_divide(
+      sum(col(s"${id}_grp")).cast("double"),
+      (max(c) - min(c)).cast("double") / lit(increment.toDouble) + lit(1.0)).as(id)
+  }
+}

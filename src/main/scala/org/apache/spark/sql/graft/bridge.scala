@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark-4 bridge between the public `Column` API and Catalyst `Expression`s.
+  *
+  * Spark 4 removed `new Column(expr)` / `col.expr`; the classic-session
+  * equivalents live in `org.apache.spark.sql.classic.ExpressionUtils`, which
+  * is `private[sql]` — hence this shim lives under the spark.sql package.
+  * Kept minimal so the rest of the codebase never touches internals.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,181 @@
+package graft.metrics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Per-metric unit tests with inline expected values on deterministic tiny
+  * frames — the reference's own test pattern
+  * (test/core/metrics/df/regular/DFMetricsTestUtils.scala:38-81). */
+class MetricProcessorSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val eps = 1e-6
+
+  lazy val strDf = Seq(
+    ("foo", "a@b.co", "2024-01-01"),
+    ("", "nope", "2024-01-03"),
+    (null, "x@y.io", "not-a-date"),
+    ("foobar", "", "2024-02-01")
+  ).toDF("s1", "s2", "d1")
+
+  lazy val numDf = Seq(
+    (1.0, 2.0, "1"),
+    (2.0, 4.0, "2"),
+    (3.0, 6.0, "x"),
+    (4.0, 8.0, "4.5")
+  ).toDF("n1", "n2", "raw")
+
+  private def run(m: RowMetric, df: org.apache.spark.sql.DataFrame = strDf): MetricResult =
+    MetricProcessor.processRowMetrics(df, Seq(m)).head
+
+  test("ROW_COUNT") { run(RowCountMetric("m")).value shouldBe 4.0 }
+
+  test("NULL_VALUES + error dump") {
+    val r = run(NullValuesMetric("m", Seq("s1", "s2")))
+    r.value shouldBe 1.0
+    r.errors should have size 1
+  }
+
+  test("EMPTY_VALUES") { run(EmptyValuesMetric("m", Seq("s1", "s2"))).value shouldBe 2.0 }
+
+  test("COMPLETENESS excludes empty strings by default") {
+    // s1: foo, "", null, foobar -> 2 ok; s2: 3 ok => 5/8
+    run(CompletenessMetric("m", Seq("s1", "s2"))).value shouldBe (5.0 / 8.0) +- eps
+  }
+
+  test("EMPTINESS counts nulls only by default") {
+    run(EmptinessMetric("m", Seq("s1", "s2"))).value shouldBe (1.0 / 8.0) +- eps
+  }
+
+  test("REGEX_MATCH email") {
+    run(RegexMatchMetric("m", Seq("s2"), "^[\\w.]+@[\\w.]+$")).value shouldBe 2.0
+  }
+
+  test("REGEX_MISMATCH email") {
+    run(RegexMatchMetric("m", Seq("s2"), "^[\\w.]+@[\\w.]+$", mismatch = true)).value shouldBe 2.0
+  }
+
+  test("MIN/MAX/AVG_STRING") {
+    run(StringLenExtremeMetric("m", Seq("s1"), isMax = false)).value shouldBe 0.0
+    run(StringLenExtremeMetric("m", Seq("s1"), isMax = true)).value shouldBe 6.0
+    // lengths of non-null s1: 3, 0, 6 -> avg 3
+    run(AvgStringLenMetric("m", Seq("s1"))).value shouldBe 3.0 +- eps
+  }
+
+  test("FORMATTED_DATE") {
+    run(FormattedDateMetric("m", Seq("d1"), "yyyy-MM-dd")).value shouldBe 3.0
+  }
+
+  test("STRING_LENGTH gte 3") {
+    run(StringLengthMetric("m", Seq("s1"), 3, CompareRule.Gte)).value shouldBe 2.0
+  }
+
+  test("STRING_IN/OUT_DOMAIN") {
+    run(StringDomainMetric("m", Seq("s1"), Set("foo", "bar"))).value shouldBe 1.0
+    run(StringDomainMetric("m", Seq("s1"), Set("foo", "bar"), outbound = true)).value shouldBe 2.0
+  }
+
+  test("STRING_VALUES") { run(StringValuesMetric("m", Seq("s1"), "foo")).value shouldBe 1.0 }
+
+  test("MIN/MAX/SUM/AVG/STD_NUMBER") {
+    run(NumberExtremeMetric("m", Seq("n1"), isMax = false), numDf).value shouldBe 1.0
+    run(NumberExtremeMetric("m", Seq("n1", "n2"), isMax = true), numDf).value shouldBe 8.0
+    run(SumNumberMetric("m", Seq("n1")), numDf).value shouldBe 10.0
+    run(AvgNumberMetric("m", "n1"), numDf).value shouldBe 2.5 +- eps
+    run(StdNumberMetric("m", "n1"), numDf).value shouldBe math.sqrt(1.25) +- eps
+  }
+
+  test("CASTED_NUMBER") { run(CastedNumberMetric("m", Seq("raw")), numDf).value shouldBe 3.0 }
+
+  test("FORMATTED_NUMBER decimal(2,1)") {
+    // values castable: 1, 2, 4.5 ; all fit |x|<10 and scale<=1 => 3
+    run(FormattedNumberMetric("m", Seq("raw"), 2, 1), numDf).value shouldBe 3.0
+    // outbound of decimal(1,0): 4.5 doesn't fit scale -> 1
+    run(FormattedNumberMetric("m", Seq("raw"), 1, 0, outbound = true), numDf).value shouldBe 1.0
+  }
+
+  test("NUMBER_IN_DOMAIN / VALUES / COMPARE / BETWEEN") {
+    run(NumberDomainMetric("m", Seq("n1"), Set(1.0, 3.0)), numDf).value shouldBe 2.0
+    run(NumberValuesMetric("m", Seq("n1"), 2.0), numDf).value shouldBe 1.0
+    run(NumberCompareMetric("m", Seq("n1"), 2.0, greater = true), numDf).value shouldBe 2.0
+    run(NumberCompareMetric("m", Seq("n1"), 2.0, greater = true, includeBound = true), numDf).value shouldBe 3.0
+    run(NumberBetweenMetric("m", Seq("n1"), 2.0, 3.0), numDf).value shouldBe 2.0
+    run(NumberBetweenMetric("m", Seq("n1"), 2.0, 3.0, negate = true), numDf).value shouldBe 2.0
+  }
+
+  test("quantiles (exact at small cardinality)") {
+    run(QuantileMetric("m", "n1", 0.5), numDf).value shouldBe 2.0 +- eps
+    run(PercentileAtValueMetric("m", "n1", 2.0), numDf).value shouldBe 0.5 +- eps
+  }
+
+  test("covariance family") {
+    // n2 = 2*n1 exactly: covar_pop = 2*var_pop(n1) = 2.5
+    run(CovarianceMetric("m", "n1", "n2", CovarianceMetric.Kind.Population), numDf)
+      .value shouldBe 2.5 +- eps
+    run(CovarianceMetric("m", "n1", "n2", CovarianceMetric.Kind.Sample), numDf)
+      .value shouldBe (10.0 / 3.0) +- eps
+    run(CovarianceMetric("m", "n1", "n2", CovarianceMetric.Kind.CoMoment), numDf)
+      .value shouldBe 10.0 +- eps
+  }
+
+  test("COLUMN_EQ") {
+    val df = Seq(("a", "a"), ("a", "b"), ("c", "c")).toDF("x", "y")
+    run(ColumnEqMetric("m", Seq("x", "y")), df).value shouldBe 2.0
+  }
+
+  test("DAY_DISTANCE") {
+    val df = Seq(("2024-01-01", "2024-01-02"), ("2024-01-01", "2024-03-01")).toDF("a", "b")
+    run(DayDistanceMetric("m", "a", "b", 3), df).value shouldBe 1.0
+  }
+
+  test("LEVENSHTEIN_DISTANCE") {
+    val df = Seq(("kitten", "sitting"), ("abc", "abc")).toDF("a", "b")
+    run(LevenshteinMetric("m", "a", "b", 3.0), df).value shouldBe 1.0
+    run(LevenshteinMetric("m", "a", "b", 0.5, normalized = true), df).value shouldBe 2.0
+  }
+
+  test("APPROXIMATE_DISTINCT_VALUES near-exact at tiny cardinality") {
+    run(ApproxDistinctMetric("m", "s1")).value shouldBe 3.0 +- 0.5
+  }
+
+  test("TOP_N exact when capacity >= cardinality") {
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("v")
+    val r = run(TopNMetric("m", "v", n = 2), df)
+    r.value shouldBe 0.5 +- eps
+    r.additional.get should startWith("a:0.5")
+  }
+
+  test("grouping metrics: DISTINCT / DUPLICATE / SEQ_COMPLETENESS") {
+    val df = Seq(1L, 2L, 2L, 3L, 5L).toDF("k")
+    val rs = MetricProcessor.processGroupingMetrics(df, Seq(
+      DistinctValuesMetric("d", Seq("k")),
+      DuplicateValuesMetric("dup", Seq("k"))))
+    rs.find(_.metricId == "d").get.value shouldBe 4.0
+    rs.find(_.metricId == "dup").get.value shouldBe 1.0
+    val sc = MetricProcessor.processGroupingMetrics(df,
+      Seq(SeqCompletenessMetric("sc", "k"))).head
+    sc.value shouldBe (4.0 / 5.0) +- eps
+  }
+
+  test("error dump is capped") {
+    val df = spark.range(1000).selectExpr("cast(null as string) as s")
+    val r = MetricProcessor.processRowMetrics(df,
+      Seq(NullValuesMetric("m", Seq("s"))),
+      MetricProcessor.Config(errorDumpSize = 7)).head
+    r.value shouldBe 1000.0
+    r.errors should have size 7
+  }
+
+  test("fused plan has a single aggregate over one scan") {
+    val metrics: Seq[RowMetric] = Seq(
+      RowCountMetric("a"), NullValuesMetric("b", Seq("s1")),
+      AvgStringLenMetric("c", Seq("s1")), RegexMatchMetric("d", Seq("s2"), "@"))
+    val plan = MetricProcessor.rowMetricsFrame(strDf, metrics)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    plan.collect { case a: Aggregate => a } should have size 1
+  }
+}
