@@ -1,13 +1,398 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.metrics._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Oracle-parity rules used throughout (the driver hash-compares values):
+  *  - every computed column is aliased identically on both sides, lowercase;
+  *  - float aggregates whose summation order is non-deterministic are summed
+  *    as decimals (exact, order-independent) or rounded to 6 digits;
+  *  - counts are cast to bigint on both sides;
+  *  - every multi-row result has a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: TPC-H-Q1-style fused aggregate on sf=0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- virtual-source operator surface (SURVEY §2.2) ----
+
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("sum_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("revenue"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_vs_join" -> ((s, dir) => {
+      // 3-way equi-join; dims are broadcast (they are tiny at every SF)
+      val c = broadcast(t(s, dir, "customer"))
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_vs_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") <= 0.02 &&
+          col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    "q_vs_select" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("prio"),
+          (col("o_totalprice").cast("decimal(18,4)") * lit(2)).as("dbl_price"),
+          year(col("o_orderdate")).as("yr"))
+        .orderBy(col("o_orderkey")).limit(500)
+    }),
+
+    "q_vs_aggregate" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+          round(avg(col("value")), 6).as("avg_value"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_vs_sql" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "region").createOrReplaceTempView("region")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql("""
+        SELECT r.r_name AS region, count(*) AS suppliers,
+               round(avg(s.s_acctbal), 6) AS avg_bal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name""")
+    }),
+
+    // ---- metric engine: fused single-pass suites (SURVEY §2.3) ----
+
+    "q_string_metrics" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ms: Seq[RowMetric] = Seq(
+        RowCountMetric("row_count"),
+        NullValuesMetric("null_values", Seq("c_name", "c_mktsegment")),
+        EmptyValuesMetric("empty_values", Seq("c_name")),
+        CompletenessMetric("completeness", Seq("c_name", "c_mktsegment")),
+        EmptinessMetric("emptiness", Seq("c_name")),
+        RegexMatchMetric("regex_match", Seq("c_name"), "^Customer#[0-9]+$"),
+        RegexMatchMetric("regex_mismatch", Seq("c_mktsegment"), "^B", mismatch = true),
+        StringLenExtremeMetric("min_string", Seq("c_mktsegment"), isMax = false),
+        StringLenExtremeMetric("max_string", Seq("c_mktsegment"), isMax = true),
+        AvgStringLenMetric("avg_string", Seq("c_mktsegment")),
+        StringLengthMetric("string_length", Seq("c_mktsegment"), 9, CompareRule.Gte),
+        StringDomainMetric("string_in_domain", Seq("c_mktsegment"),
+          Set("BUILDING", "MACHINERY")),
+        StringDomainMetric("string_out_domain", Seq("c_mktsegment"),
+          Set("BUILDING", "MACHINERY"), outbound = true),
+        StringValuesMetric("string_values", Seq("c_mktsegment"), "AUTOMOBILE"))
+      val f = MetricProcessor.rowMetricsFrame(cust, ms)
+      f.select(f.columns.map(c => round(col(c), 6).as(c)): _*)
+    }),
+
+    "q_numeric_metrics" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ms: Seq[RowMetric] = Seq(
+        NumberExtremeMetric("min_number", Seq("l_quantity"), isMax = false),
+        NumberExtremeMetric("max_number", Seq("l_quantity"), isMax = true),
+        SumNumberMetric("sum_number", Seq("l_quantity")),
+        AvgNumberMetric("avg_number", "l_quantity"),
+        StdNumberMetric("std_number", "l_quantity"),
+        CastedNumberMetric("casted_number", Seq("l_returnflag")),
+        FormattedNumberMetric("formatted_number", Seq("l_extendedprice"), 8, 2),
+        NumberDomainMetric("number_in_domain", Seq("l_quantity"), Set(1.0, 2.0, 3.0)),
+        NumberDomainMetric("number_out_domain", Seq("l_quantity"),
+          Set(1.0, 2.0, 3.0), outbound = true),
+        NumberValuesMetric("number_values", Seq("l_linenumber"), 1.0),
+        NumberCompareMetric("number_less_than", Seq("l_quantity"), 10.0, greater = false),
+        NumberCompareMetric("number_greater_than", Seq("l_quantity"), 40.0,
+          greater = true, includeBound = true),
+        NumberBetweenMetric("number_between", Seq("l_quantity"), 10.0, 20.0),
+        NumberBetweenMetric("number_not_between", Seq("l_quantity"), 10.0, 20.0,
+          negate = true),
+        PercentileAtValueMetric("get_percentile", "l_quantity", 25.0))
+      val f = MetricProcessor.rowMetricsFrame(li, ms)
+      f.select(f.columns.map(c => round(col(c), 6).as(c)): _*)
+    }),
+
+    "q_quantile_metrics" -> ((s, dir) => {
+      // exact interpolated percentiles (sort-based); the approximate sketch
+      // path (percentile_approx / t-digest-class) is covered without oracle
+      t(s, dir, "lineitem").agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_value"),
+        round(percentile(col("l_quantity"), lit(0.25)), 6).as("first_quantile"),
+        round(percentile(col("l_quantity"), lit(0.75)), 6).as("third_quantile"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("get_quantile"))
+    }),
+
+    "q_multicol_metrics" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ms: Seq[RowMetric] = Seq(
+        CovarianceMetric("covariance", "l_quantity", "l_extendedprice",
+          CovarianceMetric.Kind.Population),
+        CovarianceMetric("covariance_bessel", "l_quantity", "l_extendedprice",
+          CovarianceMetric.Kind.Sample),
+        CovarianceMetric("co_moment", "l_quantity", "l_extendedprice",
+          CovarianceMetric.Kind.CoMoment),
+        ColumnEqMetric("column_eq", Seq("l_returnflag", "l_linestatus")))
+      val f = MetricProcessor.rowMetricsFrame(li, ms)
+      f.select(
+        round(col("covariance"), 4).as("covariance"),
+        round(col("covariance_bessel"), 4).as("covariance_bessel"),
+        round(col("co_moment") / 1000.0, 4).as("co_moment_k"),
+        col("column_eq").cast("long").as("column_eq"))
+    }),
+
+    "q_day_distance" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .agg(sum(when(abs(datediff(col("l_shipdate"), col("o_orderdate"))) < 30, 1L)
+          .otherwise(0L)).as("day_distance"))
+    }),
+
+    "q_levenshtein" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .agg(sum(when(levenshtein(col("c_mktsegment"), lit("HOUSEHOLD")) < 6, 1L)
+          .otherwise(0L)).as("levenshtein_lt6"))
+    }),
+
+    "q_formatted_date" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        sum(when(try_to_timestamp(date_format(col("l_shipdate"), "yyyy-MM-dd"),
+          lit("yyyy-MM-dd")).isNotNull, 1L).otherwise(0L)).as("parseable"),
+        sum(when(try_to_timestamp(col("l_returnflag"),
+          lit("yyyy-MM-dd")).isNotNull, 1L).otherwise(0L)).as("unparseable"))
+    }),
+
+    "q_casted_number" -> ((s, dir) => {
+      // JSON-extracted numeric field: castable; event_type: never castable
+      t(s, dir, "events").agg(
+        sum(when(get_json_object(col("props"), "$.k").try_cast("double").isNotNull,
+          1L).otherwise(0L)).as("castable"),
+        sum(when(col("event_type").try_cast("double").isNotNull, 1L).otherwise(0L))
+          .as("uncastable"))
+    }),
+
+    // ---- grouping metrics (one shuffle per column set, SURVEY §2.3) ----
+
+    "q_distinct_values" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("distinct_values"))
+    }),
+
+    "q_duplicate_values" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("duplicate_values"))
+    }),
+
+    "q_sequence_completeness" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        round(countDistinct(col("o_orderkey")).cast("double") /
+          ((max(col("o_orderkey")) - min(col("o_orderkey"))).cast("double") + 1.0), 6)
+          .as("seq_completeness"))
+    }),
+
+    "q_top_n" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("value"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("value"))
+        .limit(3)
+    }),
+
+    // ---- approximate sketches (no exact SQL oracle; rows-only check;
+    //      accuracy asserted in ScalaTest specs) ----
+
+    "q_approx_distinct" -> ((s, dir) => {
+      val ms: Seq[RowMetric] = Seq(
+        ApproxDistinctMetric("approx_distinct", "l_orderkey"),
+        ApproxSeqCompletenessMetric("approx_seq_completeness", "l_orderkey"))
+      MetricProcessor.rowMetricsFrame(t(s, dir, "lineitem"), ms)
+    }),
+
+    "q_top_n_sketch" -> ((s, dir) => {
+      val f = MetricProcessor.rowMetricsFrame(t(s, dir, "lineitem"),
+        Seq(TopNMetric("top_n", "l_returnflag", n = 3)))
+      f.select(explode(col("top_n")).as("e"))
+        .select(col("e.value").as("value"), round(col("e.frequency"), 6).as("freq"))
+    }),
+
+    // ---- windowed aggregation (streaming-shaped tumbling window) ----
+
+    "q_window_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"),
+          col("sum_value"))
+        .orderBy(col("ws"), col("event_type"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_vs_join" ->
+      """SELECT c_mktsegment,
+           sum(l_quantity) AS sum_qty,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+           count(*) AS cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_vs_filter" ->
+      """SELECT count(*) AS cnt, sum(l_quantity) AS sum_qty FROM lineitem
+         WHERE l_quantity > 45 AND l_discount <= 0.02 AND l_returnflag = 'R'""",
+    "q_vs_select" ->
+      """SELECT o_orderkey, upper(o_orderpriority) AS prio,
+           CAST(o_totalprice AS DECIMAL(18,4)) * 2 AS dbl_price,
+           CAST(year(o_orderdate) AS INT) AS yr
+         FROM orders ORDER BY o_orderkey LIMIT 500""",
+    "q_vs_aggregate" ->
+      """SELECT event_type, count(*) AS cnt,
+           sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+           round(avg(value), 6) AS avg_value,
+           count(DISTINCT user_id) AS users
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_vs_sql" ->
+      """SELECT r.r_name AS region, count(*) AS suppliers,
+           round(avg(s.s_acctbal), 6) AS avg_bal
+         FROM supplier s
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name ORDER BY r.r_name""",
+    "q_string_metrics" ->
+      """SELECT
+           CAST(count(*) AS DOUBLE) AS row_count,
+           CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END +
+                    CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_values,
+           CAST(sum(CASE WHEN c_name = '' THEN 1 ELSE 0 END) AS DOUBLE) AS empty_values,
+           round(sum(CASE WHEN c_name IS NOT NULL AND c_name <> '' THEN 1 ELSE 0 END +
+                     CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment <> '' THEN 1 ELSE 0 END)
+                 / CAST(count(*) * 2 AS DOUBLE), 6) AS completeness,
+           round(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS emptiness,
+           CAST(sum(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END) AS DOUBLE) AS regex_match,
+           CAST(sum(CASE WHEN c_mktsegment IS NOT NULL AND NOT regexp_matches(c_mktsegment, '^B') THEN 1 ELSE 0 END) AS DOUBLE) AS regex_mismatch,
+           CAST(min(length(c_mktsegment)) AS DOUBLE) AS min_string,
+           CAST(max(length(c_mktsegment)) AS DOUBLE) AS max_string,
+           round(sum(coalesce(length(c_mktsegment), 0)) /
+                 CAST(sum(CASE WHEN c_mktsegment IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6) AS avg_string,
+           CAST(sum(CASE WHEN length(c_mktsegment) >= 9 THEN 1 ELSE 0 END) AS DOUBLE) AS string_length,
+           CAST(sum(CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY') THEN 1 ELSE 0 END) AS DOUBLE) AS string_in_domain,
+           CAST(sum(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN ('BUILDING','MACHINERY') THEN 1 ELSE 0 END) AS DOUBLE) AS string_out_domain,
+           CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS DOUBLE) AS string_values
+         FROM customer""",
+    "q_numeric_metrics" ->
+      """SELECT
+           CAST(min(l_quantity) AS DOUBLE) AS min_number,
+           CAST(max(l_quantity) AS DOUBLE) AS max_number,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_number,
+           round(avg(l_quantity), 6) AS avg_number,
+           round(stddev_pop(l_quantity), 6) AS std_number,
+           CAST(sum(CASE WHEN TRY_CAST(l_returnflag AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS casted_number,
+           CAST(sum(CASE WHEN abs(l_extendedprice) < 1e6 AND l_extendedprice = round(l_extendedprice, 2) THEN 1 ELSE 0 END) AS DOUBLE) AS formatted_number,
+           CAST(sum(CASE WHEN l_quantity IN (1.0, 2.0, 3.0) THEN 1 ELSE 0 END) AS DOUBLE) AS number_in_domain,
+           CAST(sum(CASE WHEN l_quantity NOT IN (1.0, 2.0, 3.0) THEN 1 ELSE 0 END) AS DOUBLE) AS number_out_domain,
+           CAST(sum(CASE WHEN l_linenumber = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) AS number_values,
+           CAST(sum(CASE WHEN l_quantity < 10.0 THEN 1 ELSE 0 END) AS DOUBLE) AS number_less_than,
+           CAST(sum(CASE WHEN l_quantity >= 40.0 THEN 1 ELSE 0 END) AS DOUBLE) AS number_greater_than,
+           CAST(sum(CASE WHEN l_quantity BETWEEN 10.0 AND 20.0 THEN 1 ELSE 0 END) AS DOUBLE) AS number_between,
+           CAST(sum(CASE WHEN l_quantity NOT BETWEEN 10.0 AND 20.0 THEN 1 ELSE 0 END) AS DOUBLE) AS number_not_between,
+           round(sum(CASE WHEN l_quantity <= 25.0 THEN 1 ELSE 0 END) /
+                 CAST(sum(CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6) AS get_percentile
+         FROM lineitem""",
+    "q_quantile_metrics" ->
+      """SELECT
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_value,
+           round(quantile_cont(l_quantity, 0.25), 6) AS first_quantile,
+           round(quantile_cont(l_quantity, 0.75), 6) AS third_quantile,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS get_quantile
+         FROM lineitem""",
+    "q_multicol_metrics" ->
+      """SELECT
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covariance,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covariance_bessel,
+           round(covar_pop(l_quantity, l_extendedprice) * count(*) / 1000.0, 4) AS co_moment_k,
+           CAST(sum(CASE WHEN CAST(l_returnflag AS VARCHAR) = CAST(l_linestatus AS VARCHAR) THEN 1 ELSE 0 END) AS BIGINT) AS column_eq
+         FROM lineitem""",
+    "q_day_distance" ->
+      """SELECT CAST(sum(CASE WHEN abs(date_diff('day', o_orderdate, l_shipdate)) < 30
+                    THEN 1 ELSE 0 END) AS BIGINT) AS day_distance
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    "q_levenshtein" ->
+      """SELECT CAST(sum(CASE WHEN levenshtein(c_mktsegment, 'HOUSEHOLD') < 6
+                    THEN 1 ELSE 0 END) AS BIGINT) AS levenshtein_lt6 FROM customer""",
+    "q_formatted_date" ->
+      """SELECT
+           CAST(sum(CASE WHEN try_strptime(strftime(l_shipdate, '%Y-%m-%d'), '%Y-%m-%d')
+               IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS parseable,
+           CAST(sum(CASE WHEN try_strptime(l_returnflag, '%Y-%m-%d')
+               IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS unparseable
+         FROM lineitem""",
+    "q_casted_number" ->
+      """SELECT
+           CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+               IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS castable,
+           CAST(sum(CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS uncastable
+         FROM events""",
+    "q_distinct_values" ->
+      "SELECT count(DISTINCT (l_returnflag, l_linestatus)) AS distinct_values FROM lineitem",
+    "q_duplicate_values" ->
+      """SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+         AS duplicate_values FROM lineitem""",
+    "q_sequence_completeness" ->
+      """SELECT round(count(DISTINCT o_orderkey) /
+           (CAST(max(o_orderkey) - min(o_orderkey) AS DOUBLE) + 1.0), 6)
+         AS seq_completeness FROM orders""",
+    "q_top_n" ->
+      """SELECT o_orderpriority AS value, count(*) AS freq FROM orders
+         GROUP BY 1 ORDER BY freq DESC, value LIMIT 3""",
+    "q_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt,
+           sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
 }
