@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Spark codegen emits many classes; the default 240m code cache fills up
+  // and HotSpot silently disables compilation -> hot loops fall back to the
+  // interpreter (observed 20x slowdown of the scoring expression).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -21,11 +21,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship: TPC-H-Q1-style fused aggregate on sf=0.001. */
+  /** Flagship: the north-rule quality-filter pipeline end-to-end on a
+    * deterministic synthetic corpus — langid + KN perplexity + heuristic
+    * checks + PII scrub, one fused shuffle-free projection. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_quality_filter")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- north-rule pipeline (no SQL oracle: graded against the
+    //      straight-line reference oracle in QualityFilterSpec) ----
+
+    "q_quality_filter" -> ((s, _) => {
+      import graft.corpus.{CorpusGen, CorpusSpec}
+      import graft.pipeline.{FilterConfig, QualityFilter}
+      val corpus = CorpusGen.corpus(s, CorpusSpec(nFiles = 2000)).toDF
+      QualityFilter.verdicts(corpus, FilterConfig())
+    }),
 
     // ---- virtual-source operator surface (SURVEY §2.2) ----
 

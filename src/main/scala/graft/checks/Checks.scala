@@ -1,0 +1,96 @@
+package graft.checks
+
+import graft.metrics.{FormulaParser, MetricResult}
+
+/** Result of one check (ref model: storage/Models.scala:238-245). */
+final case class CheckResult(
+    checkId: String,
+    checkName: String,
+    status: Boolean,
+    message: String,
+    baseMetric: String = "",
+    comparedValue: Option[Double] = None)
+
+/** Snapshot checks — driver-side comparisons of metric results against a
+  * threshold or another metric (ref: core/checks/snapshot/
+  * CompareCheckCalculator.scala:14-155). */
+sealed trait SnapshotCheck {
+  def id: String
+  def name: String
+  def baseMetric: String
+  def run(results: Seq[MetricResult]): CheckResult
+
+  protected def lookup(results: Seq[MetricResult], metricId: String): Option[Double] =
+    results.find(_.metricId == metricId).map(_.value)
+
+  protected def resolve(results: Seq[MetricResult],
+      compareMetric: Option[String], threshold: Option[Double]): Option[Double] =
+    compareMetric.flatMap(lookup(results, _)).orElse(threshold)
+
+  protected def make(ok: Option[Boolean], cmp: Option[Double], rel: String): CheckResult =
+    ok match {
+      case Some(s) => CheckResult(id, name, s,
+        s"$baseMetric $rel ${cmp.getOrElse("?")}: ${if (s) "PASS" else "FAIL"}",
+        baseMetric, cmp)
+      case None => CheckResult(id, name, status = false,
+        s"missing metric '$baseMetric' or comparison value", baseMetric, cmp)
+    }
+}
+
+/** EQUAL_TO (ref: EqualToCheckCalculator.scala:27). */
+final case class EqualToCheck(id: String, baseMetric: String,
+    compareMetric: Option[String] = None, threshold: Option[Double] = None)
+  extends SnapshotCheck {
+  val name = "EQUAL_TO"
+  def run(results: Seq[MetricResult]): CheckResult = {
+    val cmp = resolve(results, compareMetric, threshold)
+    make(for (b <- lookup(results, baseMetric); c <- cmp) yield b == c, cmp, "==")
+  }
+}
+
+/** LESS_THAN (ref: LessThanCheckCalculator.scala:27). */
+final case class LessThanCheck(id: String, baseMetric: String,
+    compareMetric: Option[String] = None, threshold: Option[Double] = None)
+  extends SnapshotCheck {
+  val name = "LESS_THAN"
+  def run(results: Seq[MetricResult]): CheckResult = {
+    val cmp = resolve(results, compareMetric, threshold)
+    make(for (b <- lookup(results, baseMetric); c <- cmp) yield b < c, cmp, "<")
+  }
+}
+
+/** GREATER_THAN (ref: GreaterThanCheckCalculator.scala:28). */
+final case class GreaterThanCheck(id: String, baseMetric: String,
+    compareMetric: Option[String] = None, threshold: Option[Double] = None)
+  extends SnapshotCheck {
+  val name = "GREATER_THAN"
+  def run(results: Seq[MetricResult]): CheckResult = {
+    val cmp = resolve(results, compareMetric, threshold)
+    make(for (b <- lookup(results, baseMetric); c <- cmp) yield b > c, cmp, ">")
+  }
+}
+
+/** DIFFER_BY_LT — |base − compare| / |compare| < threshold
+  * (ref: DifferByLTCheckCalculator.scala:20-157). */
+final case class DifferByLtCheck(id: String, baseMetric: String,
+    compareMetric: String, threshold: Double) extends SnapshotCheck {
+  val name = "DIFFER_BY_LT"
+  def run(results: Seq[MetricResult]): CheckResult = {
+    val cmp = lookup(results, compareMetric)
+    make(for (b <- lookup(results, baseMetric); c <- cmp)
+      yield math.abs(b - c) / math.abs(c) < threshold, cmp, s"differBy<$threshold vs")
+  }
+}
+
+/** Expression check: boolean formula over any metric results, same DSL as
+  * composed metrics (ref: ExpressionCheckCalculator.scala:33-194). */
+final case class ExpressionCheck(id: String, formula: String) {
+  val name = "EXPRESSION"
+  def run(results: Seq[MetricResult]): CheckResult = {
+    val values = results.map(r => r.metricId -> r.value).toMap
+    FormulaParser.evaluate(formula, values) match {
+      case Right(v) => CheckResult(id, name, v != 0.0, s"'$formula' = $v", formula)
+      case Left(err) => CheckResult(id, name, status = false, err, formula)
+    }
+  }
+}

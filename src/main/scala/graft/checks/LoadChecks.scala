@@ -1,0 +1,48 @@
+package graft.checks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+
+/** Load checks — metadata-only assertions evaluated before any metric job
+  * (ref: core/checks/load/, names at LoadCheckName.scala:13-19). They read
+  * only the schema, never the data — free at any scale. */
+object LoadChecks {
+
+  /** EXACT_COLUMN_NUM (ref: ExactColNumLoadCheckCalculator.scala). */
+  def exactColumnNum(id: String, df: DataFrame, expected: Int): CheckResult = {
+    val n = df.schema.size
+    CheckResult(id, "EXACT_COLUMN_NUM", n == expected,
+      s"columns=$n expected=$expected")
+  }
+
+  /** MIN_COLUMN_NUM. */
+  def minColumnNum(id: String, df: DataFrame, atLeast: Int): CheckResult = {
+    val n = df.schema.size
+    CheckResult(id, "MIN_COLUMN_NUM", n >= atLeast, s"columns=$n min=$atLeast")
+  }
+
+  /** COLUMNS_EXIST (ref: ColumnsExistsLoadCheckCalculator.scala). */
+  def columnsExist(id: String, df: DataFrame, required: Seq[String],
+      caseSensitive: Boolean = false): CheckResult = {
+    val have =
+      if (caseSensitive) df.schema.fieldNames.toSet
+      else df.schema.fieldNames.map(_.toLowerCase).toSet
+    val missing = required.filterNot(c =>
+      have(if (caseSensitive) c else c.toLowerCase))
+    CheckResult(id, "COLUMNS_EXIST", missing.isEmpty,
+      if (missing.isEmpty) "all present" else s"missing: ${missing.mkString(",")}")
+  }
+
+  /** SCHEMA_MATCH with order-insensitive option
+    * (ref: SchemaMatchLoadCheckCalculator.scala:20-60). */
+  def schemaMatch(id: String, df: DataFrame, expected: StructType,
+      ignoreOrder: Boolean = false): CheckResult = {
+    def norm(s: StructType) = {
+      val fields = s.fields.map(f => (f.name.toLowerCase, f.dataType))
+      if (ignoreOrder) fields.sortBy(_._1).toSeq else fields.toSeq
+    }
+    val ok = norm(df.schema) == norm(expected)
+    CheckResult(id, "SCHEMA_MATCH", ok,
+      if (ok) "schema matches" else s"got ${df.schema.simpleString}, want ${expected.simpleString}")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.checks
+
+import java.time.Instant
+
+import graft.metrics.{HistoryPoint, MetricResult, TrendMetrics}
+
+/** Trend checks — compare the current metric value against its own history
+  * (ref: core/checks/trend/AverageBoundCheckCalculator.scala:13-156). */
+object TrendChecks {
+
+  sealed trait BoundKind
+  object BoundKind {
+    case object Full extends BoundKind   // both bounds
+    case object Upper extends BoundKind
+    case object Lower extends BoundKind
+    /** asymmetric range: [avg·(1−lo), avg·(1+hi)] */
+    final case class Range(lo: Double, hi: Double) extends BoundKind
+  }
+
+  /** AVERAGE_BOUND_{FULL,UPPER,LOWER,RANGE}: base ∈ [avg·(1−t_lo), avg·(1+t_hi)]
+    * over the selected history window. */
+  def averageBound(id: String, current: MetricResult,
+      history: Seq[HistoryPoint], rule: TrendMetrics.WindowRule,
+      threshold: Double, kind: BoundKind,
+      ref: Instant = Instant.now()): CheckResult = {
+    val pts = TrendMetrics.window(history, rule, ref)
+    if (pts.isEmpty)
+      return CheckResult(id, s"AVERAGE_BOUND_$kind", status = false,
+        "empty history window", current.metricId)
+    val avg = pts.map(_.value).sum / pts.size
+    val (lo, hi) = kind match {
+      case BoundKind.Full => (avg * (1 - threshold), avg * (1 + threshold))
+      case BoundKind.Upper => (Double.NegativeInfinity, avg * (1 + threshold))
+      case BoundKind.Lower => (avg * (1 - threshold), Double.PositiveInfinity)
+      case BoundKind.Range(l, h) => (avg * (1 - l), avg * (1 + h))
+    }
+    val ok = current.value >= lo && current.value <= hi
+    CheckResult(id, s"AVERAGE_BOUND_$kind", ok,
+      f"value=${current.value}%.6f avg=$avg%.6f bounds=[$lo%.6f, $hi%.6f]",
+      current.metricId, Some(avg))
+  }
+
+  /** TOP_N_RANK: Jaccard distance between current and previous top-N value
+    * sets must be ≤ threshold (ref: TopNRankCheckCalculator.scala:24-191,
+    * distance at :41-42). */
+  def topNRank(id: String, currentTop: Seq[String], previousTop: Seq[String],
+      targetN: Int, threshold: Double): CheckResult = {
+    val cur = currentTop.take(targetN).toSet
+    val prev = previousTop.take(targetN).toSet
+    if (cur.isEmpty || prev.isEmpty)
+      return CheckResult(id, "TOP_N_RANK", status = false, "missing top-N history")
+    val jaccard = 1.0 - cur.intersect(prev).size.toDouble / cur.union(prev).size
+    CheckResult(id, "TOP_N_RANK", jaccard <= threshold,
+      f"jaccard_distance=$jaccard%.4f threshold=$threshold%.4f")
+  }
+}

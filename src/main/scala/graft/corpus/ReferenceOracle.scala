@@ -1,0 +1,71 @@
+package graft.corpus
+
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import graft.pipeline.{FilterConfig, QualityFilter, Scrub}
+import graft.textmodel.LangModel
+
+/** The per-file reference label (keep/drop + scrubbed golden). */
+final case class LabelRow(
+    repo: String,
+    path: String,
+    commit: String,
+    keep: Boolean,
+    dropReasons: Seq[String],
+    scrubbed: Option[String],
+    contentSha256: String)
+
+/** Straight-line, single-threaded reference implementation of the filter
+  * rules (FIXTURES.md B.1 "reference labels"): plain Scala string ops, no
+  * Spark. The distributed pipeline is graded against THIS — F1 on keep/drop
+  * and byte-identity of scrubbed text. Shares only config constants and the
+  * deterministic models with the pipeline; every feature is recomputed here
+  * independently.
+  */
+object ReferenceOracle {
+
+  private val autogenRe = Pattern.compile(QualityFilter.autogenPattern)
+
+  def sha256Hex(s: String): String = {
+    val d = MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  def label(row: FileRow, cfg: FilterConfig = FilterConfig()): LabelRow = {
+    val content = row.content
+    val lines = content.split("\n", -1)
+    val maxLine = lines.iterator.map(_.length).max
+    val avgLine = lines.iterator.map(_.length.toLong).sum.toDouble / lines.length
+    var alnum = 0
+    var i = 0
+    while (i < content.length) {
+      val ch = content.charAt(i)
+      if ((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9'))
+        alnum += 1
+      i += 1
+    }
+    val alnumRatio = alnum.toDouble / content.length
+    val nonblank = lines.filter(_.nonEmpty)
+    val dupShare =
+      if (nonblank.isEmpty) 0.0
+      else 1.0 - nonblank.distinct.length.toDouble / nonblank.length
+    val autogen = autogenRe.matcher(content).find()
+    val scored = LangModel.score(content)
+
+    val reasons = Seq.newBuilder[String]
+    if (maxLine > cfg.maxLineLen) reasons += "line_len"
+    if (avgLine > cfg.maxAvgLineLen) reasons += "avg_line_len"
+    if (alnumRatio < cfg.minAlnumRatio) reasons += "alnum"
+    if (dupShare > cfg.maxDupLineShare) reasons += "dup_lines"
+    if (autogen) reasons += "autogen"
+    if (scored.lang != row.lang) reasons += "wrong_lang"
+    if (scored.ppl > cfg.maxPpl) reasons += "ppl"
+    val rs = reasons.result()
+    val keep = rs.isEmpty
+    LabelRow(row.repo, row.path, row.commit, keep, rs,
+      if (keep) Some(Scrub.scrubString(content)) else None,
+      sha256Hex(content))
+  }
+}

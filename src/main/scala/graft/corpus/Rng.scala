@@ -1,0 +1,30 @@
+package graft.corpus
+
+/** Counter-based deterministic PRNG (splitmix64 finalizer).
+  *
+  * Every value is a pure function of (seed, key, counter) — no mutable state —
+  * so any parallelism / partitioning of the generator yields byte-identical
+  * rows (FIXTURES.md B.1 requirement).
+  */
+final case class Rng(seed: Long, key: Long) {
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  /** 64 pseudo-random bits for counter `i`. */
+  def long(i: Long): Long = mix(mix(seed ^ mix(key)) ^ i)
+  /** uniform int in [0, n) */
+  def int(i: Long, n: Int): Int = {
+    val v = long(i) >>> 1
+    (v % n).toInt
+  }
+  /** uniform double in [0, 1) */
+  def double(i: Long): Double = (long(i) >>> 11).toDouble / (1L << 53).toDouble
+}
+
+object Rng {
+  def forFile(seed: Long, repo: String, path: String): Rng =
+    Rng(seed, repo.hashCode.toLong << 32 | (path.hashCode.toLong & 0xffffffffL))
+}

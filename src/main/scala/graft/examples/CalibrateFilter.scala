@@ -1,0 +1,32 @@
+package graft.examples
+
+import graft.corpus.{CorpusGen, CorpusSpec, FileKind, ReferenceOracle}
+import graft.textmodel.LangModel
+
+/** Calibration harness (driver-side, no Spark): distribution of each signal
+  * by generated file kind, to place thresholds far from both sides.
+  */
+object CalibrateFilter {
+  def main(args: Array[String]): Unit = {
+    val spec = CorpusSpec(nFiles = 2000)
+    val byKind = (0L until spec.nFiles).map { i =>
+      (CorpusGen.kindAt(spec, i), CorpusGen.fileAt(spec, i))
+    }.groupBy(_._1)
+    for ((kind, rows) <- byKind.toSeq.sortBy(_._1.id)) {
+      val scores = rows.map { case (_, r) => LangModel.score(r.content) }
+      val ppls = scores.map(_.ppl).sorted
+      val langAgree = rows.zip(scores)
+        .count { case ((_, r), s) => s.lang == r.lang }
+      def pct(p: Double) = ppls(((ppls.size - 1) * p).toInt)
+      println(f"$kind%-10s n=${rows.size}%5d  ppl p1=${pct(0.01)}%8.2f p50=${pct(0.5)}%8.2f p99=${pct(0.99)}%8.2f  langid agrees with label: $langAgree/${rows.size}")
+    }
+    // keep/drop by oracle at current default config
+    val labels = (0L until spec.nFiles).map(i =>
+      (CorpusGen.kindAt(spec, i), ReferenceOracle.label(CorpusGen.fileAt(spec, i))))
+    for ((kind, ls) <- labels.groupBy(_._1).toSeq.sortBy(_._1.id)) {
+      val kept = ls.count(_._2.keep)
+      val reasons = ls.flatMap(_._2.dropReasons).groupBy(identity).view.mapValues(_.size).toMap
+      println(f"$kind%-10s kept=$kept/${ls.size} reasons=$reasons")
+    }
+  }
+}

@@ -1,0 +1,44 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.{CorpusGen, CorpusSpec}
+import graft.functions.DocStatsExpr
+import graft.pipeline.{FilterConfig, QualityFilter, Scrub}
+
+/** Decompose per-row Spark cost: scan-only → +doc_stats → +scrub → +sha2 →
+  * full verdicts → +write. Run at local[8] on a pre-written corpus. */
+object CostDecomp {
+  def main(args: Array[String]): Unit = {
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "50000").toLong
+    var spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cd").toString
+    CorpusGen.corpus(spark, CorpusSpec(nFiles = nFiles))
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/c")
+
+    def read: DataFrame = spark.read.parquet(s"$dir/c")
+    def timed(name: String)(df: => DataFrame, write: Boolean = false): Unit = {
+      // warmup then measure
+      def act(d: DataFrame): Unit =
+        if (write) d.write.mode("overwrite").parquet(s"$dir/out")
+        else d.foreach(_ => ())
+      act(df.limit(1000))
+      val t0 = System.nanoTime()
+      act(df)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[cost] $name%-28s $sec%7.2f s  ${nFiles / sec}%9.0f rows/s")
+    }
+
+    timed("scan only")(read.select(col("content")))
+    timed("scan+doc_stats")(read.select(DocStatsExpr(col("content")).as("s")))
+    timed("scan+scrub")(read.select(Scrub.scrubCol(col("content")).as("s")))
+    timed("scan+sha2")(read.select(sha2(col("content"), 256).as("s")))
+    timed("verdicts (no write)")(QualityFilter.verdicts(read, FilterConfig()))
+    timed("verdicts + write")(QualityFilter.verdicts(read, FilterConfig()), write = true)
+    spark.stop()
+  }
+}

@@ -1,0 +1,31 @@
+package graft.examples
+
+import graft.corpus.{CorpusGen, CorpusSpec}
+import graft.pipeline.Scrub
+import graft.textmodel.LangModel
+
+/** Driver-side microbenchmark of the per-row scoring components. */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val spec = CorpusSpec(nFiles = 2000)
+    val rows = (0L until 2000L).map(i => CorpusGen.fileAt(spec, i)).toArray
+    val totalChars = rows.map(_.content.length.toLong).sum
+    println(s"rows=${rows.length} chars=$totalChars")
+    def timed(name: String, reps: Int)(f: => Unit): Unit = {
+      f // warmup
+      val t0 = System.nanoTime()
+      var i = 0; while (i < reps) { f; i += 1 }
+      val sec = (System.nanoTime() - t0) / 1e9 / reps
+      println(f"$name%-16s ${sec}%8.3f s/pass  ${rows.length / sec}%10.0f files/s  ${totalChars / sec / 1e6}%8.1f MB/s")
+    }
+    timed("classify", 3) { rows.foreach(r => LangModel.classify(r.content)) }
+    timed("perplexity", 3) { rows.foreach(r => LangModel.knLm.perplexity(r.content)) }
+    timed("scrub", 3) { rows.foreach(r => Scrub.scrubString(r.content)) }
+    timed("split+stats", 3) { rows.foreach { r =>
+      val lines = r.content.split("\n", -1)
+      val _ = lines.iterator.map(_.length).max
+      val nb = lines.filter(_.nonEmpty)
+      val _2 = nb.distinct.length
+    }}
+  }
+}

@@ -1,0 +1,26 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.{CorpusGen, CorpusSpec}
+import graft.pipeline.{FilterConfig, QualityFilter}
+
+/** Inspect how many times doc_stats appears in the optimized plan —
+  * CollapseProject must not duplicate the expensive expression. */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val c = CorpusGen.corpus(spark, CorpusSpec(nFiles = 10)).toDF
+    val v = QualityFilter.verdicts(c, FilterConfig())
+    def countExpr(plan: org.apache.spark.sql.catalyst.plans.QueryPlan[_]): Int =
+      plan.expressions.map(e =>
+        e.collect { case d: graft.functions.DocStatsExpr => d }.size).sum +
+        plan.children.map(c =>
+          countExpr(c.asInstanceOf[org.apache.spark.sql.catalyst.plans.QueryPlan[_]])).sum
+    println(s"OPTIMIZED doc_stats instances = ${countExpr(v.queryExecution.optimizedPlan)}")
+    println(s"EXECUTED  doc_stats instances = ${countExpr(v.queryExecution.executedPlan)}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.corpus.{CorpusGen, CorpusSpec}
+import graft.pipeline.{FilterConfig, QualityFilter}
+
+/** Scaling-only harness with per-phase timing — for iterating on the
+  * pipeline's N-vs-4N efficiency without the full query sweep. */
+object ScalingBench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "100000").toLong
+    def phase(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[phase] $name%-22s $sec%8.2f s")
+      sec
+    }
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-sb-corpus").toString
+    val outBase = java.nio.file.Files.createTempDirectory("graft-sb-out").toString
+
+    var s = session(32)
+    phase("gen+write corpus") {
+      CorpusGen.corpus(s, CorpusSpec(nFiles = nFiles))
+        .repartition(64).write.mode("overwrite").parquet(corpusDir)
+    }
+    s.stop()
+
+    def run(cores: Int): Double = {
+      val s = session(cores)
+      try {
+        phase(s"warmup c$cores") {
+          QualityFilter.verdicts(s.read.parquet(corpusDir).limit(2000), FilterConfig())
+            .write.mode("overwrite").parquet(s"$outBase/w$cores")
+        }
+        phase(s"pipeline c$cores") {
+          QualityFilter.verdicts(s.read.parquet(corpusDir), FilterConfig())
+            .write.mode("overwrite").parquet(s"$outBase/v$cores")
+        }
+      } finally s.stop()
+    }
+    val sec8 = run(8)
+    val sec32 = run(32)
+    val eff = (nFiles / sec32) / (4.0 * (nFiles / sec8))
+    println(f"[scaling] files=$nFiles fps8=${nFiles / sec8}%.1f fps32=${nFiles / sec32}%.1f efficiency=$eff%.3f")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.examples
+
+import java.util.concurrent.{Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.corpus.{CorpusGen, CorpusSpec}
+import graft.pipeline.Scrub
+import graft.textmodel.DocAnalyzer
+
+/** Pure-JVM thread-scaling probe (no Spark): how do analyze+scrub scale
+  * 1 → 8 → 32 threads on this box? Separates hardware/GC ceilings from
+  * Spark-layer overhead. */
+object ThreadScaling {
+  def main(args: Array[String]): Unit = {
+    val spec = CorpusSpec(nFiles = 4000)
+    val rows = (0L until spec.nFiles).map(i => CorpusGen.fileAt(spec, i)).toArray
+    def work(r: graft.corpus.FileRow): Int = {
+      val s = DocAnalyzer.analyze(r.content)
+      val scrubbed = if (s.maxLineLen <= 500) Scrub.scrubString(r.content) else r.content
+      scrubbed.length
+    }
+    rows.foreach(work) // warmup JIT
+    for (threads <- Seq(1, 8, 32)) {
+      val pool = Executors.newFixedThreadPool(threads)
+      val done = new AtomicLong()
+      val t0 = System.nanoTime()
+      val reps = 6
+      (0 until threads).foreach { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var rep = 0
+            while (rep < reps) {
+              var i = t
+              while (i < rows.length) { work(rows(i)); i += threads }
+              rep += 1
+            }
+            done.incrementAndGet()
+          }
+        })
+      }
+      pool.shutdown(); pool.awaitTermination(600, TimeUnit.SECONDS)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val fps = rows.length.toLong * reps / sec
+      println(f"threads=$threads%2d  ${fps}%10.0f files/s  (${fps / threads}%8.0f per thread)")
+    }
+  }
+}

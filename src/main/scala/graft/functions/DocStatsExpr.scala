@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.textmodel.DocAnalyzer
+
+/** Catalyst scalar expression: ALL per-document text features in one pass —
+  * line stats, alnum ratio, duplicate-line share, autogen markers, langid,
+  * KN perplexity (see [[graft.textmodel.DocAnalyzer]] for why fusion beats
+  * the compositional split/transform/regexp_count form).
+  *
+  * Returns struct<max_line_len:int, avg_line_len:double, alnum_ratio:double,
+  * dup_line_share:double, has_autogen:boolean, lang_pred:string,
+  * lang_conf:double, kn_ppl:double>.
+  */
+case class DocStatsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DocStatsExpr.schema
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = DocAnalyzer.analyze(input.asInstanceOf[UTF8String].toString)
+    InternalRow(s.maxLineLen, s.avgLineLen, s.alnumRatio, s.dupLineShare,
+      s.hasAutogen, UTF8String.fromString(s.langPred), s.langConf, s.knPpl)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DocStatsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "doc_stats"
+}
+
+object DocStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("max_line_len", IntegerType, nullable = false),
+    StructField("avg_line_len", DoubleType, nullable = false),
+    StructField("alnum_ratio", DoubleType, nullable = false),
+    StructField("dup_line_share", DoubleType, nullable = false),
+    StructField("has_autogen", BooleanType, nullable = false),
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("lang_conf", DoubleType, nullable = false),
+    StructField("kn_ppl", DoubleType, nullable = false)))
+
+  def apply(c: Column): Column = Bridge.column(DocStatsExpr(Bridge.expression(c)))
+}

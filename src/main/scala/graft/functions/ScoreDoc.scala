@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.textmodel.LangModel
+
+/** Catalyst scalar expression: score a document with the language-ID head and
+  * the Kneser-Ney LM in one pass over the text.
+  *
+  * Returns `struct<lang_pred:string, lang_conf:double, kn_ppl:double>`.
+  * The model is process-local (lazily trained singleton), so the expression
+  * serializes as a bare tree node — nothing model-sized ever rides the plan.
+  * CodegenFallback is fine here: the per-row cost is dominated by the O(len)
+  * trigram walk, not the eval dispatch.
+  */
+case class ScoreDoc(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ScoreDoc.schema
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = LangModel.score(input.asInstanceOf[UTF8String].toString)
+    InternalRow(UTF8String.fromString(s.lang), s.conf, s.ppl)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ScoreDoc =
+    copy(child = newChild)
+
+  override def prettyName: String = "score_doc"
+}
+
+object ScoreDoc {
+  val schema: StructType = StructType(Seq(
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("lang_conf", DoubleType, nullable = false),
+    StructField("kn_ppl", DoubleType, nullable = false)))
+
+  def apply(c: Column): Column = Bridge.column(ScoreDoc(Bridge.expression(c)))
+}

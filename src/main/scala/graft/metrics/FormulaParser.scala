@@ -1,0 +1,131 @@
+package graft.metrics
+
+import scala.util.parsing.combinator.JavaTokenParsers
+
+/** Arithmetic/boolean formula evaluator for composed metrics and expression
+  * checks.
+  *
+  * Implements the grammar the reference documents for its formula DSL
+  * (core/utils/FormulaParser.scala — unary `abs sqrt floor ceil round ln lg
+  * exp`, binary `+ - * / ^ max min`, boolean `not && ||`, comparisons
+  * `== <> >= <= > <`, `CASE WHEN … THEN … ELSE … END` / `IF … ELSE`),
+  * written from scratch on scala-parser-combinators. Metric references are
+  * rendered beforehand via `{{ metricId }}` mustache-style templates
+  * (ComposedMetricCalculator.scala:17-73).
+  *
+  * Booleans are represented numerically: 0 is false, anything else true —
+  * comparisons yield 1.0/0.0.
+  */
+object FormulaParser extends JavaTokenParsers {
+
+  private def kw(s: String): Parser[String] = s"""(?i)\\b$s\\b""".r ^^ (_.toLowerCase)
+
+  private def num: Parser[Double] = floatingPointNumber ^^ (_.toDouble)
+
+  private def atom: Parser[Double] =
+    num | "(" ~> orExpr <~ ")" | caseExpr | ifExpr | unaryFn | binFn
+
+  private def unaryFn: Parser[Double] =
+    (kw("abs") | kw("sqrt") | kw("floor") | kw("ceil") | kw("round") |
+      kw("ln") | kw("lg") | kw("exp") | kw("not")) ~ ("(" ~> orExpr <~ ")") ^^ {
+      case "abs" ~ x => math.abs(x)
+      case "sqrt" ~ x => math.sqrt(x)
+      case "floor" ~ x => math.floor(x)
+      case "ceil" ~ x => math.ceil(x)
+      case "round" ~ x => math.round(x).toDouble
+      case "ln" ~ x => math.log(x)
+      case "lg" ~ x => math.log10(x)
+      case "exp" ~ x => math.exp(x)
+      case "not" ~ x => if (x == 0.0) 1.0 else 0.0
+    }
+
+  private def binFn: Parser[Double] =
+    (kw("max") | kw("min")) ~ ("(" ~> orExpr ~ ("," ~> orExpr) <~ ")") ^^ {
+      case "max" ~ (a ~ b) => math.max(a, b)
+      case "min" ~ (a ~ b) => math.min(a, b)
+    }
+
+  private def caseExpr: Parser[Double] =
+    kw("case") ~> rep1(kw("when") ~> orExpr ~ (kw("then") ~> orExpr)) ~
+      opt(kw("else") ~> orExpr) <~ kw("end") ^^ { case whens ~ els =>
+      whens.collectFirst { case c ~ v if c != 0.0 => v }
+        .orElse(els).getOrElse(Double.NaN)
+    }
+
+  private def ifExpr: Parser[Double] =
+    kw("if") ~> ("(" ~> orExpr <~ ")") ~ orExpr ~ (kw("else") ~> orExpr) ^^ {
+      case c ~ t ~ e => if (c != 0.0) t else e
+    }
+
+  private def power: Parser[Double] = atom ~ rep("^" ~> atom) ^^ {
+    case base ~ exps => (base +: exps).reduceRight(math.pow)
+  }
+
+  private def unaryMinus: Parser[Double] = opt("-") ~ power ^^ {
+    case Some(_) ~ x => -x
+    case None ~ x => x
+  }
+
+  private def term: Parser[Double] = unaryMinus ~ rep(("*" | "/") ~ unaryMinus) ^^ {
+    case x ~ ops => ops.foldLeft(x) {
+      case (a, "*" ~ b) => a * b
+      case (a, _ ~ b) => a / b
+    }
+  }
+
+  private def arith: Parser[Double] = term ~ rep(("+" | "-") ~ term) ^^ {
+    case x ~ ops => ops.foldLeft(x) {
+      case (a, "+" ~ b) => a + b
+      case (a, _ ~ b) => a - b
+    }
+  }
+
+  private def cmp: Parser[Double] =
+    arith ~ opt(("==" | "<>" | ">=" | "<=" | ">" | "<") ~ arith) ^^ {
+      case x ~ None => x
+      case x ~ Some(op ~ y) =>
+        val r = op match {
+          case "==" => x == y
+          case "<>" => x != y
+          case ">=" => x >= y
+          case "<=" => x <= y
+          case ">" => x > y
+          case "<" => x < y
+        }
+        if (r) 1.0 else 0.0
+    }
+
+  private def andExpr: Parser[Double] = cmp ~ rep("&&" ~> cmp) ^^ {
+    case x ~ xs => if ((x +: xs).forall(_ != 0.0)) 1.0 else if (xs.isEmpty) x else 0.0
+  }
+
+  private def orExpr: Parser[Double] = andExpr ~ rep("||" ~> andExpr) ^^ {
+    case x ~ Nil => x
+    case x ~ xs => if ((x +: xs).exists(_ != 0.0)) 1.0 else 0.0
+  }
+
+  /** Render `{{ id }}` references then evaluate. */
+  def evaluate(formula: String, metricValues: Map[String, Double]): Either[String, Double] = {
+    val rendered = "\\{\\{\\s*([\\w.\\-]+)\\s*\\}\\}".r.replaceAllIn(formula, m =>
+      metricValues.get(m.group(1)) match {
+        case Some(v) => java.util.regex.Matcher.quoteReplacement(
+          if (v < 0) s"($v)" else v.toString)
+        case None => return Left(s"unknown metric reference: ${m.group(1)}")
+      })
+    parseAll(orExpr, rendered) match {
+      case Success(v, _) => Right(v)
+      case NoSuccess.I(msg, next) => Left(s"parse error at ${next.pos}: $msg")
+    }
+  }
+}
+
+/** Composed metric: a formula over other metrics' results — driver-side,
+  * no data access (ref: ComposedMetricCalculator.scala:17-73). */
+final case class ComposedMetric(id: String, formula: String) {
+  def compute(results: Seq[MetricResult]): Either[String, MetricResult] = {
+    val values = results.map(r => r.metricId -> r.value).toMap
+    FormulaParser.evaluate(formula, values).map { v =>
+      MetricResult(id, "COMPOSED", "", Nil, v, Some(formula))
+    }
+  }
+}

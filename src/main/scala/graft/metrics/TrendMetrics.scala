@@ -1,0 +1,90 @@
+package graft.metrics
+
+import java.time.Instant
+
+import org.apache.commons.math3.stat.descriptive.DescriptiveStatistics
+import org.apache.commons.math3.stat.regression.SimpleRegression
+
+/** One historical metric observation (what DQ storage would return). */
+final case class HistoryPoint(ts: Instant, value: Double)
+
+/** Trend metrics: forecast a metric's value from its own result history —
+  * driver-side, no data access (ref: core/metrics/trend/
+  * TrendMetricCalculator.scala:80-123). History windows are selected by
+  * record count or by time duration with offset (ref: storage/
+  * Managers.scala:105-128).
+  */
+object TrendMetrics {
+
+  sealed trait WindowRule
+  /** last `n` observations. */
+  final case class ByRecords(n: Int, offset: Int = 0) extends WindowRule
+  /** observations within `seconds` before the reference instant. */
+  final case class ByDuration(seconds: Long, offsetSeconds: Long = 0) extends WindowRule
+
+  def window(history: Seq[HistoryPoint], rule: WindowRule,
+      ref: Instant): Seq[HistoryPoint] = {
+    val sorted = history.sortBy(_.ts)
+    rule match {
+      case ByRecords(n, off) => sorted.dropRight(off).takeRight(n)
+      case ByDuration(sec, off) =>
+        val hi = ref.minusSeconds(off)
+        val lo = hi.minusSeconds(sec)
+        sorted.filter(p => !p.ts.isBefore(lo) && p.ts.isBefore(hi))
+    }
+  }
+
+  sealed trait Model { def name: String; def predict(pts: Seq[HistoryPoint], at: Instant): Double }
+
+  /** TREND_AVG/STD/MIN/MAX/SUM/MEDIAN/QUARTILES/QUANTILE on commons-math3
+    * DescriptiveStatistics — R-7 quantile estimator, matching the reference
+    * (DescriptiveStatisticModel.scala:13-47). */
+  final case class Descriptive(stat: Descriptive.Stat) extends Model {
+    val name: String = s"TREND_${stat.toString.toUpperCase}"
+    def predict(pts: Seq[HistoryPoint], at: Instant): Double = {
+      val ds = new DescriptiveStatistics()
+      pts.foreach(p => ds.addValue(p.value))
+      import Descriptive.Stat._
+      stat match {
+        case Avg => ds.getMean
+        case Std => ds.getStandardDeviation
+        case Min => ds.getMin
+        case Max => ds.getMax
+        case Sum => ds.getSum
+        case Median => ds.getPercentile(50)
+        case FirstQuartile => ds.getPercentile(25)
+        case ThirdQuartile => ds.getPercentile(75)
+        case Quantile(q) => ds.getPercentile(q * 100)
+      }
+    }
+  }
+  object Descriptive {
+    sealed trait Stat
+    object Stat {
+      case object Avg extends Stat; case object Std extends Stat
+      case object Min extends Stat; case object Max extends Stat
+      case object Sum extends Stat; case object Median extends Stat
+      case object FirstQuartile extends Stat; case object ThirdQuartile extends Stat
+      final case class Quantile(q: Double) extends Stat
+    }
+  }
+
+  /** TREND_LINREG on (epochMilli, value) — commons-math3 SimpleRegression
+    * (ref: LinearRegressionModel.scala:11-45). */
+  case object LinReg extends Model {
+    val name = "TREND_LINREG"
+    def predict(pts: Seq[HistoryPoint], at: Instant): Double = {
+      val reg = new SimpleRegression()
+      pts.foreach(p => reg.addData(p.ts.toEpochMilli.toDouble, p.value))
+      reg.predict(at.toEpochMilli.toDouble)
+    }
+  }
+
+  /** Compute a trend metric over the windowed history. */
+  def compute(id: String, model: Model, history: Seq[HistoryPoint],
+      rule: WindowRule, ref: Instant): MetricResult = {
+    val pts = window(history, rule, ref)
+    val v = if (pts.isEmpty) Double.NaN else model.predict(pts, ref)
+    MetricResult(id, model.name, "", Nil, v, Some(s"window=${pts.size}"))
+  }
+}

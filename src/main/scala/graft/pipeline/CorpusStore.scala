@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage behind the pipeline: verdicts + lineage tables, resume bookkeeping.
+  *
+  * Abstracted as a trait (SURVEY §7.4): production target is an Iceberg
+  * catalog (`PARTITIONED BY bucket(N, repo)` with atomic append); this
+  * sandbox ships a parquet implementation with the same layout —
+  * `partition_id=`-partitioned verdict files + an append-only lineage table.
+  * Idempotence at partition granularity comes from dynamic partition
+  * overwrite: re-processing a partition replaces exactly its directory.
+  */
+trait CorpusStore {
+  def writeVerdicts(v: DataFrame): Unit
+  def appendLineage(l: DataFrame): Unit
+  def completedPartitions(spark: SparkSession, jobId: String): Set[Int]
+  def readVerdicts(spark: SparkSession): DataFrame
+  def readLineage(spark: SparkSession): DataFrame
+}
+
+final class ParquetCorpusStore(baseDir: String, saltBuckets: Int = 16)
+  extends CorpusStore {
+
+  private val verdictsDir = s"$baseDir/verdicts"
+  private val lineageDir = s"$baseDir/lineage"
+
+  override def writeVerdicts(v: DataFrame): Unit = {
+    // spread any mega-repo partition over salt buckets so one skewed repo
+    // never pins a single write task (SURVEY §7.2 step 8)
+    v.repartition(col("partition_id"),
+        pmod(xxhash64(col("path")), lit(saltBuckets.toLong)))
+      .write
+      .partitionBy("partition_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(verdictsDir)
+  }
+
+  override def appendLineage(l: DataFrame): Unit =
+    l.write.mode(SaveMode.Append).parquet(lineageDir)
+
+  override def completedPartitions(spark: SparkSession, jobId: String): Set[Int] =
+    if (!new java.io.File(lineageDir).exists()) Set.empty
+    else readLineage(spark)
+      .filter(col("job_id") === jobId && col("stage") === "verdict")
+      .select("partition_id").distinct().collect()
+      .map(_.getInt(0)).toSet
+
+  override def readVerdicts(spark: SparkSession): DataFrame =
+    spark.read.parquet(verdictsDir)
+
+  override def readLineage(spark: SparkSession): DataFrame =
+    spark.read.parquet(lineageDir)
+}
+
+final case class RunReport(
+    jobId: String,
+    partitionsSkipped: Int,
+    partitionsProcessed: Long,
+    rowsIn: Long,
+    rowsKept: Long)
+
+/** Checkpoint-resumable batch job (north_rule "resumable from checkpoint with
+  * per-partition lineage + metrics"; replaces the reference's streaming
+  * buffer checkpoints, core/streaming/Checkpoints.scala:25-47, with
+  * batch-native bookkeeping). */
+object ResumableRun {
+
+  def run(
+      spark: SparkSession,
+      input: DataFrame,
+      cfg: FilterConfig,
+      store: CorpusStore,
+      jobId: String): RunReport = {
+
+    val done = store.completedPartitions(spark, jobId)
+    val withPid = input.withColumn("partition_id",
+      QualityFilter.partitionId(cfg.numPartitions))
+    // completed set is bounded by numPartitions → always a literal pushdown
+    // filter (partition pruning when the input is bucket-partitioned)
+    val pending =
+      if (done.isEmpty) withPid
+      else withPid.filter(!col("partition_id").isInCollection(done.map(Integer.valueOf)))
+
+    val v = QualityFilter.verdicts(pending.drop("partition_id"), cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      store.writeVerdicts(v)
+      val lineage = QualityFilter.partitionLineage(v, jobId)
+        .withColumn("execution_ts", current_timestamp())
+      store.appendLineage(lineage)
+      val stats = v.agg(
+        count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L)),
+        countDistinct(col("partition_id"))).collect().head
+      RunReport(jobId, done.size,
+        if (stats.isNullAt(2)) 0L else stats.getLong(2),
+        stats.getLong(0),
+        if (stats.isNullAt(1)) 0L else stats.getLong(1))
+    } finally v.unpersist()
+  }
+}

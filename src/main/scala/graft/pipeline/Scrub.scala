@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.regexp_replace
+
+/** PII scrub: ordered compiled-regex passes. The SAME (pattern, replacement)
+  * list drives both the Spark pipeline (`regexp_replace` chain — Java regex
+  * under the hood) and the straight-line reference oracle (java.util.regex),
+  * so scrubbed text is byte-identical by construction.
+  *
+  * Capability parity with the reference's regex metric machinery
+  * (BasicStringDFMetrics.scala:19-75) re-purposed as a scrubber per the
+  * north rule. Order matters: JWTs before generic hex/base64 so a token is
+  * not half-eaten by a later pass.
+  */
+object Scrub {
+
+  final case class Pass(name: String, pattern: String, replacement: String)
+
+  val passes: Seq[Pass] = Seq(
+    Pass("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    Pass("aws_key", "AKIA[0-9A-Z]{16}", "<AWS_KEY>"),
+    Pass("jwt", "eyJ[A-Za-z0-9_-]{6,}\\.[A-Za-z0-9_-]{6,}\\.[A-Za-z0-9_-]{6,}", "<JWT>"),
+    Pass("hex_secret", "\\b[0-9a-fA-F]{32,}\\b", "<HEX_SECRET>"))
+
+  /** Cheap candidate pre-test: a strict superset of all pass matches (every
+    * pass pattern requires one of these to occur). Most files carry no PII,
+    * so the expensive 4-pass replace chain runs on a small fraction of rows;
+    * rows failing the gate pass through scrub-identical (scrub(x) == x). */
+  val candidatePattern: String = "@|AKIA|eyJ|[0-9a-fA-F]{32}"
+
+  /** Spark-side scrub: gated, chained codegen'd regexp_replace. */
+  def scrubCol(c: Column): Column = {
+    import org.apache.spark.sql.functions.when
+    val full = passes.foldLeft(c)((acc, p) => regexp_replace(acc, p.pattern, p.replacement))
+    when(c.rlike(candidatePattern), full).otherwise(c)
+  }
+
+  /** Count of PII hits (any pass) — for metrics/lineage. */
+  def hitCountCol(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    passes.map(p => regexp_count(c, lit(p.pattern))).reduce(_ + _)
+  }
+
+  /** Driver/oracle-side scrub: identical passes via java.util.regex. */
+  def scrubString(s: String): String =
+    passes.foldLeft(s)((acc, p) => acc.replaceAll(p.pattern, p.replacement))
+}

@@ -1,0 +1,60 @@
+package graft.util
+
+/** Minimal open-addressing Long→Int hash map (linear probing, power-of-2
+  * capacity). No boxing, no node allocation — built for the hot per-character
+  * lookups in the n-gram language models where java.util.HashMap's
+  * Character/Integer boxing dominated the profile.
+  * Write-once (build at train time), read-heavy thereafter.
+  */
+final class LongIntMap(initialCapacity: Int = 1 << 16) {
+  private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2 - 1)
+  private var mask = cap - 1
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[Int](cap)
+  private var used = new Array[Boolean](cap)
+  private var items = 0
+
+  def size: Int = items
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals; val ou = used
+    cap <<= 1; mask = cap - 1
+    keys = new Array[Long](cap); vals = new Array[Int](cap); used = new Array[Boolean](cap)
+    items = 0
+    var i = 0
+    while (i < ok.length) {
+      if (ou(i)) put(ok(i), ov(i))
+      i += 1
+    }
+  }
+
+  private def slot(k: Long): Int = {
+    // splitmix-style finalizer for spread
+    var h = k * -7046029254386353131L
+    h ^= h >>> 32
+    (h.toInt & mask)
+  }
+
+  def put(k: Long, v: Int): Unit = {
+    if (items * 4 >= cap * 3) grow()
+    var i = slot(k)
+    while (used(i) && keys(i) != k) i = (i + 1) & mask
+    if (!used(i)) { used(i) = true; keys(i) = k; items += 1 }
+    vals(i) = v
+  }
+
+  def get(k: Long, default: Int): Int = {
+    var i = slot(k)
+    while (used(i)) {
+      if (keys(i) == k) return vals(i)
+      i = (i + 1) & mask
+    }
+    default
+  }
+
+  def increment(k: Long): Int = {
+    val prev = get(k, 0)
+    put(k, prev + 1)
+    prev
+  }
+}

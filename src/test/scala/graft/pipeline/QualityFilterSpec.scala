@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.corpus.{CorpusGen, CorpusSpec, ReferenceOracle}
+
+/** The north-rule contract: the distributed pipeline must agree with the
+  * straight-line reference oracle — keep/drop F1, byte-identical scrubbed
+  * text, sha256(content) per-row invariant — and be deterministic across
+  * parallelism and resumable at partition granularity. */
+class QualityFilterSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val spec = CorpusSpec(nFiles = 600)
+  val cfg = FilterConfig(numPartitions = 16)
+
+  lazy val corpus = CorpusGen.corpus(spark, spec).toDF.cache()
+  lazy val oracleLabels = (0L until spec.nFiles)
+    .map(i => ReferenceOracle.label(CorpusGen.fileAt(spec, i), cfg))
+  lazy val pipelineRows = QualityFilter.verdicts(corpus, cfg)
+    .collect().map(r => (r.getAs[String]("repo"), r.getAs[String]("path")) -> r).toMap
+
+  test("corpus generation is deterministic and parallelism-independent") {
+    val a = CorpusGen.corpus(spark, spec).collect().sortBy(r => (r.repo, r.path))
+    val b = CorpusGen.corpus(spark, spec).repartition(13).collect()
+      .sortBy(r => (r.repo, r.path))
+    a should contain theSameElementsInOrderAs b
+  }
+
+  test("keep/drop F1 vs reference oracle is 1.0 (target >= 0.99)") {
+    var tp = 0; var fp = 0; var fn = 0
+    oracleLabels.foreach { l =>
+      val got = pipelineRows((l.repo, l.path)).getAs[Boolean]("keep")
+      if (l.keep && got) tp += 1
+      else if (!l.keep && got) fp += 1
+      else if (l.keep && !got) fn += 1
+    }
+    val precision = tp.toDouble / (tp + fp)
+    val recall = tp.toDouble / (tp + fn)
+    val f1 = 2 * precision * recall / (precision + recall)
+    withClue(s"tp=$tp fp=$fp fn=$fn") { f1 shouldBe 1.0 }
+  }
+
+  test("drop reasons match the oracle exactly") {
+    oracleLabels.foreach { l =>
+      val got = pipelineRows((l.repo, l.path))
+        .getAs[scala.collection.Seq[String]]("drop_reasons")
+      withClue(s"${l.repo}/${l.path}") { got.toSeq shouldBe l.dropReasons }
+    }
+  }
+
+  test("scrubbed content is byte-identical to the oracle golden") {
+    var scrubbedSomething = false
+    oracleLabels.filter(_.keep).foreach { l =>
+      val got = pipelineRows((l.repo, l.path)).getAs[String]("scrubbed_content")
+      withClue(s"${l.repo}/${l.path}") { got shouldBe l.scrubbed.get }
+      if (!l.scrubbed.contains(got) || got.contains("<EMAIL>")) scrubbedSomething = true
+    }
+    scrubbedSomething shouldBe true // PII fixtures must actually exercise the scrubber
+  }
+
+  test("per-row invariant: sha256(content) matches oracle") {
+    oracleLabels.foreach { l =>
+      pipelineRows((l.repo, l.path)).getAs[String]("content_sha256") shouldBe l.contentSha256
+    }
+  }
+
+  test("verdicts are identical at different parallelism (1 vs 13 partitions)") {
+    val v1 = QualityFilter.verdicts(corpus.coalesce(1), cfg)
+      .orderBy("repo", "path").collect()
+    val v13 = QualityFilter.verdicts(corpus.repartition(13), cfg)
+      .orderBy("repo", "path").collect()
+    v1 should contain theSameElementsInOrderAs v13
+  }
+
+  test("resumable run: second run skips completed partitions; verdicts complete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val store = new ParquetCorpusStore(dir, saltBuckets = 4)
+    val withPid = corpus.withColumn("pid", QualityFilter.partitionId(cfg.numPartitions))
+    val half = withPid.filter(col("pid") < 8).drop("pid")
+    val r1 = ResumableRun.run(spark, half, cfg, store, "job1")
+    r1.partitionsSkipped shouldBe 0
+    val r2 = ResumableRun.run(spark, corpus, cfg, store, "job1")
+    r2.partitionsSkipped shouldBe r1.partitionsProcessed
+    (r1.rowsIn + r2.rowsIn) shouldBe spec.nFiles
+    store.readVerdicts(spark).count() shouldBe spec.nFiles
+    // lineage has one verdict row per processed partition per run
+    val lin = store.readLineage(spark)
+    lin.filter(col("job_id") === "job1").count() shouldBe
+      (r1.partitionsProcessed + r2.partitionsProcessed)
+    // re-running a third time is a no-op
+    val r3 = ResumableRun.run(spark, corpus, cfg, store, "job1")
+    r3.rowsIn shouldBe 0
+  }
+
+  test("scoring plan is shuffle-free (no Exchange before the write)") {
+    val plan = QualityFilter.verdicts(corpus, cfg).queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.Exchange
+    plan.collect { case e: Exchange => e } shouldBe empty
+  }
+
+  test("mega-repo rows exist and share one partition id (skew fixture)") {
+    val mega = QualityFilter.verdicts(corpus, cfg).filter(col("repo") === "org0/mega")
+    mega.select(countDistinct(col("partition_id"))).collect().head.getLong(0) shouldBe 1
+    mega.count() shouldBe (spec.nFiles * spec.megaShare).toLong
+  }
+}
