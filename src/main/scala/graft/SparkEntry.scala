@@ -248,6 +248,89 @@ object SparkEntry {
         .limit(3)
     }),
 
+    // ---- training-data pipeline operators (documents / embeddings) ----
+
+    "q_dedup_exact" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.7).orderBy(col("a"), col("b"))
+    }),
+
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      // MinHash b=32/r=2 banding; candidates verified exactly -> result set
+      // equals the exact n-gram pairs (recall 1-1e-10 at tau=0.7), so it
+      // shares the exact-jaccard oracle
+      import graft.operators.Dedup
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.7).orderBy(col("a"), col("b"))
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 7).orderBy(col("a"), col("b"))
+    }),
+
+    "q_dedup_embedding" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.5).orderBy(col("a"), col("b"))
+    }),
+
+    "q_ann_topk" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_quality_score" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val qc = TextAnalysis.qualityColumns(col("text"))
+      t(s, dir, "documents").select(
+        (col("doc_id") +: qc.map { case (n, c) => c.as(n) }) :+
+          TextAnalysis.qualityScore(col("text")).as("quality"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_doc_fingerprint" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents").agg(
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("fp_groups"),
+        count(lit(1)).as("docs"))
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents")
+        .select(TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang_pred"))
+    }),
+
+    "q_multimodal_features" -> ((s, _) => {
+      import graft.operators.Multimodal
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 500L))
+        .toDF.select(col("media_id"), col("kind"), col("n_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- approximate sketches (no exact SQL oracle; rows-only check;
     //      accuracy asserted in ScalaTest specs) ----
 
@@ -277,7 +360,99 @@ object SparkEntry {
         .orderBy(col("ws"), col("event_type"))
     }))
 
+  /** Shared DuckDB CTE for word-3gram shingle sets. */
+  private val shingleCte =
+    """WITH sh AS (
+         SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+         FROM documents)"""
+
+  private val jaccardPairsSql =
+    s"""$shingleCte
+       SELECT a.doc_id AS a, b.doc_id AS b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+       ORDER BY a, b"""
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+         FROM documents GROUP BY text ORDER BY doc_id""",
+    "q_dedup_ngram_jaccard" -> jaccardPairsSql,
+    "q_dedup_minhash_lsh" -> jaccardPairsSql,
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5
+         ORDER BY a, b""",
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT q.qid, e.vec_id AS neighbor,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS c
+               FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         r AS (SELECT qid, neighbor, c,
+                 row_number() OVER (PARTITION BY qid ORDER BY c DESC, neighbor) AS rk
+               FROM s)
+         SELECT qid, neighbor, CAST(rk AS INT) AS rank, round(c, 6) AS cosine
+         FROM r WHERE rk <= 5 ORDER BY qid, rk""",
+    "q_token_count" ->
+      """SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z]{1,8}|[0-9]{1,4}|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
+         FROM documents ORDER BY doc_id""",
+    "q_quality_score" ->
+      """SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+           round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                   t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on'], lower(t))))
+                 / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS stopword_ratio,
+           round((length(trim(text)) - (len(string_split_regex(trim(text), '\s+')) - 1))
+                 / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS mean_word_len,
+           round((least(length(text) / 200.0, 1.0)
+                  + greatest(1.0 - round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}]', '', 'g')))
+                        / CAST(length(text) AS DOUBLE), 6) * 5.0, 0.0)
+                  + least(round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on'], lower(t))))
+                        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) * 5.0, 1.0)) / 3.0, 6) AS quality
+         FROM documents ORDER BY doc_id""",
+    "q_doc_fingerprint" ->
+      """SELECT CAST(count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS fp_groups,
+                count(*) AS docs FROM documents""",
+    "q_lang_id" ->
+      """WITH sc AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> list_contains(['der','die','und','das','ist'], t))) AS DOUBLE) AS s_de,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> list_contains(['the','and','of','to','is'], t))) AS DOUBLE) AS s_en,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> list_contains(['el','la','de','que','los'], t))) AS DOUBLE) AS s_es,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> list_contains(['le','la','et','les','des'], t))) AS DOUBLE) AS s_fr,
+             CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) AS s_zh
+           FROM documents),
+         p AS (
+           SELECT CASE
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0 THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0 THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0 THEN 'es'
+             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0 THEN 'fr'
+             WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0 THEN 'zh'
+             ELSE 'unknown' END AS lang_pred
+           FROM sc)
+         SELECT lang_pred, count(*) AS cnt FROM p GROUP BY 1 ORDER BY 1""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,

@@ -1,0 +1,69 @@
+package graft.examples
+
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+
+import graft.checks._
+import graft.metrics._
+
+/** Worked example: a full Checkita-shaped DQ job — load checks → fused
+  * metric pass → composed metrics → snapshot/expression checks → trend
+  * check against (synthetic) history.
+  *
+  * Usage: sbt "runMain graft.examples.DqJobDemo [sfDir]"
+  */
+object DqJobDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+    // 1. load checks (schema-only, no data touched)
+    val load = Seq(
+      LoadChecks.minColumnNum("lc_cols", li, 10),
+      LoadChecks.columnsExist("lc_exist", li, Seq("l_orderkey", "l_quantity")))
+    load.foreach(c => println(s"[load ] ${c.checkId} ${c.status} ${c.message}"))
+
+    // 2. fused metric pass
+    val metrics = MetricProcessor.processRowMetrics(li, Seq(
+      RowCountMetric("row_count"),
+      NullValuesMetric("nulls", Seq("l_quantity", "l_returnflag")),
+      AvgNumberMetric("avg_qty", "l_quantity"),
+      CompletenessMetric("completeness", Seq("l_returnflag"))),
+      MetricProcessor.Config(sourceId = "lineitem"))
+    metrics.foreach(m => println(f"[metric] ${m.metricId}%-14s ${m.value}%.4f"))
+
+    // 3. composed metric (formula over metric results)
+    val composed = ComposedMetric("null_rate",
+      "{{ nulls }} / {{ row_count }} * 100").compute(metrics)
+      .fold(err => sys.error(err), identity)
+    println(f"[composed] ${composed.metricId} = ${composed.value}%.4f")
+    val all = metrics :+ composed
+
+    // 4. snapshot + expression checks
+    val checks = Seq(
+      GreaterThanCheck("ck_rows", "row_count", threshold = Some(1000.0)).run(all),
+      EqualToCheck("ck_complete", "completeness", threshold = Some(1.0)).run(all),
+      ExpressionCheck("ck_expr", "{{ null_rate }} < 1 && {{ avg_qty }} > 20").run(all))
+    checks.foreach(c => println(s"[check] ${c.checkId} ${c.status} :: ${c.message}"))
+
+    // 5. trend check vs history (synthetic: prior runs all saw ~60000 rows)
+    val t0 = Instant.parse("2026-08-01T00:00:00Z")
+    val history = (0 until 7).map(d =>
+      HistoryPoint(t0.plusSeconds(d * 86400L), 60000.0 + d * 10))
+    val trend = TrendChecks.averageBound("ck_trend",
+      all.find(_.metricId == "row_count").get, history,
+      TrendMetrics.ByRecords(7), 0.05, TrendChecks.BoundKind.Full,
+      t0.plusSeconds(8 * 86400L))
+    println(s"[trend] ${trend.checkId} ${trend.status} :: ${trend.message}")
+
+    val failed = (load ++ checks :+ trend).count(!_.status)
+    println(s"[job] checks failed: $failed")
+    spark.stop()
+  }
+}

@@ -96,7 +96,8 @@ object FormulaParser extends JavaTokenParsers {
     }
 
   private def andExpr: Parser[Double] = cmp ~ rep("&&" ~> cmp) ^^ {
-    case x ~ xs => if ((x +: xs).forall(_ != 0.0)) 1.0 else if (xs.isEmpty) x else 0.0
+    case x ~ Nil => x
+    case x ~ xs => if ((x +: xs).forall(_ != 0.0)) 1.0 else 0.0
   }
 
   private def orExpr: Parser[Double] = andExpr ~ rep("||" ~> andExpr) ^^ {

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design notes (the patterns, not the small-SF sizes, are the point):
+  *  - exact dedup groups by a 64-bit content hash, never by the full text —
+  *    the shuffle carries 8-byte keys, not documents;
+  *  - near-dup detection is inverted-index shaped: explode per-doc keys
+  *    (shingles / LSH bands / simhash blocks), self-join on the key, and
+  *    verify candidates exactly — never an all-pairs cross join;
+  *  - every join key is a hash, so AQE's skew handling applies directly.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a (single-space tokenized) text column. */
+  def shingleCol(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    val count = greatest(size(words) - (n - 1), lit(0))
+    array_distinct(transform(sequence(lit(0), count - 1), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)))
+  }
+
+  /** Exact dedup: keep the smallest id per identical text. Groups on
+    * xxhash64(text) so the shuffle key is 8 bytes; hash collisions are
+    * resolved by grouping on (hash, text) — correctness never depends on
+    * hash uniqueness. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol), xxhash64(col(textCol)).as("__h"))
+      .groupBy(col("__h"), col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("dup_count"))
+
+  /** All pairs (a < b) with n-gram Jaccard ≥ tau — inverted-index self-join:
+    * explode distinct shingles → join on shingle → count co-occurrences →
+    * jaccard from |A|, |B|, |A∩B|. Exact (the LSH variants below only
+    * pre-filter candidates). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.7): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      shingleCol(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val inv = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+      // hash the shingle so the join key is fixed-width
+      .select(col("id"), col("sz"), xxhash64(col("s")).as("k"))
+    val a = inv.select(col("k"), col("id").as("a"), col("sz").as("asz"))
+    val b = inv.select(col("k"), col("id").as("b"), col("sz").as("bsz"))
+    a.join(b, Seq("k")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("asz"), col("bsz"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("asz") + col("bsz") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: k independent min-hashes over the shingle set,
+    * computed in ONE aggregate over the exploded inverted index (the fused
+    * multi-aggregate pattern from the metric engine). */
+  private def minHashAgg(k: Int): Seq[Column] =
+    (0 until k).map(i => min(xxhash64(col("k"), lit(i))).as(s"mh$i"))
+
+  /** MinHash + LSH banding: b bands of r rows (k = b*r). Docs sharing any
+    * band bucket become candidates; candidates are verified with EXACT
+    * jaccard, so precision is 1 and recall is 1-(1-tau^r)^b (≈1-1e-10 for
+    * tau=0.7, r=2, b=32). */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.7, bands: Int = 32, rows: Int = 2): DataFrame = {
+    val k = bands * rows
+    val sh = df.select(col(idCol).as("id"), shingleCol(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val inv = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+      .select(col("id"), col("sz"), xxhash64(col("s")).as("k"))
+    val sig = inv.groupBy(col("id"), col("sz")).agg(minHashAgg(k).head, minHashAgg(k).tail: _*)
+    // band keys: hash of the band's r signature values + band index
+    val banded = sig.select(col("id"), col("sz"),
+      explode(array((0 until bands).map { bnd =>
+        xxhash64((col(s"mh${bnd * rows}") +: (1 until rows)
+          .map(r => col(s"mh${bnd * rows + r}"))) :+ lit(bnd): _*)
+      }: _*)).as("band"))
+    val x = banded.select(col("band"), col("id").as("a"), col("sz").as("asz"))
+    val y = banded.select(col("band"), col("id").as("b"), col("sz").as("bsz"))
+    val candidates = x.join(y, Seq("band")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // exact verification of candidates only
+    val invA = inv.select(col("id").as("a"), col("k"))
+    val invB = inv.select(col("id").as("b"), col("k"))
+    val inter = candidates.join(invA, Seq("a")).join(invB, Seq("b", "k"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("id"), col("sz"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "asz"), Seq("a"))
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "bsz"), Seq("b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("asz") + col("bsz") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over word hashes: sign of the per-bit weighted sum.
+    * Computed distributively: explode words → per-(id,bit) contributions
+    * via bit tests → reassemble. Here: per-doc via a custom-free approach —
+    * aggregate word hashes into the 64 bit-counters with one fused
+    * aggregate of 64 sum columns. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
+    val bitSums = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"b$bit")
+    }
+    words.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(bit =>
+          when(col(s"b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block-LSH candidates (8 blocks of 8 bits —
+    * pigeonhole guarantees recall for hamming ≤ 7) verified by exact
+    * hamming distance. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7, "8-block LSH guarantees recall only for hamming <= 7")
+    val sig = simHash(df, idCol, textCol)
+    val blocked = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 8).map(blk =>
+        struct(lit(blk).as("blk"),
+          shiftright(col("simhash"), blk * 8).bitwiseAND(255L).as("key"))): _*))
+        .as("b"))
+    val x = blocked.select(col("b"), col("id").as("a"), col("simhash").as("ha"))
+    val y = blocked.select(col("b"), col("id").as("b2"), col("simhash").as("hb"))
+    x.join(y, Seq("b")).filter(col("a") < col("b2"))
+      .select(col("a"), col("b2").as("b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs. Brute-force variant: block-nested
+    * self-join (quadratic — correct baseline at any SF where it fits).
+    * The scale path is [[Similarity.cosineLshPairs]]. */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val n = Similarity.normalized(df, idCol, vecCol)
+    val a = n.select(col("id").as("a"), col("nv").as("va"))
+    val b = n.select(col("id").as("b"), col("nv").as("vb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cosine", Similarity.dot(col("va"), col("vb")))
+      .filter(col("cosine") >= tau)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

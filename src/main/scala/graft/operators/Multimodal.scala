@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: media as opaque `binary` with typed metadata.
+  *
+  * The Spark-side plumbing is real — schema, partition-friendly batch
+  * iteration (`mapPartitions`, the JVM analogue of `mapInPandas` batch
+  * shape), deterministic output schema — while the actual codec work is
+  * STUBBED (this container has no image/audio libraries): `decodeStub`
+  * produces a deterministic fake feature vector from the bytes, clearly
+  * marked, so swapping in a real decoder changes one function.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,            // image | audio | video
+      bytes: Array[Byte],      // opaque payload
+      width: Int, height: Int, // typed metadata
+      sample_rate: Int)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      feature: Array[Float])   // fixed-size embedding from the decoder
+
+  val FeatureDim = 16
+
+  /** Deterministic synthetic media table (binary payload from a seeded
+    * generator — stands in for real blobs). */
+  def syntheticMedia(spark: SparkSession, n: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val r = graft.corpus.Rng(99L, i)
+      val kind = Seq("image", "audio", "video")(r.int(0, 3))
+      val len = 256 + r.int(1, 1024)
+      val bytes = Array.tabulate(len)(j => (r.long(j + 2) & 0xff).toByte)
+      MediaRow(i, kind, bytes, 32 + r.int(3, 256), 32 + r.int(4, 256),
+        8000 * (1 + r.int(5, 6)))
+    }
+  }
+
+  /** STUB decoder ??? — replace with a real codec (JPEG decode, PCM frame
+    * sample, ...). Deterministic fake: hashes byte windows into a fixed-size
+    * float vector, so tests can assert exact values and any parallelism
+    * yields identical features. */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < bytes.length) {
+      val b = f(i % FeatureDim)
+      f(i % FeatureDim) = b + (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    var d = 0
+    while (d < FeatureDim) { f(d) = f(d) / math.max(1, bytes.length / FeatureDim); d += 1 }
+    f
+  }
+
+  /** Batch feature extraction: one partition = one decoder session (the
+    * batch shape a real codec needs — model load once per partition, then
+    * stream rows through). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real codecs would initialize per-partition state here (###)
+      it.map(m => MediaFeatures(m.media_id, m.kind, m.bytes.length,
+        decodeStub(m.bytes)))
+    }
+  }
+
+  /** Resize / frame-sample stub on the DataFrame surface: binary in,
+    * binary out + updated metadata; plumbing (schema evolution) is real. */
+  def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("width", lit(w))
+      .withColumn("height", lit(h))
+      // ??? real implementation re-encodes bytes; stub keeps payload
+      .withColumn("resized", lit(true))
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: exact brute-force cosine top-k (broadcast the query set, scan
+  * the corpus once). Scale paths: random-hyperplane LSH bucketing (prunes
+  * the candidate space to colliding buckets) — the IVF-style variant would
+  * replace random planes with k-means centroids, same join shape.
+  */
+object Similarity {
+
+  /** dot product of two double arrays — deterministic left-to-right fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Project to (id, nv) with nv L2-normalized double vector: cosine becomes
+    * a plain dot product, computed once per row instead of per pair. */
+  def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    df.select(col(idCol).as("id"), v.as("v"))
+      .withColumn("n", norm(col("v")))
+      .select(col("id"), transform(col("v"), x => x / col("n")).as("nv"))
+  }
+
+  /** Exact top-k neighbors for each query id: one broadcast of the (small)
+    * query set against one scan of the corpus; per-query ranking is a
+    * window over the query id (shuffle keyed by query — scales with corpus
+    * size × |queries|, the right baseline shape). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol)
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("nv").as("qv"))
+    val scored = c.join(broadcast(q), col("id") =!= col("qid"))
+      .withColumn("cosine", dot(col("nv"), col("qv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Random-hyperplane signature: `planes` sign bits packed into a long.
+    * Hyperplanes are deterministic (seeded per (plane, dim) via a hash), so
+    * signatures are reproducible across runs and parallelism. */
+  def hyperplaneSig(nv: Column, planes: Int, dims: Int, seed: Long = 7L): Column = {
+    require(planes <= 63, "sign bits are packed into one long")
+    // plane p component d = hash(p, d) mapped to [-1, 1)
+    def comp(p: Int, d: Int): Double = {
+      var h = seed + p * 1000003L + d * 10007L
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      ((h ^ (h >>> 31)) >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
+    (0 until planes).map { p =>
+      val proj = (0 until dims).map(d =>
+        element_at(nv, d + 1) * lit(comp(p, d))).reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate near-neighbor pairs: multi-probe via `tables`
+    * independent signatures; candidates = bucket collisions; verified with
+    * the exact dot product. */
+  def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, tau: Double, planes: Int = 12, tables: Int = 6): DataFrame = {
+    val n = normalized(df, idCol, vecCol)
+    val sigs = n.select(col("id"), col("nv"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          hyperplaneSig(col("nv"), planes, dims, seed = 7L + t).as("sig"))): _*))
+        .as("b"))
+    val x = sigs.select(col("b"), col("id").as("a"), col("nv").as("va"))
+    val y = sigs.select(col("b"), col("id").as("b2"), col("nv").as("vb"))
+    x.join(y, Seq("b")).filter(col("a") < col("b2"))
+      .select(col("a"), col("b2").as("b"), col("va"), col("vb")).distinct()
+      .withColumn("cosine", dot(col("va"), col("vb")))
+      .filter(col("cosine") >= tau)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

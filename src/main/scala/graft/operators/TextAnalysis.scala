@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a documents table — all pure per-row Column
+  * expressions (no shuffle; embarrassingly parallel at any scale). */
+object TextAnalysis {
+
+  /** Whitespace token count (split on runs of whitespace after trim). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word-piece-style regex — words, numbers,
+    * punctuation runs each count as tokens (a cheap deterministic proxy for
+    * a real BPE vocab; the Spark plumbing is what matters at scale). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,8}|[0-9]{1,4}|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality signals: length, punctuation ratio, stopword ratio, mean word
+    * length — composed into a [0,1] score. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on")
+
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = split(trim(text), "\\s+")
+    val nTok = size(toks).cast("double")
+    val punct = length(text) -
+      length(regexp_replace(text, "[.,;:!?'\"()\\[\\]{}]", ""))
+    val stopHits = size(filter(toks, t => lower(t).isInCollection(stopwords)))
+    Seq(
+      "n_chars" -> length(text).cast("long"),
+      "n_tokens" -> size(toks).cast("long"),
+      "punct_ratio" -> round(punct.cast("double") / length(text).cast("double"), 6),
+      "stopword_ratio" -> round(stopHits.cast("double") / nTok, 6),
+      "mean_word_len" -> round((length(trim(text)).cast("double") - (nTok - 1)) / nTok, 6))
+  }
+
+  /** Scalar quality score in [0,1]: full marks for moderate length, low
+    * punctuation, some stopwords. */
+  def qualityScore(text: Column): Column = {
+    val cols = qualityColumns(text).toMap
+    val lenScore = least(cols("n_chars").cast("double") / 200.0, lit(1.0))
+    val punctScore = greatest(lit(1.0) - cols("punct_ratio") * 5.0, lit(0.0))
+    val stopScore = least(cols("stopword_ratio") * 5.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /** 64-bit rolling polynomial document fingerprint over normalized text
+    * (lowercase, collapsed whitespace): equal texts ⇒ equal fingerprints;
+    * 64-bit space makes collisions negligible at training-corpus scale.
+    * Spark-side via xxhash64 of the normalized text (single pass, codegen). */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** N-gram-heuristic language id for natural-language text: per-language
+    * stopword-hit scoring, argmax with deterministic tie-break. Pure Column
+    * expressions so the whole classifier is codegen'd. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq.empty) // zh detected by CJK characters, not stopwords
+
+  def langIdHeuristic(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scores: Seq[(String, Column)] = langMarkers.toSeq.sortBy(_._1).map {
+      case ("zh", _) =>
+        "zh" -> size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0))).cast("double")
+      case (lang, markers) =>
+        lang -> size(filter(toks, t => t.isInCollection(markers))).cast("double")
+    }
+    // argmax with first-wins tie-break on sorted language order
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,100 @@
+package graft.checks
+
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.types._
+
+import graft.TestSpark
+import graft.metrics._
+
+class ChecksSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mr(id: String, v: Double) = MetricResult(id, "M", "src", Nil, v)
+  private val results = Seq(mr("rows", 100.0), mr("nulls", 3.0), mr("avg_len", 12.5))
+
+  test("snapshot checks: threshold and metric comparisons") {
+    EqualToCheck("c", "rows", threshold = Some(100.0)).run(results).status shouldBe true
+    LessThanCheck("c", "nulls", threshold = Some(5.0)).run(results).status shouldBe true
+    GreaterThanCheck("c", "nulls", compareMetric = Some("rows")).run(results).status shouldBe false
+    DifferByLtCheck("c", "nulls", "rows", 0.5).run(results).status shouldBe false
+    DifferByLtCheck("c", "avg_len", "rows", 0.9).run(results).status shouldBe true
+    EqualToCheck("c", "missing", threshold = Some(1.0)).run(results).status shouldBe false
+  }
+
+  test("expression check evaluates formula DSL over metric results") {
+    ExpressionCheck("c", "{{ nulls }} / {{ rows }} < 0.05").run(results).status shouldBe true
+    ExpressionCheck("c", "{{ nulls }} > 1 && {{ avg_len }} >= 12.5").run(results).status shouldBe true
+    ExpressionCheck("c", "not({{ rows }} == 100)").run(results).status shouldBe false
+    ExpressionCheck("c", "{{ bogus }} > 1").run(results).status shouldBe false
+  }
+
+  test("formula parser: functions, precedence, case/if") {
+    def ev(f: String) = FormulaParser.evaluate(f, Map("x" -> 4.0, "y" -> -2.0))
+    ev("abs({{y}})") shouldBe Right(2.0)
+    ev("sqrt({{x}}) + 2 * 3") shouldBe Right(8.0)
+    ev("2 ^ 3 ^ 2") shouldBe Right(512.0) // right-assoc
+    ev("max({{x}}, 10) / min({{x}}, 2)") shouldBe Right(5.0)
+    ev("CASE WHEN {{x}} > 5 THEN 1 WHEN {{x}} > 3 THEN 2 ELSE 3 END") shouldBe Right(2.0)
+    ev("if ({{x}} == 4) 7 else 8") shouldBe Right(7.0)
+    ev("ln(exp(1))").toOption.get shouldBe 1.0 +- 1e-12
+    ev("round(2.6)") shouldBe Right(3.0)
+    ev("1 + ") shouldBe a[Left[_, _]]
+  }
+
+  test("composed metric computes formula over other metrics") {
+    val cm = ComposedMetric("ratio", "{{ nulls }} / {{ rows }} * 100")
+    cm.compute(results).toOption.get.value shouldBe 3.0
+  }
+
+  test("load checks") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    LoadChecks.exactColumnNum("c", df, 2).status shouldBe true
+    LoadChecks.minColumnNum("c", df, 3).status shouldBe false
+    LoadChecks.columnsExist("c", df, Seq("ID", "Name")).status shouldBe true
+    LoadChecks.columnsExist("c", df, Seq("id", "nope")).status shouldBe false
+    val expected = StructType(Seq(StructField("name", StringType),
+      StructField("id", IntegerType)))
+    LoadChecks.schemaMatch("c", df, expected, ignoreOrder = true).status shouldBe true
+    LoadChecks.schemaMatch("c", df, expected, ignoreOrder = false).status shouldBe false
+  }
+
+  test("trend metrics: descriptive stats, linreg, windows") {
+    val t0 = Instant.parse("2026-01-01T00:00:00Z")
+    val hist = (0 until 10).map(i =>
+      HistoryPoint(t0.plusSeconds(i * 3600L), 10.0 + i))
+    import TrendMetrics._
+    compute("m", Descriptive(Descriptive.Stat.Avg), hist,
+      ByRecords(10), t0).value shouldBe 14.5 +- 1e-9
+    compute("m", Descriptive(Descriptive.Stat.Median), hist,
+      ByRecords(10), t0).value shouldBe 14.5 +- 1e-9
+    compute("m", Descriptive(Descriptive.Stat.Max), hist,
+      ByRecords(3), t0).value shouldBe 19.0
+    // linear trend 10 + i per hour -> predict next hour = 20
+    val pred = compute("m", LinReg, hist, ByRecords(10),
+      t0.plusSeconds(10 * 3600L))
+    pred.value shouldBe 20.0 +- 1e-6
+    // duration window: last 3 hours before ref
+    val w = TrendMetrics.window(hist, ByDuration(3 * 3600L),
+      t0.plusSeconds(10 * 3600L))
+    w.map(_.value) shouldBe Seq(17.0, 18.0, 19.0)
+  }
+
+  test("trend checks: average bound + top-n rank") {
+    val t0 = Instant.parse("2026-01-01T00:00:00Z")
+    val hist = (0 until 5).map(i => HistoryPoint(t0.plusSeconds(i * 60L), 100.0))
+    val cur = mr("rows", 108.0)
+    TrendChecks.averageBound("c", cur, hist, TrendMetrics.ByRecords(5),
+      0.1, TrendChecks.BoundKind.Full, t0.plusSeconds(301)).status shouldBe true
+    TrendChecks.averageBound("c", cur, hist, TrendMetrics.ByRecords(5),
+      0.05, TrendChecks.BoundKind.Upper, t0.plusSeconds(301)).status shouldBe false
+    TrendChecks.topNRank("c", Seq("a", "b", "c"), Seq("a", "b", "d"), 3, 0.5)
+      .status shouldBe true
+    TrendChecks.topNRank("c", Seq("a", "b", "c"), Seq("x", "y", "z"), 3, 0.5)
+      .status shouldBe false
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class OperatorsSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("exact dedup keeps min id per duplicate group") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out shouldBe Array((1L, 3L), (3L, 1L))
+  }
+
+  test("minhash LSH pairs equal exact n-gram jaccard pairs on documents") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.7)
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    exact.length should be > 5 // planted near-dups exist
+    lsh shouldBe exact
+  }
+
+  test("simhash recall: every near-identical pair (jaccard >= 0.95) is found") {
+    // SimHash sketches word-multiset cosine: expected hamming for jaccard j
+    // is ~64*acos(2j/(1+j))/pi — j=0.95 ⇒ ~5 bits, j=0.8 ⇒ ~10 bits. So the
+    // sketch at hamming<=7 is a near-identical detector, not a 0.8-jaccard one.
+    val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.95)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.nonEmpty shouldBe true
+    (planted -- sim) shouldBe empty
+  }
+
+  test("embedding cosine pairs and brute-force top-k agree with each other") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.5).collect()
+    val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", 3)
+    topk.count() shouldBe 15 // 5 queries x 3 neighbors
+    // a pair above tau must rank as the 1-NN of its endpoints among the queried
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (a < 5) {
+        val nn = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === a),
+          "vec_id", "embedding", 1).collect().head
+        nn.getAs[Long]("neighbor") shouldBe b
+      }
+    }
+  }
+
+  test("cosine LSH finds planted near-identical vectors") {
+    val base = (0 until 50).map { i =>
+      val r = graft.corpus.Rng(5L, i)
+      (i.toLong, Array.tabulate(16)(d => (r.double(d) * 2 - 1).toFloat))
+    }
+    // plant: vectors 100+i = tiny perturbation of i (cosine ~0.999)
+    val planted = base.take(5).map { case (i, v) =>
+      (100 + i, v.zipWithIndex.map { case (x, d) => x + (if (d == 0) 0.01f else 0f) })
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val found = Similarity.cosineLshPairs(df, "vec_id", "embedding",
+      dims = 16, tau = 0.99, planes = 8, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i => found should contain((i.toLong, (100 + i).toLong)) }
+  }
+
+  test("token counting and fingerprint invariants") {
+    val df = Seq((1L, "Hello  world foo"), (2L, "hello world foo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val toks = df.select(TextAnalysis.tokenCount(col("text"))).as[Int].collect()
+    toks shouldBe Array(3, 3, 0)
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    fps(0) shouldBe fps(1) // case + whitespace normalized
+  }
+
+  test("langid heuristic classifies obvious sentences") {
+    val df = Seq(
+      "the cat and the dog of the house is big",
+      "el perro de la casa que los gatos",
+      "der hund und die katze das ist gut",
+      "le chat et les chiens des maisons",
+      "你好世界这是中文").toDF("text")
+    val preds = df.select(TextAnalysis.langIdHeuristic(col("text"))).as[String].collect()
+    preds shouldBe Array("en", "es", "de", "fr", "zh")
+  }
+
+  test("multimodal feature extraction: deterministic, partition-invariant") {
+    val m = Multimodal.syntheticMedia(spark, 100L)
+    val f1 = Multimodal.extractFeatures(m).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(m.repartition(7)).collect().sortBy(_.media_id)
+    f1.map(_.feature.toSeq) shouldBe f2.map(_.feature.toSeq)
+    f1.foreach(_.feature.length shouldBe Multimodal.FeatureDim)
+    f1.map(_.kind).toSet shouldBe Set("image", "audio", "video")
+  }
+}
