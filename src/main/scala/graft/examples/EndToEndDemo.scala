@@ -1,0 +1,70 @@
+package graft.examples
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.metrics.{AvgNumberMetric, RowCountMetric}
+import graft.sources._
+import graft.streaming.StreamMetrics
+import graft.targets.Writers
+
+/** Worked example: readers → virtual sources → metric job → file targets,
+  * plus a streaming windowed-metric query. Exercises the full source/sink
+  * surface on real testdata.
+  *
+  * Usage: sbt "runMain graft.examples.EndToEndDemo"
+  */
+object EndToEndDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tmp = Files.createTempDirectory("graft-e2e").toString
+
+    // 1. stage a CSV + fixed-width copy of real data, then read via declared schemas
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").option("header", "true").csv(s"$tmp/orders_csv")
+    val schema = SchemaDef.delimited(Seq(
+      "o_orderkey" -> "LONG", "o_totalprice" -> "DOUBLE", "o_orderpriority" -> "STRING"))
+    val csvSrc = SourceReaders.delimited(spark, "orders_csv", s"$tmp/orders_csv",
+      header = true, opts = SourceReaders.ReadOpts(schema = Some(schema)))
+    println(s"[read] csv rows=${csvSrc.df.count()} schema=${csvSrc.df.schema.simpleString}")
+
+    // 2. virtual-source graph over it
+    val resolved = VirtualSources.resolve(spark, Seq(csvSrc), Seq(
+      FilterVS("big", "orders_csv", Seq("o_totalprice > 50000")),
+      AggregateVS("by_prio", "big", Seq("o_orderpriority"),
+        Seq("count(1) as cnt", "round(avg(o_totalprice),2) as avg_price"))))
+    val agg = resolved("by_prio").df.orderBy("o_orderpriority")
+    agg.collect().foreach(r => println(s"[vsrc] $r"))
+
+    // 3. metric job on the virtual source + file target fan-out
+    val metrics = graft.metrics.MetricProcessor.processRowMetrics(
+      resolved("big").df,
+      Seq(RowCountMetric("rows"), AvgNumberMetric("avg_price", "o_totalprice")),
+      graft.metrics.MetricProcessor.Config(sourceId = "big"))
+    Writers.writeFile(Writers.metricResultsDf(spark, "e2e", metrics),
+      s"$tmp/results", "parquet", outputRepartition = 1)
+    println(s"[target] results rows=${spark.read.parquet(s"$tmp/results").count()}")
+
+    // 4. streaming windowed metrics on events
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    events.write.mode("overwrite").parquet(s"$tmp/stream_in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$tmp/stream_in")
+    val windowed = StreamMetrics.windowedMetrics(stream, "ts", "6 hours",
+      "1 hour", Seq(RowCountMetric("cnt")))
+    val q = windowed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("e2e_wm").start()
+    try q.processAllAvailable() finally q.stop()
+    println(s"[stream] finalized windows=${spark.table("e2e_wm").count()}")
+    spark.table("e2e_wm").orderBy("window_start").show(5, truncate = false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+/** Declared-schema system (reference: config/jobconf/Schemas.scala:55-150) —
+  * explicit user schemas, no inference except CSV headers.
+  */
+object SchemaDef {
+
+  /** Type-name → Spark type (reference: utils/SparkUtils.scala:26-45). */
+  def typeOf(name: String): DataType = {
+    val decimalRe = "(?i)DECIMAL\\((\\d+),\\s*(\\d+)\\)".r
+    name.trim.toUpperCase match {
+      case "STRING" => StringType
+      case "BOOLEAN" => BooleanType
+      case "DATE" => DateType
+      case "TIMESTAMP" => TimestampType
+      case "INTEGER" | "INT" => IntegerType
+      case "LONG" => LongType
+      case "SHORT" => ShortType
+      case "BYTE" => ByteType
+      case "DOUBLE" => DoubleType
+      case "FLOAT" => FloatType
+      case other => other match {
+        case decimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+        case _ => throw new IllegalArgumentException(s"unsupported type: $name")
+      }
+    }
+  }
+
+  /** Delimited schema: ordered (name, type) list (ref: Schemas.scala:55-70). */
+  def delimited(fields: Seq[(String, String)]): StructType =
+    StructType(fields.map { case (n, t) => StructField(n, typeOf(t)) })
+
+  /** Fixed-full schema: (name, type, width) — widths drive substring parsing
+    * (ref: Schemas.scala:71-87). */
+  final case class FixedField(name: String, typeName: String, width: Int)
+  def fixedFull(fields: Seq[FixedField]): (StructType, Seq[(Int, Int)]) = {
+    val st = StructType(fields.map(f => StructField(f.name, typeOf(f.typeName))))
+    val positions = fields.scanLeft((0, 0)) { case ((_, end), f) =>
+      (end, end + f.width)
+    }.tail.map { case (s, e) => (s, e) }
+    (st, positions)
+  }
+
+  /** Fixed-short schema: "name:width" strings, all-string columns
+    * (ref: Schemas.scala:88-103). */
+  def fixedShort(specs: Seq[String]): (StructType, Seq[(Int, Int)]) = {
+    val fields = specs.map { s =>
+      val Array(n, w) = s.split(":")
+      FixedField(n.trim, "STRING", w.trim.toInt)
+    }
+    fixedFull(fields)
+  }
+
+  /** Avro .avsc → Spark schema (ref: Schemas.scala:104-122). Minimal mapping
+    * of the Avro types the reference supports for flat records; unions with
+    * null become nullable fields. */
+  def fromAvro(avscJson: String): StructType = {
+    import org.apache.avro.Schema
+    val avro = new Schema.Parser().parse(avscJson)
+    require(avro.getType == Schema.Type.RECORD, "top-level avro schema must be a record")
+    def convert(s: Schema): (DataType, Boolean) = s.getType match {
+      case Schema.Type.STRING => (StringType, false)
+      case Schema.Type.INT => (IntegerType, false)
+      case Schema.Type.LONG => (LongType, false)
+      case Schema.Type.FLOAT => (FloatType, false)
+      case Schema.Type.DOUBLE => (DoubleType, false)
+      case Schema.Type.BOOLEAN => (BooleanType, false)
+      case Schema.Type.BYTES => (BinaryType, false)
+      case Schema.Type.ARRAY =>
+        val (el, n) = convert(s.getElementType); (ArrayType(el, n), false)
+      case Schema.Type.RECORD =>
+        (StructType(s.getFields.toArray.map { f0 =>
+          val f = f0.asInstanceOf[Schema.Field]
+          val (dt, nullable) = convert(f.schema())
+          StructField(f.name(), dt, nullable)
+        }), false)
+      case Schema.Type.UNION =>
+        val nonNull = s.getTypes.toArray.map(_.asInstanceOf[Schema])
+          .filter(_.getType != Schema.Type.NULL)
+        require(nonNull.length == 1, s"unsupported union: $s")
+        val (dt, _) = convert(nonNull.head)
+        (dt, true)
+      case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
+    }
+    convert(avro)._1.asInstanceOf[StructType]
+  }
+}

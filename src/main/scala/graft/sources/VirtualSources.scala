@@ -1,0 +1,96 @@
+package graft.sources
+
+import scala.annotation.tailrec
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.expr
+
+/** The composable relational operator surface (reference:
+  * readers/VirtualSourceReaders.scala:82-244): virtual sources declared over
+  * parent source ids, resolved in dependency (topological) order
+  * (ref: context/DQContext.scala:303-369). Each maps 1:1 onto a declarative
+  * DataFrame op, so Catalyst owns pushdown, join selection and pruning.
+  */
+sealed trait VirtualSource {
+  def id: String
+  def parents: Seq[String]
+  def keyFields: Seq[String] = Nil
+}
+
+/** Register parents as temp views, run arbitrary SQL (ref: :82-108). */
+final case class SqlVS(id: String, parents: Seq[String], query: String,
+    override val keyFields: Seq[String] = Nil) extends VirtualSource
+
+/** Equi-join of exactly two parents on a column list; join types as the
+  * reference's enum (ref: :111-138; Enums.scala:127-143). */
+final case class JoinVS(id: String, left: String, right: String,
+    joinColumns: Seq[String], joinType: String = "inner",
+    override val keyFields: Seq[String] = Nil) extends VirtualSource {
+  val parents = Seq(left, right)
+  require(Set("inner", "outer", "cross", "full", "left", "right", "semi",
+    "anti", "left_semi", "left_anti").contains(joinType), s"bad joinType $joinType")
+}
+
+/** Conjunction of SQL boolean expressions (ref: :141-173). */
+final case class FilterVS(id: String, parent: String, conditions: Seq[String],
+    override val keyFields: Seq[String] = Nil) extends VirtualSource {
+  val parents = Seq(parent)
+}
+
+/** Projection by expression list (ref: :176-213). */
+final case class SelectVS(id: String, parent: String, exprs: Seq[String],
+    override val keyFields: Seq[String] = Nil) extends VirtualSource {
+  val parents = Seq(parent)
+}
+
+/** Group-by columns + aggregate expression list (ref: :216-244). */
+final case class AggregateVS(id: String, parent: String,
+    groupBy: Seq[String], aggExprs: Seq[String],
+    override val keyFields: Seq[String] = Nil) extends VirtualSource {
+  val parents = Seq(parent)
+}
+
+object VirtualSources {
+
+  /** Resolve all virtual sources over the given base sources, in topological
+    * order; cycles and unknown parents fail fast (ref: DQContext.scala:
+    * 303-369). Returns all sources by id. */
+  def resolve(spark: SparkSession, base: Seq[Source],
+      virtuals: Seq[VirtualSource], allowSql: Boolean = true): Map[String, Source] = {
+    val result = scala.collection.mutable.Map[String, Source](base.map(s => s.id -> s): _*)
+
+    @tailrec
+    def loop(pending: Seq[VirtualSource]): Unit = {
+      if (pending.isEmpty) return
+      val (ready, blocked) = pending.partition(_.parents.forall(result.contains))
+      if (ready.isEmpty)
+        throw new IllegalArgumentException(
+          s"unresolvable virtual sources (cycle or missing parent): ${blocked.map(_.id).mkString(",")}")
+      ready.foreach { vs => result(vs.id) = materialize(spark, result.toMap, vs, allowSql) }
+      loop(blocked)
+    }
+    loop(virtuals)
+    result.toMap
+  }
+
+  private def materialize(spark: SparkSession, sources: Map[String, Source],
+      vs: VirtualSource, allowSql: Boolean): Source = vs match {
+    case SqlVS(id, parents, query, kf) =>
+      require(allowSql, "SQL virtual sources are disabled (allowSqlQueries=false)")
+      parents.foreach(p => sources(p).df.createOrReplaceTempView(p))
+      Source(id, spark.sql(query), kf, parents)
+    case JoinVS(id, l, r, cols, jt, kf) =>
+      Source(id, sources(l).df.join(sources(r).df, cols, jt), kf, Seq(l, r))
+    case FilterVS(id, p, conds, kf) =>
+      Source(id, sources(p).df.filter(conds.map(expr).reduce(_ && _)), kf, Seq(p))
+    case SelectVS(id, p, exprs, kf) =>
+      Source(id, sources(p).df.selectExpr(exprs: _*), kf, Seq(p))
+    case AggregateVS(id, p, groupBy, aggs, kf) =>
+      val df = sources(p).df
+      val grouped =
+        if (groupBy.isEmpty) df.agg(expr(aggs.head), aggs.tail.map(expr): _*)
+        else df.groupBy(groupBy.map(org.apache.spark.sql.functions.col): _*)
+          .agg(expr(aggs.head), aggs.tail.map(expr): _*)
+      Source(id, grouped, kf, Seq(p))
+  }
+}

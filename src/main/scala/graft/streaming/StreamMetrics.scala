@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.metrics.RowMetric
+
+/** Streaming metric processing — Spark-native rebuild of the reference's
+  * streaming engine (SURVEY §2.9). Where the reference hand-rolls a
+  * watermark + window buffer on the driver (core/streaming/
+  * ProcessorBuffer.scala:23-46, RDDMetricStreamProcessor.scala:55-196) and a
+  * separate finalization thread (DQStreamWindowJob.scala:93-119), this maps
+  * onto Structured Streaming primitives:
+  *  - event-time tumbling windows  → `window(ts, dur)` groupBy
+  *  - custom watermark + late-drop → `withWatermark` (state-store managed)
+  *  - window finalization          → Append output mode (emit on watermark)
+  *  - buffer checkpoint/resume     → `checkpointLocation` (exactly-once
+  *                                   state + sink offsets)
+  * The same fused multi-aggregate select as the batch engine runs per
+  * window: adding a metric never adds a stream.
+  */
+object StreamMetrics {
+
+  /** Per-window fused metric aggregation. Append mode emits a window only
+    * once the watermark passes — the analogue of the reference's
+    * "window below min-watermark → finalize" rule. */
+  def windowedMetrics(
+      stream: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      metrics: Seq[RowMetric]): DataFrame = {
+    require(stream.isStreaming, "windowedMetrics expects a streaming DataFrame")
+    stream
+      // watermarks require TIMESTAMP (with zone); NTZ sources are cast —
+      // safe under the project-wide UTC session timezone
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(metrics.head.result, metrics.tail.map(_.result): _*)
+      .select(col("window.start").as("window_start") +:
+        metrics.map(m => col(m.id)): _*)
+  }
+
+  /** Start the windowed metric query with checkpoint-based resume
+    * (replaces the reference's hand-rolled buffer checkpoints,
+    * core/streaming/Checkpoints.scala:25-47). */
+  def start(
+      windowed: DataFrame,
+      checkpointDir: String,
+      sinkFormat: String = "parquet",
+      sinkPath: Option[String] = None,
+      queryName: String = "graft_stream_metrics",
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[Row] = {
+    val w = windowed.writeStream
+      .outputMode(OutputMode.Append)
+      .format(sinkFormat)
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .trigger(trigger)
+    sinkPath.fold(w)(p => w.option("path", p))
+  }
+
+  /** Per-key running state via typed arbitrary stateful processing — the
+    * `mapGroupsWithState` path for metrics that need custom state beyond
+    * windowed aggregation (ref capability: calculator state merge,
+    * RDDMetricStreamProcessor.scala:103-196). */
+  final case class KeyedCount(key: String, count: Long, sum: Double)
+
+  def runningCounts[T](ds: Dataset[(String, Double)]): Dataset[KeyedCount] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[KeyedCount]) =>
+          val prev = state.getOption.getOrElse(KeyedCount(key, 0L, 0.0))
+          val (n, s) = rows.foldLeft((prev.count, prev.sum)) {
+            case ((c, acc), (_, v)) => (c + 1, acc + v)
+          }
+          val next = KeyedCount(key, n, s)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,98 @@
+package graft.targets
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.checks.CheckResult
+import graft.metrics.MetricResult
+
+/** Result fan-out (reference: config/jobconf/Targets.scala:63-307,
+  * writers/FileWriter.scala:21-49): metric/check/error results to files in
+  * any Spark format with explicit output repartition, plus rendered
+  * notifications. Kafka/Hive writers are the same `df.write` shape with
+  * deploy-time connectors.
+  */
+object Writers {
+
+  /** Metric results as a DataFrame (mirrors ResultMetricRegular,
+    * storage/Models.scala:57-103). */
+  def metricResultsDf(spark: SparkSession, jobId: String,
+      results: Seq[MetricResult]): DataFrame = {
+    import spark.implicits._
+    results.map(r => (jobId, r.metricId, r.metricName, r.sourceId,
+      r.columns.mkString(","), r.value, r.additional.getOrElse(""),
+      r.errors.size.toLong))
+      .toDF("job_id", "metric_id", "metric_name", "source_id", "columns",
+        "result", "additional_result", "error_count")
+  }
+
+  /** Check results as a DataFrame (mirrors ResultCheck, Models.scala:104+). */
+  def checkResultsDf(spark: SparkSession, jobId: String,
+      checks: Seq[CheckResult]): DataFrame = {
+    import spark.implicits._
+    checks.map(c => (jobId, c.checkId, c.checkName, c.baseMetric,
+      if (c.status) "Success" else "Failure", c.message))
+      .toDF("job_id", "check_id", "check_name", "base_metric", "status", "message")
+  }
+
+  /** Capped error dumps as a DataFrame (mirrors ResultMetricError;
+    * dedup by row-data hash as the reference does, DQJob.scala:413-422). */
+  def metricErrorsDf(spark: SparkSession, jobId: String,
+      results: Seq[MetricResult]): DataFrame = {
+    import spark.implicits._
+    results.flatMap(r => r.errors.distinct.map(row =>
+      (jobId, r.metricId, row.mkString("[", ",", "]"),
+        row.hashCode.toLong & 0xffffffffL)))
+      .toDF("job_id", "metric_id", "row_data", "error_hash")
+  }
+
+  /** File target: any Spark format, explicit repartition then overwrite
+    * (ref: FileWriter.scala:21-49, repartition at :31). */
+  def writeFile(df: DataFrame, path: String, format: String = "parquet",
+      outputRepartition: Int = 1, options: Map[String, String] = Map.empty): Unit =
+    df.repartition(outputRepartition)
+      .write.format(format).options(options)
+      .mode(SaveMode.Overwrite).save(path)
+
+  /** Hive/catalog table target (ref: writers/HiveWriter.scala). */
+  def writeTable(df: DataFrame, table: String,
+      mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode).saveAsTable(table)
+
+  /** Kafka target (ref: writers/KafkaWriter.scala) — requires the connector
+    * jar at deploy time; rows must carry `key`/`value` string columns. */
+  def writeKafka(df: DataFrame, brokers: String, topic: String): Unit =
+    df.write.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic).save()
+}
+
+/** Notification rendering (reference: targets/builders/notification dir,
+  * utils/Templating.scala — Mustache templates). Rendering is separated from
+  * transport so the zero-egress sandbox can test the full message build; a
+  * `Transport` impl (SMTP / webhook) plugs in at deploy time. */
+object Notifications {
+
+  final case class Message(subject: String, body: String, recipients: Seq[String])
+
+  trait Transport { def send(m: Message): Unit }
+
+  /** `{{ key }}` template rendering (same mustache-subset the reference
+    * templating uses). */
+  def render(template: String, params: Map[String, String]): String =
+    "\\{\\{\\s*([\\w.\\-]+)\\s*\\}\\}".r.replaceAllIn(template, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        params.getOrElse(m.group(1), "")))
+
+  /** Check-alert message for failed checks (ref: targets/builders/
+    * notification). */
+  def checkAlert(jobId: String, failed: Seq[CheckResult],
+      recipients: Seq[String],
+      template: String = "Job {{ jobId }}: {{ failedCount }} checks failed:\n{{ details }}"): Message = {
+    val body = render(template, Map(
+      "jobId" -> jobId,
+      "failedCount" -> failed.size.toString,
+      "details" -> failed.map(c => s"- ${c.checkId} [${c.checkName}]: ${c.message}")
+        .mkString("\n")))
+    Message(s"[DQ] $jobId: ${failed.size} check failure(s)", body, recipients)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.types._
+
+import graft.TestSpark
+
+class SourcesSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val tmp = Files.createTempDirectory("graft-sources").toString
+
+  test("schema system: delimited, fixed, avro") {
+    SchemaDef.delimited(Seq("a" -> "STRING", "b" -> "INTEGER", "c" -> "DECIMAL(10,2)")) shouldBe
+      StructType(Seq(StructField("a", StringType), StructField("b", IntegerType),
+        StructField("c", DecimalType(10, 2))))
+    val (st, pos) = SchemaDef.fixedShort(Seq("name:5", "city:8"))
+    st.fieldNames.toSeq shouldBe Seq("name", "city")
+    pos shouldBe Seq((0, 5), (5, 13))
+    val avro =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"tag","type":["null","string"]},
+        |{"name":"vals","type":{"type":"array","items":"double"}}]}""".stripMargin
+    SchemaDef.fromAvro(avro) shouldBe StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = true),
+      StructField("vals", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    an[IllegalArgumentException] should be thrownBy SchemaDef.typeOf("blob")
+  }
+
+  test("file readers: parquet, orc, csv (header + declared schema), json") {
+    val df = Seq((1, "x", 1.5), (2, "y", 2.5)).toDF("id", "name", "v")
+    df.write.mode("overwrite").parquet(s"$tmp/p")
+    df.write.mode("overwrite").orc(s"$tmp/o")
+    df.write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
+    df.write.mode("overwrite").json(s"$tmp/j")
+
+    SourceReaders.parquet(spark, "p", s"$tmp/p").df.count() shouldBe 2
+    SourceReaders.orc(spark, "o", s"$tmp/o").df.count() shouldBe 2
+    val csvSrc = SourceReaders.delimited(spark, "c", s"$tmp/c", header = true)
+    csvSrc.df.columns.toSeq shouldBe Seq("id", "name", "v")
+    val declared = SchemaDef.delimited(Seq("id" -> "INTEGER", "name" -> "STRING", "v" -> "DOUBLE"))
+    SourceReaders.delimited(spark, "c2", s"$tmp/c", header = true,
+      opts = SourceReaders.ReadOpts(schema = Some(declared)))
+      .df.schema shouldBe declared
+    SourceReaders.json(spark, "j", s"$tmp/j").df.count() shouldBe 2
+    an[IllegalArgumentException] should be thrownBy
+      SourceReaders.delimited(spark, "bad", s"$tmp/c") // headerless without schema
+  }
+
+  test("fixed-width reader parses by positions and casts") {
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/fixed.txt"),
+      "alice  34\nbob    27\n")
+    val (st, pos) = SchemaDef.fixedFull(Seq(
+      SchemaDef.FixedField("name", "STRING", 7),
+      SchemaDef.FixedField("age", "INTEGER", 2)))
+    val src = SourceReaders.fixedWidth(spark, "f", s"$tmp/fixed.txt", st, pos)
+    val rows = src.df.orderBy("name").collect()
+    rows.map(_.getInt(1)).toSeq shouldBe Seq(34, 27) // alice=34, bob=27
+    rows.head.getString(0).trim shouldBe "alice"
+  }
+
+  test("virtual sources resolve topologically: sql/join/filter/select/aggregate") {
+    val li = SourceReaders.parquet(spark, "lineitem",
+      "/root/testdata/sf0.001/lineitem.parquet")
+    val orders = SourceReaders.parquet(spark, "orders",
+      "/root/testdata/sf0.001/orders.parquet")
+    val resolved = VirtualSources.resolve(spark, Seq(li, orders), Seq(
+      // declared out of dependency order on purpose
+      AggregateVS("agg", "joined", Seq("o_orderpriority"),
+        Seq("sum(l_quantity) as qty", "count(1) as cnt")),
+      FilterVS("filtered", "lineitem", Seq("l_quantity > 10", "l_discount < 0.05")),
+      JoinVS("joined", "filtered", "sel", Seq("l_orderkey")),
+      SelectVS("sel", "orders_sql", Seq("o_orderkey as l_orderkey", "o_orderpriority")),
+      SqlVS("orders_sql", Seq("orders"), "SELECT * FROM orders WHERE o_totalprice > 1000")))
+    resolved("agg").df.count() should be > 0L
+    resolved.keys should contain allOf("lineitem", "orders", "filtered", "sel", "joined", "agg")
+    // cycle detection
+    an[IllegalArgumentException] should be thrownBy VirtualSources.resolve(
+      spark, Seq(li), Seq(
+        FilterVS("a", "b", Seq("1=1")), FilterVS("b", "a", Seq("1=1"))))
+  }
+
+  test("sql virtual sources can be disabled") {
+    val li = SourceReaders.parquet(spark, "li2", "/root/testdata/sf0.001/lineitem.parquet")
+    an[IllegalArgumentException] should be thrownBy VirtualSources.resolve(
+      spark, Seq(li), Seq(SqlVS("q", Seq("li2"), "SELECT 1")), allowSql = false)
+  }
+
+  test("source keyFields validated against columns") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    an[IllegalArgumentException] should be thrownBy Source("s", df, Seq("nope"))
+    Source("s", df, Seq("id")).keyFields shouldBe Seq("id")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.TestSpark
+import graft.metrics.{AvgNumberMetric, RowCountMetric, SumNumberMetric}
+
+class StreamMetricsSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("windowed metrics over a stream match the batch equivalent") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    events.write.mode("overwrite").parquet(s"$tmp/in")
+
+    val stream = spark.readStream.schema(events.schema).parquet(s"$tmp/in")
+    val metrics = Seq(
+      RowCountMetric("cnt"),
+      SumNumberMetric("sum_v", Seq("value")),
+      AvgNumberMetric("avg_v", "value"))
+    val windowed = StreamMetrics.windowedMetrics(stream, "ts", "1 hour",
+      "30 minutes", metrics)
+
+    val q = windowed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wm").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("wm")
+      .select(col("window_start"), col("cnt"),
+        round(col("sum_v"), 4).as("sum_v"), round(col("avg_v"), 6).as("avg_v"))
+      .orderBy("window_start").collect()
+
+    val expected = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        round(sum(col("value")), 4).as("sum_v"),
+        round(avg(col("value")), 6).as("avg_v"))
+      .orderBy("window_start").collect()
+
+    // append mode holds back windows newer than the watermark — every emitted
+    // window must match batch, and most windows must have been finalized
+    got.length should be > (expected.length / 2)
+    val expByStart = expected.map(r => r.get(0) -> r).toMap
+    got.foreach { g =>
+      val e = expByStart(g.get(0))
+      g.getDouble(1) shouldBe e.getDouble(1)
+      g.getDouble(2) shouldBe e.getDouble(2) +- 1e-9
+      g.getDouble(3) shouldBe e.getDouble(3) +- 1e-9
+    }
+  }
+
+  test("checkpointed stream resumes without reprocessing") {
+    val tmp = Files.createTempDirectory("graft-stream-ckpt").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.limit(500).write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$tmp/in")
+    val windowed = StreamMetrics.windowedMetrics(stream, "ts", "1 hour",
+      "0 seconds", Seq(RowCountMetric("cnt")))
+
+    val q1 = StreamMetrics.start(windowed, s"$tmp/ckpt",
+      sinkPath = Some(s"$tmp/out")).start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    val n1 = spark.read.parquet(s"$tmp/out").count()
+
+    // restart from the same checkpoint: no new input -> no new output rows
+    val q2 = StreamMetrics.start(windowed, s"$tmp/ckpt",
+      sinkPath = Some(s"$tmp/out")).start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    spark.read.parquet(s"$tmp/out").count() shouldBe n1
+  }
+
+  test("stateful running counts via mapGroupsWithState") {
+    val tmp = Files.createTempDirectory("graft-stream-state").toString
+    Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema("k string, v double").parquet(s"$tmp/in")
+      .as[(String, Double)]
+    val q = StreamMetrics.runningCounts(stream).toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("rc").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val byKey = spark.table("rc").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    byKey("a") shouldBe ((2L, 4.0))
+    byKey("b") shouldBe ((1L, 2.0))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.targets
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.checks.CheckResult
+import graft.metrics.MetricResult
+
+class WritersSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  val metrics = Seq(
+    MetricResult("m1", "ROW_COUNT", "src", Nil, 42.0),
+    MetricResult("m2", "NULL_VALUES", "src", Seq("c"), 2.0,
+      errors = Seq(Seq("k1", "<null>"), Seq("k1", "<null>"), Seq("k2", "<null>"))))
+  val checks = Seq(
+    CheckResult("c1", "EQUAL_TO", status = true, "ok", "m1"),
+    CheckResult("c2", "LESS_THAN", status = false, "2.0 !< 1.0", "m2"))
+
+  test("result frames + file target round-trip in several formats") {
+    val tmp = Files.createTempDirectory("graft-writers").toString
+    val mdf = Writers.metricResultsDf(spark, "job1", metrics)
+    mdf.count() shouldBe 2
+    mdf.columns should contain allOf("job_id", "metric_id", "result", "error_count")
+
+    for (fmt <- Seq("parquet", "orc", "json", "csv")) {
+      val opts = if (fmt == "csv") Map("header" -> "true") else Map.empty[String, String]
+      Writers.writeFile(mdf, s"$tmp/m_$fmt", fmt, outputRepartition = 2, options = opts)
+      val back = spark.read.format(fmt).options(opts)
+        .option("inferSchema", "true").load(s"$tmp/m_$fmt")
+      back.count() shouldBe 2
+    }
+
+    val cdf = Writers.checkResultsDf(spark, "job1", checks)
+    cdf.filter("status = 'Failure'").count() shouldBe 1
+
+    // error dump frame dedups identical row data (reference errorHash dedup)
+    val edf = Writers.metricErrorsDf(spark, "job1", metrics)
+    edf.count() shouldBe 2
+  }
+
+  test("notification rendering") {
+    val msg = Notifications.checkAlert("job1", checks.filterNot(_.status),
+      Seq("dq-team@example.org"))
+    msg.subject should include("1 check failure")
+    msg.body should include("c2 [LESS_THAN]: 2.0 !< 1.0")
+    Notifications.render("hello {{ name }}!", Map("name" -> "world")) shouldBe "hello world!"
+    Notifications.render("{{ missing }}", Map.empty) shouldBe ""
+  }
+}
