@@ -31,7 +31,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "200000").toLong
+    val benchFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "100000").toLong
 
     // ---- phase 1: per-query timings (after one warmup of the flagship) ----
     var spark = session(cpus)

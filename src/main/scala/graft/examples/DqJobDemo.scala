@@ -64,6 +64,36 @@ object DqJobDemo {
 
     val failed = (load ++ checks :+ trend).count(!_.status)
     println(s"[job] checks failed: $failed")
+
+    // 6. the full DqBatchJob lifecycle with storage-backed trend + ARIMA:
+    //    three consecutive daily runs; run 3 forecasts from runs 1-2 history
+    import graft.jobs._
+    import graft.sources.SourceReaders
+    import graft.storage.ParquetDqStorage
+    val storeDir = java.nio.file.Files.createTempDirectory("dqdemo-store").toString
+    val storage = new ParquetDqStorage(spark, storeDir)
+    val src = SourceReaders.parquet(spark, "lineitem", s"$sfDir/lineitem.parquet")
+    def dqJob = new DqBatchJob(spark, "daily_dq", Seq(src),
+      rowMetrics = Map("lineitem" -> Seq(
+        RowCountMetric("rows"), AvgNumberMetric("avg_qty", "l_quantity"))),
+      trendMetrics = Seq(("rows",
+        TrendMetrics.Descriptive(TrendMetrics.Descriptive.Stat.Avg),
+        TrendMetrics.ByRecords(7))),
+      checks = Seq(CheckSpec(
+        GreaterThanCheck("rows_nonempty", "rows", threshold = Some(0.0)),
+        critical = true)),
+      storage = Some(storage), tolerance = Tolerance.Critical)
+    val day1 = Instant.parse("2026-08-10T00:00:00Z")
+    (0 until 3).foreach { d =>
+      val r = dqJob.run(day1.plusSeconds(d * 86400L))
+      val trendVal = r.metrics.find(_.metricId == "trend_rows").map(_.value)
+      println(s"[dqjob] day=$d passed=${r.passed} metrics=${r.metrics.size} trend_rows=$trendVal")
+    }
+    val hist = storage.metricHistory("daily_dq", "rows", day1.plusSeconds(10 * 86400L))
+    println(s"[dqjob] stored history for 'rows': ${hist.map(_.value)}")
+    val ramp = hist.map(_.value) ++ (1 to 7).map(i => 60000.0 + i * 100)
+    println(f"[dqjob] ARIMA(1,1,0) next-rows forecast from history+ramp: " +
+      f"${ArimaModel(1, 1, 0).forecast(ramp)}%.1f (series tail ${ramp.takeRight(3)})")
     spark.stop()
   }
 }

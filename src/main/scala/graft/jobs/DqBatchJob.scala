@@ -1,0 +1,103 @@
+package graft.jobs
+
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+
+import graft.checks._
+import graft.metrics._
+import graft.sources.Source
+import graft.storage.DqStorage
+
+/** Check-failure tolerance — how check failures affect the job's final
+  * status (reference: config enum + dispatch at context/DQJob.scala:279-330,
+  * storage/Models.scala:238-245). */
+sealed trait Tolerance
+object Tolerance {
+  /** failures never fail the job. */
+  case object None extends Tolerance
+  /** only checks marked critical fail the job. */
+  case object Critical extends Tolerance
+  /** any failed check fails the job. */
+  case object All extends Tolerance
+}
+
+final case class CheckSpec(check: SnapshotCheck, critical: Boolean = false)
+final case class ExpressionCheckSpec(check: ExpressionCheck, critical: Boolean = false)
+
+final case class JobResult(
+    jobId: String,
+    passed: Boolean,
+    loadChecks: Seq[CheckResult],
+    metrics: Seq[MetricResult],
+    checks: Seq[(CheckResult, Boolean)]) // (result, critical)
+
+/** Batch DQ job lifecycle — the reference's processAll pipeline
+  * (context/DQJob.scala:590-643) re-expressed: load checks → fused regular
+  * metrics per source → trend metrics (storage history) → composed metrics
+  * (driver formula) → checks → persist. Only the metric step touches
+  * executors; everything else is driver-side on 1-row results.
+  */
+final class DqBatchJob(
+    spark: SparkSession,
+    jobId: String,
+    sources: Seq[Source],
+    loadChecks: Seq[Source => CheckResult] = Nil,
+    rowMetrics: Map[String, Seq[RowMetric]] = Map.empty,
+    groupingMetrics: Map[String, Seq[GroupingMetric]] = Map.empty,
+    composedMetrics: Seq[ComposedMetric] = Nil,
+    trendMetrics: Seq[(String, TrendMetrics.Model, TrendMetrics.WindowRule)] = Nil,
+    checks: Seq[CheckSpec] = Nil,
+    expressionChecks: Seq[ExpressionCheckSpec] = Nil,
+    storage: Option[DqStorage] = None,
+    tolerance: Tolerance = Tolerance.Critical,
+    errorDumpSize: Int = 100) {
+
+  def run(referenceTs: Instant = Instant.now()): JobResult = {
+    val srcById = sources.map(s => s.id -> s).toMap
+
+    // 1. load checks (schema-only)
+    val loadResults = for (s <- sources; lc <- loadChecks) yield lc(s)
+
+    // 2. regular metrics: ONE fused pass per source + batched grouping jobs
+    val regular = srcById.toSeq.sortBy(_._1).flatMap { case (id, src) =>
+      val cfg = MetricProcessor.Config(id, src.keyFields, errorDumpSize)
+      MetricProcessor.process(src.df,
+        rowMetrics.getOrElse(id, Nil), groupingMetrics.getOrElse(id, Nil), cfg)
+    }
+
+    // 3. trend metrics from storage history (driver-side)
+    val trend = trendMetrics.flatMap { case (metricId, model, rule) =>
+      storage.map { st =>
+        val hist = st.metricHistory(jobId, metricId, referenceTs)
+        TrendMetrics.compute(s"trend_$metricId", model, hist, rule, referenceTs)
+      }
+    }
+
+    // 4. composed metrics (formula over results; driver-side)
+    val base = regular ++ trend
+    val composed = composedMetrics.map(_.compute(base).fold(
+      err => MetricResult("composed_error", "COMPOSED", "", Nil, Double.NaN, Some(err)),
+      identity))
+    val allMetrics = base ++ composed
+
+    // 5. checks
+    val checkResults: Seq[(CheckResult, Boolean)] =
+      checks.map(cs => (cs.check.run(allMetrics), cs.critical)) ++
+        expressionChecks.map(cs => (cs.check.run(allMetrics), cs.critical))
+
+    // 6. persist
+    storage.foreach { st =>
+      st.saveMetrics(jobId, referenceTs, allMetrics)
+      st.saveChecks(jobId, referenceTs, loadResults ++ checkResults.map(_._1))
+    }
+
+    val failedLoad = loadResults.exists(!_.status)
+    val passed = !failedLoad && (tolerance match {
+      case Tolerance.None => true
+      case Tolerance.Critical => !checkResults.exists { case (r, crit) => crit && !r.status }
+      case Tolerance.All => checkResults.forall(_._1.status)
+    })
+    JobResult(jobId, passed, loadResults, allMetrics, checkResults)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.metrics
+
+import org.apache.commons.math3.linear.{Array2DRowRealMatrix, ArrayRealVector, SingularValueDecomposition}
+
+/** ARIMA(p, d, q) forecast model for trend metrics.
+  *
+  * Capability parity with the reference's hand-rolled ARIMA trend model
+  * (core/metrics/trend/ARIMAModel.scala:13-351 — Hannan-Rissanen init +
+  * conjugate-gradient MLE). This implementation uses the Hannan-Rissanen
+  * two-stage least-squares procedure (the same initialization the reference
+  * starts from), which is deterministic, robust on the short metric
+  * histories trend checks use, and solved with commons-math3 SVD (tolerant
+  * of the rank-deficient designs short histories produce):
+  *  1. difference the series d times;
+  *  2. fit a long AR model to estimate innovations;
+  *  3. regress x_t on (x_{t-1..t-p}, e_{t-1..t-q});
+  *  4. forecast recursively (future innovations = 0), then integrate back.
+  */
+final case class ArimaModel(p: Int, d: Int, q: Int) {
+  require(p >= 0 && d >= 0 && q >= 0 && p + q > 0, "need p+q > 0")
+
+  private def difference(xs: Array[Double]): Array[Double] =
+    xs.sliding(2).map(w => w(1) - w(0)).toArray
+
+  private def lstsq(x: Array[Array[Double]], y: Array[Double]): Array[Double] = {
+    val svd = new SingularValueDecomposition(new Array2DRowRealMatrix(x, false))
+    svd.getSolver.solve(new ArrayRealVector(y, false)).toArray
+  }
+
+  /** Fit on `series` and forecast `steps` values ahead; returns the
+    * forecast for the final step. */
+  def forecast(series: Seq[Double], steps: Int = 1): Double = {
+    require(steps >= 1)
+    var x = series.toArray
+    val heads = Array.newBuilder[Double] // last value at each diff level
+    var k = 0
+    while (k < d) { heads += x.last; x = difference(x); k += 1 }
+    require(x.length >= math.max(p, q) + math.max(p + q + 1, 4),
+      s"history too short for ARIMA($p,$d,$q): ${series.length} points")
+
+    val mean = x.sum / x.length
+    val z = x.map(_ - mean)
+
+    // stage 1: long-AR residuals as innovation estimates
+    val m = math.min(math.max(p + q, 2) * 2, z.length / 2)
+    val e = new Array[Double](z.length)
+    if (m >= 1 && z.length - m >= m + 1) {
+      val rows = (m until z.length).map(t => (0 until m).map(j => z(t - 1 - j)).toArray)
+      val phiLong = lstsq(rows.toArray, (m until z.length).map(z).toArray)
+      for (t <- m until z.length)
+        e(t) = z(t) - (0 until m).map(j => phiLong(j) * z(t - 1 - j)).sum
+    }
+
+    // stage 2: regression on p AR lags + q MA lags of innovations
+    val start = math.max(p, q)
+    val design = (start until z.length).map { t =>
+      ((1 to p).map(i => z(t - i)) ++ (1 to q).map(j => e(t - j))).toArray
+    }.toArray
+    val coef = lstsq(design, (start until z.length).map(z).toArray)
+    val phi = coef.take(p)
+    val theta = coef.drop(p)
+
+    // recursive forecast: future innovations are zero
+    val zs = scala.collection.mutable.ArrayBuffer(z.toSeq: _*)
+    val es = scala.collection.mutable.ArrayBuffer(e.toSeq: _*)
+    var s = 0
+    while (s < steps) {
+      val t = zs.length
+      val ar = (1 to p).map(i => phi(i - 1) * zs(t - i)).sum
+      val ma = (1 to q).map { j =>
+        val idx = t - j
+        if (idx < es.length) theta(j - 1) * es(idx) else 0.0
+      }.sum
+      zs += ar + ma
+      es += 0.0
+      s += 1
+    }
+    // un-difference: add back heads in reverse
+    var out = zs.takeRight(steps).map(_ + mean).toArray
+    val hs = heads.result()
+    var lvl = d - 1
+    while (lvl >= 0) {
+      var acc = hs(lvl)
+      out = out.map { v => acc += v; acc }
+      lvl -= 1
+    }
+    out.last
+  }
+}
+
+/** TREND_ARIMA model adapter for the trend-metric API. */
+final case class ArimaTrend(p: Int, d: Int, q: Int) extends TrendMetrics.Model {
+  val name = "TREND_ARIMA"
+  def predict(pts: Seq[HistoryPoint], at: java.time.Instant): Double =
+    ArimaModel(p, d, q).forecast(pts.map(_.value))
+}

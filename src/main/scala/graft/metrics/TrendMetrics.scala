@@ -34,7 +34,7 @@ object TrendMetrics {
     }
   }
 
-  sealed trait Model { def name: String; def predict(pts: Seq[HistoryPoint], at: Instant): Double }
+  trait Model { def name: String; def predict(pts: Seq[HistoryPoint], at: Instant): Double }
 
   /** TREND_AVG/STD/MIN/MAX/SUM/MEDIAN/QUARTILES/QUANTILE on commons-math3
     * DescriptiveStatistics — R-7 quantile estimator, matching the reference

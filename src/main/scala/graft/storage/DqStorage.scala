@@ -1,0 +1,63 @@
+package graft.storage
+
+import java.time.Instant
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.checks.CheckResult
+import graft.metrics.{HistoryPoint, MetricResult}
+
+/** DQ-results storage: append-only result tables keyed by
+  * (job_id, metric_id/check_id, reference_ts) + history read-back for trend
+  * metrics/checks (reference model: core/storage/Models.scala:57-165,
+  * history fetch: storage/Managers.scala:105-128).
+  *
+  * Backed here by parquet tables (production target: any catalog table —
+  * the schema mirrors the reference's Slick model). History reads filter on
+  * (metric_id, reference_ts) which partition pruning and predicate pushdown
+  * keep cheap regardless of total history size.
+  */
+trait DqStorage {
+  def saveMetrics(jobId: String, referenceTs: Instant, results: Seq[MetricResult]): Unit
+  def saveChecks(jobId: String, referenceTs: Instant, checks: Seq[CheckResult]): Unit
+  /** Historical values of one metric, oldest→newest, strictly before `before`. */
+  def metricHistory(jobId: String, metricId: String, before: Instant): Seq[HistoryPoint]
+}
+
+final class ParquetDqStorage(spark: SparkSession, baseDir: String) extends DqStorage {
+  import spark.implicits._
+
+  private val metricsDir = s"$baseDir/results_metrics"
+  private val checksDir = s"$baseDir/results_checks"
+
+  override def saveMetrics(jobId: String, referenceTs: Instant,
+      results: Seq[MetricResult]): Unit =
+    results.map(r => (jobId, r.metricId, r.metricName, r.sourceId,
+      r.columns.mkString(","), r.value, r.additional.getOrElse(""),
+      java.sql.Timestamp.from(referenceTs)))
+      .toDF("job_id", "metric_id", "metric_name", "source_id", "columns",
+        "result", "additional_result", "reference_ts")
+      .write.mode(SaveMode.Append).parquet(metricsDir)
+
+  override def saveChecks(jobId: String, referenceTs: Instant,
+      checks: Seq[CheckResult]): Unit =
+    checks.map(c => (jobId, c.checkId, c.checkName, c.baseMetric,
+      if (c.status) "Success" else "Failure", c.message,
+      java.sql.Timestamp.from(referenceTs)))
+      .toDF("job_id", "check_id", "check_name", "base_metric", "status",
+        "message", "reference_ts")
+      .write.mode(SaveMode.Append).parquet(checksDir)
+
+  override def metricHistory(jobId: String, metricId: String,
+      before: Instant): Seq[HistoryPoint] =
+    if (!new java.io.File(metricsDir).exists()) Nil
+    else spark.read.parquet(metricsDir)
+      .filter(col("job_id") === jobId && col("metric_id") === metricId &&
+        col("reference_ts") < lit(java.sql.Timestamp.from(before)))
+      .select(col("reference_ts"), col("result"))
+      .orderBy(col("reference_ts"))
+      .collect()
+      .map(r => HistoryPoint(r.getTimestamp(0).toInstant, r.getDouble(1)))
+      .toSeq
+}

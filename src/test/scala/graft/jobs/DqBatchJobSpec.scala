@@ -1,0 +1,97 @@
+package graft.jobs
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.checks._
+import graft.metrics._
+import graft.sources.{Source, SourceReaders}
+import graft.storage.ParquetDqStorage
+
+class DqBatchJobSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  private def src: Source = SourceReaders.parquet(spark, "lineitem",
+    "/root/testdata/sf0.001/lineitem.parquet")
+
+  test("full lifecycle: load checks -> metrics -> composed -> checks -> storage -> trend") {
+    val dir = Files.createTempDirectory("graft-dq").toString
+    val storage = new ParquetDqStorage(spark, dir)
+    val t0 = Instant.parse("2026-08-01T00:00:00Z")
+
+    def job(critFails: Boolean, at: Instant, withTrend: Boolean) = new DqBatchJob(
+      spark, "dq1", Seq(src),
+      loadChecks = Seq(s => LoadChecks.minColumnNum("lc", s.df, 5)),
+      rowMetrics = Map("lineitem" -> Seq(
+        RowCountMetric("rows"), AvgNumberMetric("avg_qty", "l_quantity"))),
+      groupingMetrics = Map("lineitem" -> Seq(
+        DistinctValuesMetric("flags", Seq("l_returnflag")))),
+      composedMetrics = Seq(ComposedMetric("qty_x2", "{{ avg_qty }} * 2")),
+      trendMetrics = if (withTrend)
+        Seq(("rows", TrendMetrics.Descriptive(TrendMetrics.Descriptive.Stat.Avg),
+          TrendMetrics.ByRecords(5))) else Nil,
+      checks = Seq(
+        CheckSpec(GreaterThanCheck("ck_rows", "rows", threshold = Some(100.0)), critical = true),
+        CheckSpec(LessThanCheck("ck_fail", "rows",
+          threshold = Some(if (critFails) 1.0 else 1e9)), critical = critFails)),
+      expressionChecks = Seq(
+        ExpressionCheckSpec(ExpressionCheck("ck_expr", "{{ qty_x2 }} > {{ avg_qty }}"))),
+      storage = Some(storage))
+
+    // run 1: all pass
+    val r1 = job(critFails = false, t0, withTrend = false).run(t0)
+    r1.passed shouldBe true
+    r1.metrics.map(_.metricId) should contain allOf("rows", "avg_qty", "flags", "qty_x2")
+    r1.checks.map(_._1.checkId) should contain("ck_expr")
+
+    // run 2 (next day): trend metric sees run-1 history
+    val t1 = t0.plusSeconds(86400)
+    val r2 = job(critFails = false, t1, withTrend = true).run(t1)
+    r2.passed shouldBe true
+    val trend = r2.metrics.find(_.metricId == "trend_rows").get
+    trend.value shouldBe r1.metrics.find(_.metricId == "rows").get.value +- 1e-9
+
+    // run 3: critical failure fails the job under Critical tolerance
+    val r3 = job(critFails = true, t1.plusSeconds(86400), withTrend = false)
+      .run(t1.plusSeconds(86400))
+    r3.passed shouldBe false
+
+    // storage accumulated all runs
+    storage.metricHistory("dq1", "rows", t1.plusSeconds(2 * 86400))
+      .map(_.value) shouldBe Seq(6000.0, 6000.0, 6000.0)
+  }
+
+  test("ARIMA forecasts a linear trend and a noisy AR series sanely") {
+    val linear = (1 to 30).map(_.toDouble)
+    ArimaModel(1, 1, 0).forecast(linear) shouldBe 31.0 +- 0.2
+    ArimaModel(2, 1, 1).forecast(linear) shouldBe 31.0 +- 0.5
+    // AR(1): x_t = 0.6 x_{t-1} + e, deterministic pseudo-noise
+    val r = graft.corpus.Rng(3L, 0L)
+    val ar = Iterator.iterate((10.0, 0L)) { case (x, i) =>
+      (0.6 * x + (r.double(i) - 0.5), i + 1)
+    }.map(_._1).take(60).toSeq
+    val pred = ArimaModel(1, 0, 0).forecast(ar)
+    pred shouldBe (0.6 * ar.last) +- 1.0
+    // trend-metric adapter
+    val pts = linear.zipWithIndex.map { case (v, i) =>
+      HistoryPoint(Instant.ofEpochSecond(i * 3600L), v) }
+    TrendMetrics.compute("m", ArimaTrend(1, 1, 0), pts,
+      TrendMetrics.ByRecords(30), Instant.now()).value shouldBe 31.0 +- 0.2
+  }
+
+  test("tolerance modes") {
+    val base = new DqBatchJob(spark, "t", Seq(src),
+      rowMetrics = Map("lineitem" -> Seq(RowCountMetric("rows"))),
+      checks = Seq(CheckSpec(LessThanCheck("bad", "rows", threshold = Some(1.0)))),
+      tolerance = Tolerance.All)
+    base.run().passed shouldBe false
+    new DqBatchJob(spark, "t", Seq(src),
+      rowMetrics = Map("lineitem" -> Seq(RowCountMetric("rows"))),
+      checks = Seq(CheckSpec(LessThanCheck("bad", "rows", threshold = Some(1.0)))),
+      tolerance = Tolerance.None).run().passed shouldBe true
+  }
+}
