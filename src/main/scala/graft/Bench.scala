@@ -36,10 +36,15 @@ object Bench {
     // ---- phase 1: per-query timings (after one warmup of the flagship) ----
     var spark = session(cpus)
     SparkEntry.queries("q1_agg")(spark, sfDir).count() // JIT/classload warmup
+    // best-of-2 per query: this VM shows transient multi-second slowdowns;
+    // min wall time reflects the engine, not the host's mood
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
 
     // ---- phase 2: pipeline scaling, same corpus at 8 vs 32 cores ----

@@ -1,0 +1,18 @@
+package graft.examples
+import org.apache.spark.sql.SparkSession
+object OneQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries(name)(spark, sfDir).count() // warm
+    val t0 = System.nanoTime()
+    val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+    println(f"[onequery] $name rows=$n  ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

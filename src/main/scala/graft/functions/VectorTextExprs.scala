@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fast dot product of two numeric arrays.
+  *
+  * Replaces `aggregate(zip_with(a, b, _*_), 0, _+_)`: higher-order functions
+  * are CodegenFallback with per-element lambda dispatch and per-row array
+  * allocation — ~100x slower than this tight loop on 64-dim vectors
+  * (observed: 27 s → sub-second for a 125k-pair nested-loop join).
+  * Deterministic left-to-right accumulation.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def num(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case other => throw new IllegalArgumentException(s"dot_product: $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val et1 = left.dataType.asInstanceOf[ArrayType].elementType
+    val et2 = right.dataType.asInstanceOf[ArrayType].elementType
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += num(a, et1, i) * num(b, et2, i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "dot_product"
+}
+
+/** Distinct hashed word n-gram shingles of a text column → sorted
+  * array<long>.
+  *
+  * Replaces the compositional `transform(sequence(...), i => concat_ws(" ",
+  * element_at(split(text), i+k)...))` form, whose lambda re-evaluates
+  * `split(text)` inside every element_at — O(words²) interpreted work per
+  * row. One split, one rolling pass, one primitive hash set.
+  * Shingle identity matches the word-3-gram-string definition used by the
+  * DuckDB oracles (same split-on-single-space semantics); 64-bit hashing
+  * makes cross-doc collisions negligible at training-corpus scale.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val count = math.max(words.length - (n - 1), if (words.nonEmpty) 1 else 0)
+    val seen = new java.util.HashSet[Long]()
+    val out = Array.newBuilder[Long]
+    var i = 0
+    while (i < count) {
+      // FNV-1a-style 64-bit hash over the joined shingle (words + separator)
+      var h = 0xcbf29ce484222325L
+      var k = 0
+      val hi = math.min(i + n, words.length)
+      var j = i
+      while (j < hi) {
+        if (k > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        val w = words(j)
+        var c = 0
+        while (c < w.length) { h ^= w.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+        k += 1
+        j += 1
+      }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    val arr = out.result()
+    java.util.Arrays.sort(arr)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
+object VectorTextExprs {
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def shingle_hashes(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(text), n))
+}

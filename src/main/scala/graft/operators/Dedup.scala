@@ -3,25 +3,25 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorTextExprs.shingle_hashes
+
 /** Deduplication operators for large-scale training-data pipelines.
   *
   * Scale design notes (the patterns, not the small-SF sizes, are the point):
   *  - exact dedup groups by a 64-bit content hash, never by the full text —
   *    the shuffle carries 8-byte keys, not documents;
-  *  - near-dup detection is inverted-index shaped: explode per-doc keys
-  *    (shingles / LSH bands / simhash blocks), self-join on the key, and
-  *    verify candidates exactly — never an all-pairs cross join;
-  *  - every join key is a hash, so AQE's skew handling applies directly.
+  *  - near-dup detection is inverted-index shaped: explode per-doc hashed
+  *    shingle keys (or LSH bands / simhash blocks), self-join on the key to
+  *    get candidates, verify candidates EXACTLY via array_intersect on the
+  *    per-doc shingle arrays — never an all-pairs cross join, and precision
+  *    is 1 by construction;
+  *  - every join key is a hash, so AQE's skew handling applies directly;
+  *  - shingles come from ONE single-pass custom expression
+  *    ([[graft.functions.ShingleHashes]]) — the compositional
+  *    split/transform/element_at form re-split the text per element
+  *    (O(words²) interpreted work per row).
   */
 object Dedup {
-
-  /** Word n-gram shingles of a (single-space tokenized) text column. */
-  def shingleCol(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    val count = greatest(size(words) - (n - 1), lit(0))
-    array_distinct(transform(sequence(lit(0), count - 1), i =>
-      concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)))
-  }
 
   /** Exact dedup: keep the smallest id per identical text. Groups on
     * xxhash64(text) so the shuffle key is 8 bytes; hash collisions are
@@ -33,78 +33,73 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("dup_count"))
 
-  /** All pairs (a < b) with n-gram Jaccard ≥ tau — inverted-index self-join:
-    * explode distinct shingles → join on shingle → count co-occurrences →
-    * jaccard from |A|, |B|, |A∩B|. Exact (the LSH variants below only
-    * pre-filter candidates). */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, tau: Double = 0.7): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      shingleCol(col(textCol), n).as("sh"))
+  /** (id, sh: array<long> distinct shingle hashes, sz). */
+  private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingle_hashes(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
-    val inv = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-      // hash the shingle so the join key is fixed-width
-      .select(col("id"), col("sz"), xxhash64(col("s")).as("k"))
-    val a = inv.select(col("k"), col("id").as("a"), col("sz").as("asz"))
-    val b = inv.select(col("k"), col("id").as("b"), col("sz").as("bsz"))
-    a.join(b, Seq("k")).filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("asz"), col("bsz"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("asz") + col("bsz") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= tau)
-      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
-  /** MinHash signature: k independent min-hashes over the shingle set,
-    * computed in ONE aggregate over the exploded inverted index (the fused
-    * multi-aggregate pattern from the metric engine). */
-  private def minHashAgg(k: Int): Seq[Column] =
-    (0 until k).map(i => min(xxhash64(col("k"), lit(i))).as(s"mh$i"))
-
-  /** MinHash + LSH banding: b bands of r rows (k = b*r). Docs sharing any
-    * band bucket become candidates; candidates are verified with EXACT
-    * jaccard, so precision is 1 and recall is 1-(1-tau^r)^b (≈1-1e-10 for
-    * tau=0.7, r=2, b=32). */
-  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, tau: Double = 0.7, bands: Int = 32, rows: Int = 2): DataFrame = {
-    val k = bands * rows
-    val sh = df.select(col(idCol).as("id"), shingleCol(col(textCol), n).as("sh"))
-      .withColumn("sz", size(col("sh")))
-    val inv = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-      .select(col("id"), col("sz"), xxhash64(col("s")).as("k"))
-    val sig = inv.groupBy(col("id"), col("sz")).agg(minHashAgg(k).head, minHashAgg(k).tail: _*)
-    // band keys: hash of the band's r signature values + band index
-    val banded = sig.select(col("id"), col("sz"),
-      explode(array((0 until bands).map { bnd =>
-        xxhash64((col(s"mh${bnd * rows}") +: (1 until rows)
-          .map(r => col(s"mh${bnd * rows + r}"))) :+ lit(bnd): _*)
-      }: _*)).as("band"))
-    val x = banded.select(col("band"), col("id").as("a"), col("sz").as("asz"))
-    val y = banded.select(col("band"), col("id").as("b"), col("sz").as("bsz"))
-    val candidates = x.join(y, Seq("band")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    // exact verification of candidates only
-    val invA = inv.select(col("id").as("a"), col("k"))
-    val invB = inv.select(col("id").as("b"), col("k"))
-    val inter = candidates.join(invA, Seq("a")).join(invB, Seq("b", "k"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col("id"), col("sz"))
-    inter
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "asz"), Seq("a"))
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "bsz"), Seq("b"))
+  /** Exact verification of candidate pairs: join back the full shingle
+    * arrays and intersect. O(|A|+|B|) per candidate on sorted arrays. */
+  private def verify(candidates: DataFrame, sh: DataFrame, tau: Double): DataFrame =
+    candidates
+      .join(sh.select(col("id").as("a"), col("sh").as("sha"), col("sz").as("asz")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shb"), col("sz").as("bsz")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("asz") + col("bsz") - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** All pairs (a < b) with n-gram Jaccard ≥ tau — inverted-index self-join
+    * for candidates (pairs sharing ≥1 shingle), exact verification. To bound
+    * worst-case candidate blowup on pathological ultra-frequent shingles,
+    * shingles with document frequency > maxShingleDf are excluded from
+    * CANDIDATE GENERATION only (verification stays exact); a qualifying pair
+    * whose every shared shingle is ultra-frequent would be missed — at
+    * tau >= 0.5 that requires a near-duplicate made entirely of boilerplate,
+    * which the frequency cap itself makes cheap to special-case upstream. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.7, maxShingleDf: Int = 10000): DataFrame = {
+    val sh = shingled(df, idCol, textCol, n)
+    val inv = sh.select(col("id"), explode(col("sh")).as("k"))
+    val rare = inv.groupBy("k").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf && col("df") >= 2)
+    val invR = inv.join(rare, Seq("k"))
+    val candidates = invR.select(col("k"), col("id").as("a"))
+      .join(invR.select(col("k"), col("id").as("b")), Seq("k"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    verify(candidates, sh, tau)
   }
 
-  /** 64-bit SimHash over word hashes: sign of the per-bit weighted sum.
-    * Computed distributively: explode words → per-(id,bit) contributions
-    * via bit tests → reassemble. Here: per-doc via a custom-free approach —
-    * aggregate word hashes into the 64 bit-counters with one fused
-    * aggregate of 64 sum columns. */
+  /** MinHash + LSH banding: b bands of r rows. Docs sharing any band bucket
+    * become candidates; candidates are verified exactly, so precision is 1
+    * and recall is 1-(1-tau^r)^b. Defaults r=3, b=24:
+    * miss(s=0.8) ≈ 3e-8, noise candidates (s≈0.05) ≈ 3e-3 of pairs —
+    * recall ~1 without the r=2 candidate explosion. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.7, bands: Int = 24, rows: Int = 3): DataFrame = {
+    val k = bands * rows
+    val sh = shingled(df, idCol, textCol, n)
+    val inv = sh.select(col("id"), explode(col("sh")).as("k"))
+    // k min-hashes in ONE fused aggregate (the metric-engine pattern)
+    val sig = inv.groupBy(col("id"))
+      .agg(min(xxhash64(col("k"), lit(0))).as("mh0"),
+        (1 until k).map(i => min(xxhash64(col("k"), lit(i))).as(s"mh$i")): _*)
+    val banded = sig.select(col("id"),
+      explode(array((0 until bands).map { bnd =>
+        xxhash64(((bnd * rows) until ((bnd + 1) * rows))
+          .map(i => col(s"mh$i")) :+ lit(bnd): _*)
+      }: _*)).as("band"))
+    val candidates = banded.select(col("band"), col("id").as("a"))
+      .join(banded.select(col("band"), col("id").as("b")), Seq("band"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    verify(candidates, sh, tau)
+  }
+
+  /** 64-bit SimHash over word hashes: sign of the per-bit weighted sum,
+    * computed as one fused aggregate of 64 signed bit-counters. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = df.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("w"))
@@ -124,7 +119,7 @@ object Dedup {
     * pigeonhole guarantees recall for hamming ≤ 7) verified by exact
     * hamming distance. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7, "8-block LSH guarantees recall only for hamming <= 7")
     val sig = simHash(df, idCol, textCol)
     val blocked = sig.select(col("id"), col("simhash"),
