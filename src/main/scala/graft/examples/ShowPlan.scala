@@ -1,0 +1,16 @@
+package graft.examples
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+object ShowPlan {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
+    df.collect()
+    println(df.queryExecution.explainString(ExplainMode.fromString("formatted")).take(3000))
+    spark.stop()
+  }
+}

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** SQL registration for graft's custom expressions, so the whole surface is
+  * reachable from `spark.sql(...)` / SQL virtual sources — the reference
+  * exposes its custom aggregates the same way (functions/api.scala wrappers
+  * + SQL usage in virtual sources).
+  *
+  * Usage: `GraftFunctions.register(spark)` once per session, then e.g.
+  * `SELECT doc_stats(content).kn_ppl FROM corpus` or
+  * `SELECT collect_list_limit(x, 100) FROM t`.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other if other.foldable => other.eval().asInstanceOf[Number].intValue()
+    case _ => throw new IllegalArgumentException(s"$name must be a literal int")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("collect_list_limit",
+      es => CollectListLimit(es.head, intArg(es(1), "limit")).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("top_n_sketch",
+      es => TopNSketch(es.head, intArg(es(1), "n"),
+        if (es.size > 2) intArg(es(2), "maxMapSize") else 1024).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("doc_stats",
+      es => DocStatsExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("score_doc",
+      es => ScoreDoc(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashes(es.head, intArg(es(1), "n")), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProduct(es.head, es(1)), "scala_udf")
+  }
+}

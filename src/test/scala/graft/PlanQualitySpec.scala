@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan quality gates: these assertions encode the plans we WANT at
+  * 100 TB — small dims broadcast, filters reaching the parquet scan, scans
+  * pruned to referenced columns, no redundant shuffles — so a regression in
+  * plan shape fails CI even while results stay correct.
+  *
+  * AQE wraps finished stages in QueryStageExec (opaque to plan.collect), so
+  * assertions parse the post-execution formatted explain: operator COUNTS
+  * come from the Final Plan tree only (the explain also prints the Initial
+  * Plan); detail lookups (ReadSchema/PushedFilters) use the full text.
+  */
+class PlanQualitySpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** (final-plan tree, full formatted explain). */
+  private def planText(df: DataFrame): (String, String) = {
+    df.collect() // materialize so AQE finalizes stages
+    val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val start = full.indexOf("== Final Plan ==")
+    val end = full.indexOf("== Initial Plan ==")
+    val tree = if (start >= 0 && end > start) full.substring(start, end) else full
+    (tree, full)
+  }
+
+  test("q_vs_join broadcasts dimension tables (no shuffle join for dims)") {
+    val (tree, _) = planText(SparkEntry.queries("q_vs_join")(spark, sf))
+    "BroadcastHashJoin".r.findAllIn(tree).size should be >= 1
+  }
+
+  test("filters are pushed to the parquet scan") {
+    val (_, full) = planText(SparkEntry.queries("q_vs_filter")(spark, sf))
+    full should include("PushedFilters")
+    full should include("GreaterThan(l_quantity,45")
+  }
+
+  test("q1_agg scan is pruned to the 5 referenced columns") {
+    val (_, full) = planText(SparkEntry.queries("q1_agg")(spark, sf))
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(full).map(_.group(1)).getOrElse(fail("no ReadSchema"))
+    val cols = readSchema.split(",").map(_.split(":")(0).trim)
+    cols.toSet shouldBe Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus")
+  }
+
+  test("fused metric suite plans exactly one exchange (partial+final agg)") {
+    val (tree, _) = planText(SparkEntry.queries("q_numeric_metrics")(spark, sf))
+    "Exchange".r.findAllIn(tree).size shouldBe 1
+  }
+
+  test("quality-filter scoring is exchange-free end to end") {
+    val (tree, _) = planText(SparkEntry.queries("q_quality_filter")(spark, sf).limit(10))
+    "Exchange".r.findAllIn(tree).size shouldBe 0
+  }
+
+  test("grouping metric shuffles once per distinct-count phase (max 2)") {
+    val (tree, _) = planText(SparkEntry.queries("q_distinct_values")(spark, sf))
+    "Exchange".r.findAllIn(tree).size should be <= 2
+  }
+}

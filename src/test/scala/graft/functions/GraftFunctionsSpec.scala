@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+class GraftFunctionsSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL") {
+    GraftFunctions.register(spark)
+    Seq("a", "a", "b", "c", "c", "c").toDF("v").createOrReplaceTempView("t")
+    val top = spark.sql(
+      "SELECT top_n_sketch(v, 2) AS top FROM t").collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+    top.head.getString(0) shouldBe "c"
+    top.head.getDouble(1) shouldBe 0.5 +- 1e-9
+
+    spark.sql("SELECT collect_list_limit(v, 3) AS l FROM t")
+      .collect().head.getSeq[String](0) should have size 3
+
+    val stats = spark.sql(
+      "SELECT doc_stats('def foo(x: Int): Int = x\ndef foo(x: Int): Int = x') AS s")
+      .select("s.dup_line_share", "s.lang_pred").collect().head
+    stats.getDouble(0) shouldBe 0.5 +- 1e-9
+
+    spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0) shouldBe 11.0
+
+    spark.sql("SELECT size(shingle_hashes('a b c d', 3)) AS n")
+      .collect().head.getInt(0) shouldBe 2
+
+    val sc = spark.sql("SELECT score_doc('val x = 1') AS s").select("s.kn_ppl")
+      .collect().head.getDouble(0)
+    sc should be > 1.0
+  }
+}
