@@ -1,0 +1,25 @@
+package graft.examples
+import org.apache.spark.sql.SparkSession
+object SqlFunctionsDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("documents")
+    spark.sql("""
+      SELECT lang, count(*) AS docs,
+             round(avg(doc_stats(text).kn_ppl), 2) AS avg_ppl,
+             top_n_sketch(source, 2) AS top_sources,
+             round(avg(size(shingle_hashes(text, 3))), 1) AS avg_shingles
+      FROM documents GROUP BY lang ORDER BY lang""").show(truncate = false)
+    // probes: bad args
+    try spark.sql("SELECT shingle_hashes('x', id) FROM range(1)").collect()
+    catch { case e: Exception => println(s"[probe] non-literal arg -> ${e.getMessage.take(80)}") }
+    try spark.sql("SELECT doc_stats(123)").collect()
+    catch { case e: Exception => println(s"[probe] wrong type -> ${e.getMessage.take(80)}") }
+    spark.stop()
+  }
+}

@@ -24,6 +24,12 @@ case class DocStatsExpr(child: Expression) extends UnaryExpression with CodegenF
   override def dataType: DataType = DocStatsExpr.schema
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
   override def nullSafeEval(input: Any): Any = {
     val s = DocAnalyzer.analyze(input.asInstanceOf[UTF8String].toString)
     InternalRow(s.maxLineLen, s.avgLineLen, s.alnumRatio, s.dupLineShare,

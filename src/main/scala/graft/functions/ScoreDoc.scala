@@ -24,6 +24,12 @@ case class ScoreDoc(child: Expression) extends UnaryExpression with CodegenFallb
   override def dataType: DataType = ScoreDoc.schema
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
   override def nullSafeEval(input: Any): Any = {
     val s = LangModel.score(input.asInstanceOf[UTF8String].toString)
     InternalRow(UTF8String.fromString(s.lang), s.conf, s.ppl)

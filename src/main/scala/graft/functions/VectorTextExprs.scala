@@ -22,6 +22,17 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType | FloatType | LongType | IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires numeric array columns, got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
   private def num(a: ArrayData, et: DataType, i: Int): Double = et match {
     case DoubleType => a.getDouble(i)
     case FloatType => a.getFloat(i).toDouble
@@ -66,6 +77,12 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires a string column, got ${child.dataType.simpleString}")
 
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
