@@ -39,6 +39,16 @@ object SparkEntry {
       QualityFilter.verdicts(corpus, FilterConfig())
     }),
 
+    "q_quality_filter_dedup" -> ((s, _) => {
+      // per-file filter + corpus-level near-dup removal (MinHash-LSH pairs ->
+      // connected components -> canonical-only); graded vs
+      // ReferenceOracle.labelCorpus in QualityFilterSpec
+      import graft.corpus.{CorpusGen, CorpusSpec}
+      import graft.pipeline.{FilterConfig, QualityFilter}
+      val corpus = CorpusGen.corpus(s, CorpusSpec(nFiles = 2000)).toDF
+      QualityFilter.verdictsWithDedup(corpus, FilterConfig())
+    }),
+
     // ---- virtual-source operator surface (SURVEY §2.2) ----
 
     "q1_agg" -> ((s, dir) => {

@@ -33,6 +33,53 @@ object ReferenceOracle {
     d.map(b => f"$b%02x").mkString
   }
 
+  /** Corpus-level labels: per-file rules, then exact near-dup clustering
+    * over kept files — word-3gram Jaccard ≥ cfg.dedupTau pairs (computed
+    * with a plain-Scala inverted index), union-find, and every member except
+    * the lexicographically-smallest "repo|path" key dropped as "near_dup".
+    * This is the reference the distributed `verdictsWithDedup` is graded
+    * against. */
+  def labelCorpus(rows: Seq[FileRow], cfg: FilterConfig = FilterConfig()): Seq[LabelRow] = {
+    val base = rows.map(label(_, cfg))
+    val kept = rows.zip(base).filter(_._2.keep)
+    def shingles(content: String): Set[String] = {
+      val words = content.split(" ", -1)
+      (0 until math.max(words.length - 2, 1))
+        .map(i => words.slice(i, math.min(i + 3, words.length)).mkString(" ")).toSet
+    }
+    val keyOf = (r: FileRow) => s"${r.repo}|${r.path}"
+    val sh = kept.map { case (r, _) => keyOf(r) -> shingles(r.content) }
+    // inverted index -> candidate pairs -> exact jaccard
+    val inv = scala.collection.mutable.Map[String, List[Int]]().withDefaultValue(Nil)
+    sh.zipWithIndex.foreach { case ((_, s), i) => s.foreach(g => inv(g) = i :: inv(g)) }
+    val candidates = scala.collection.mutable.Set[(Int, Int)]()
+    inv.values.foreach { ds =>
+      for (a <- ds; b <- ds if a < b) candidates += ((a, b))
+    }
+    val pairs = candidates.filter { case (a, b) =>
+      val (sa, sb) = (sh(a)._2, sh(b)._2)
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter) >= cfg.dedupTau
+    }
+    // union-find with min-key canonical
+    val parent = Array.tabulate(sh.size)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byComp = sh.indices.groupBy(find)
+    val dupKeys = byComp.values.filter(_.size > 1).flatMap { members =>
+      val canonical = members.minBy(i => sh(i)._1)
+      members.filterNot(_ == canonical).map(i => sh(i)._1)
+    }.toSet
+    rows.zip(base).map { case (r, l) =>
+      if (l.keep && dupKeys(keyOf(r)))
+        l.copy(keep = false, dropReasons = l.dropReasons :+ "near_dup", scrubbed = None)
+      else l
+    }
+  }
+
   def label(row: FileRow, cfg: FilterConfig = FilterConfig()): LabelRow = {
     val content = row.content
     val lines = content.split("\n", -1)

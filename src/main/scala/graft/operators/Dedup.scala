@@ -136,6 +136,40 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Connected components over an undirected edge list (a, b) via iterative
+    * min-label propagation: each node adopts the smallest label among itself
+    * and its neighbors until fixpoint — converges in O(component diameter)
+    * rounds, each one shuffle. Near-dup clusters are tiny, so this runs a
+    * handful of rounds regardless of corpus size. Returns (id, label) for
+    * every node that appears in an edge; isolated nodes are their own
+    * (implicit) component. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b"), col("label").as("blabel")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("blabel")).as("nmin"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      changed = updated
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs. Brute-force variant: block-nested
     * self-join (quadratic — correct baseline at any SF where it fits).
     * The scale path is [[Similarity.cosineLshPairs]]. */

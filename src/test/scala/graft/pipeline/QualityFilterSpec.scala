@@ -98,6 +98,23 @@ class QualityFilterSpec extends AnyFunSuite with Matchers {
     r3.rowsIn shouldBe 0
   }
 
+  test("corpus-level near-dup dedup matches the straight-line oracle exactly") {
+    val allRows = (0L until spec.nFiles).map(i => CorpusGen.fileAt(spec, i))
+    val labels = ReferenceOracle.labelCorpus(allRows, cfg)
+    val dupLabeled = labels.filter(_.dropReasons.contains("near_dup"))
+    dupLabeled.size should be > 0 // planted clusters exist
+    val got = QualityFilter.verdictsWithDedup(corpus, cfg)
+      .collect().map(r => (r.getAs[String]("repo"), r.getAs[String]("path")) -> r).toMap
+    labels.foreach { l =>
+      val row = got((l.repo, l.path))
+      withClue(s"${l.repo}/${l.path}") {
+        row.getAs[Boolean]("keep") shouldBe l.keep
+        row.getAs[scala.collection.Seq[String]]("drop_reasons").toSeq shouldBe l.dropReasons
+        Option(row.getAs[String]("scrubbed_content")) shouldBe l.scrubbed
+      }
+    }
+  }
+
   test("scoring plan is shuffle-free (no Exchange before the write)") {
     val plan = QualityFilter.verdicts(corpus, cfg).queryExecution.executedPlan
     import org.apache.spark.sql.execution.exchange.Exchange
