@@ -1,0 +1,50 @@
+package graft.textmodel
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.corpus.{CorpusGen, Rng}
+
+class LangModelSpec extends AnyFunSuite with Matchers {
+
+  test("langid classifies held-out template code for every language") {
+    // held-out seed (not the training seed 12345)
+    CorpusGen.languages.foreach { lang =>
+      val doc = CorpusGen.cleanContent(lang, Rng(777L, lang.hashCode.toLong), 55L)
+      val (pred, conf) = LangModel.classify(doc)
+      withClue(lang) {
+        pred shouldBe lang
+        conf should be > 0.5
+      }
+    }
+  }
+
+  test("perplexity orders text by in-distribution-ness") {
+    val code = CorpusGen.cleanContent("scala", Rng(778L, 1L), 10L)
+    val noise = (0 until 500).map(i => "¶§±¿#@!~"(i % 8)).mkString
+    val pplCode = LangModel.knLm.perplexity(code)
+    val pplNoise = LangModel.knLm.perplexity(noise)
+    pplCode should be < 10.0
+    pplNoise should be > 100.0
+    pplCode should be < pplNoise
+  }
+
+  test("DocAnalyzer agrees with independent feature computations") {
+    val content = "ab cd\nab cd\n\nxy"
+    val s = DocAnalyzer.analyze(content)
+    s.maxLineLen shouldBe 5
+    s.avgLineLen shouldBe (5 + 5 + 0 + 2) / 4.0
+    s.dupLineShare shouldBe (1.0 - 2.0 / 3.0) +- 1e-12
+    s.alnumRatio shouldBe 10.0 / content.length +- 1e-12 // a,b,c,d x2 + x,y
+    s.hasAutogen shouldBe false
+    DocAnalyzer.analyze("// DO NOT EDIT\nx").hasAutogen shouldBe true
+    // ppl must be bit-identical to the standalone LM (oracle parity contract)
+    s.knPpl shouldBe LangModel.knLm.perplexity(content)
+  }
+
+  test("models are deterministic across invocations") {
+    val doc = CorpusGen.cleanContent("go", Rng(779L, 2L), 20L)
+    LangModel.score(doc) shouldBe LangModel.score(doc)
+    DocAnalyzer.analyze(doc) shouldBe DocAnalyzer.analyze(doc)
+  }
+}
