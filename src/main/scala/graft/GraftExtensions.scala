@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** Session-extension entry point: registers every graft expression at
+  * session build time — the idiomatic deployment path for a cluster:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *
+  * (equivalently `SparkSession.builder().withExtensions(new GraftExtensions)`).
+  * Interactive sessions can also call `GraftFunctions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other if other.foldable => other.eval().asInstanceOf[Number].intValue()
+    case _ => throw new IllegalArgumentException(s"$name must be a literal int")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("collect_list_limit"),
+      info("collect_list_limit", "_FUNC_(col, limit) - size-capped collect_list"),
+      (es: Seq[Expression]) =>
+        CollectListLimit(es.head, intArg(es(1), "limit")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("top_n_sketch"),
+      info("top_n_sketch", "_FUNC_(col, n[, maxMapSize]) - approx top-N frequent values"),
+      (es: Seq[Expression]) => TopNSketch(es.head, intArg(es(1), "n"),
+        if (es.size > 2) intArg(es(2), "maxMapSize") else 1024).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("doc_stats"),
+      info("doc_stats", "_FUNC_(text) - all document quality features in one pass"),
+      (es: Seq[Expression]) => DocStatsExpr(es.head)))
+    ext.injectFunction((FunctionIdentifier("score_doc"),
+      info("score_doc", "_FUNC_(text) - langid + KN perplexity"),
+      (es: Seq[Expression]) => ScoreDoc(es.head)))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "_FUNC_(text, n) - distinct hashed word n-grams"),
+      (es: Seq[Expression]) => ShingleHashes(es.head, intArg(es(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "_FUNC_(a, b) - numeric array dot product"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+  }
+}

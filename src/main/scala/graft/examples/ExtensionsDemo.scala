@@ -1,0 +1,20 @@
+package graft.examples
+import org.apache.spark.sql.SparkSession
+/** Drives the cluster deployment path: spark.sql.extensions config string. */
+object ExtensionsDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .appName("graft-ext-demo")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("documents")
+    spark.sql("""SELECT round(avg(doc_stats(text).alnum_ratio), 4) AS alnum,
+                        top_n_sketch(lang, 2) AS top_langs,
+                        collect_list_limit(doc_id, 3) AS sample_ids
+                 FROM documents""").show(truncate = false)
+    spark.sql("DESCRIBE FUNCTION doc_stats").show(truncate = false)
+    spark.stop()
+  }
+}

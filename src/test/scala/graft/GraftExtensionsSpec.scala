@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.SparkSession
+
+class GraftExtensionsSpec extends AnyFunSuite with Matchers {
+
+  test("extensions-built session has graft functions available in SQL") {
+    // note: separate session; builder extensions apply per-session
+    val spark = SparkSession.builder().master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        "SELECT dot_product(array(1.0d,2.0d), array(2.0d,3.0d)) AS d, " +
+          "size(shingle_hashes('a b c d e', 3)) AS n").collect().head
+      r.getDouble(0) shouldBe 8.0
+      r.getInt(1) shouldBe 3
+      spark.sql("SELECT doc_stats('val x = 1').lang_pred AS l")
+        .collect().head.getString(0) should not be empty
+    } finally {
+      // do not stop: TestSpark's session shares the local JVM; dropping this
+      // one would tear down the shared SparkContext for later suites
+    }
+  }
+}
