@@ -73,9 +73,15 @@ object Bench {
       } finally s.stop()
     }
 
-    val sec2 = pipelineRun(2)
-    val sec8 = pipelineRun(8)
-    val sec32 = pipelineRun(32)
+    // two interleaved passes (2,8,32),(2,8,32) with a global min per core
+    // count: a degraded host window then penalizes all core counts equally
+    // instead of whichever session it happened to overlap
+    val coreCounts = Seq(2, 8, 32)
+    val times = (1 to 2).flatMap(_ => coreCounts.map(c => c -> pipelineRun(c)))
+      .groupBy(_._1).map { case (c, ts) => c -> ts.map(_._2).min }
+    val sec2 = times(2)
+    val sec8 = times(8)
+    val sec32 = times(32)
     val fps2 = benchFiles / sec2
     val fps8 = benchFiles / sec8
     val fps32 = benchFiles / sec32
