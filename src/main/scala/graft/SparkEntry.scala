@@ -121,6 +121,67 @@ object SparkEntry {
         GROUP BY r.r_name ORDER BY r.r_name""")
     }),
 
+    // ---- full Spark SQL surface via the SQL virtual source (SURVEY §2.2:
+    //      sort/top-k/set-ops/window functions come from Catalyst) ----
+
+    "q_sql_topk_revenue" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+               sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+    }),
+
+    "q_window_fn" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT c_mktsegment, c_custkey, rnk FROM (
+          SELECT c_mktsegment, c_custkey,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rnk
+          FROM customer)
+        WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""")
+    }),
+
+    "q_set_ops" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        WITH big_orders AS (SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 200000),
+             heavy_items AS (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 45)
+        SELECT
+          (SELECT count(*) FROM (SELECT k FROM big_orders INTERSECT SELECT k FROM heavy_items)) AS both,
+          (SELECT count(*) FROM (SELECT k FROM big_orders EXCEPT SELECT k FROM heavy_items)) AS only_big,
+          (SELECT count(*) FROM (SELECT k FROM big_orders UNION SELECT k FROM heavy_items)) AS either"""
+      )
+    }),
+
+    "q_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      withOrders.agg(count(lit(1)).as("with_orders"))
+        .crossJoin(withoutOrders.agg(count(lit(1)).as("without_orders")))
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("flag"), col("status"))
+    }),
+
     // ---- metric engine: fused single-pass suites (SURVEY §2.3) ----
 
     "q_string_metrics" -> ((s, dir) => {
@@ -391,6 +452,40 @@ object SparkEntry {
        ORDER BY a, b"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_sql_topk_revenue" ->
+      """SELECT l_orderkey,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_window_fn" ->
+      """SELECT c_mktsegment, c_custkey, CAST(rnk AS INT) AS rnk FROM (
+           SELECT c_mktsegment, c_custkey,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC, c_custkey) AS rnk
+           FROM customer) t
+         WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
+    "q_set_ops" ->
+      """WITH big_orders AS (SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 200000),
+            heavy_items AS (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 45)
+         SELECT
+           (SELECT count(*) FROM (SELECT k FROM big_orders INTERSECT SELECT k FROM heavy_items)) AS both,
+           (SELECT count(*) FROM (SELECT k FROM big_orders EXCEPT SELECT k FROM heavy_items)) AS only_big,
+           (SELECT count(*) FROM (SELECT k FROM big_orders UNION SELECT k FROM heavy_items)) AS either""",
+    "q_semi_anti" ->
+      """SELECT
+           (SELECT count(*) FROM customer WHERE EXISTS
+             (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
+           (SELECT count(*) FROM customer WHERE NOT EXISTS
+             (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders""",
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                count(*) AS cnt, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
          FROM documents GROUP BY text ORDER BY doc_id""",
