@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Recommended session factory: the settings this engine is designed
+  * against. On a real cluster, pass the same configs to spark-submit; in
+  * local mode this is the tested configuration.
+  *
+  * Rationale per setting:
+  *  - AQE + skewJoin: runtime re-planning and skew splitting — the engine's
+  *    explicit salting handles known-skew (mega-repos); AQE covers the rest;
+  *  - shuffle.partitions sized to cores locally (clusters: 2-3x total cores);
+  *  - UTC session timezone: oracle/cross-engine parity for timestamps;
+  *  - extensions: all graft custom expressions available in SQL.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]",
+      shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val cores =
+      if (master.startsWith("local[") && !master.contains("*"))
+        master.stripPrefix("local[").stripSuffix("]").toInt
+      else Runtime.getRuntime.availableProcessors()
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions",
+        shufflePartitions.getOrElse(cores).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+  }
+
+  def local(cores: Int): SparkSession = {
+    val s = builder(s"local[$cores]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

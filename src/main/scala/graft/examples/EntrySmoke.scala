@@ -1,0 +1,11 @@
+package graft.examples
+/** Replicates the driver's t1 smoke: entry(spark).count() > 0 on sf0.001. */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(4)
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"[entry-smoke] rows=$n (${if (n > 0) "PASS" else "FAIL"})")
+    spark.stop()
+  }
+}
