@@ -70,15 +70,22 @@ final case class GreaterThanCheck(id: String, baseMetric: String,
   }
 }
 
-/** DIFFER_BY_LT — |base − compare| / |compare| < threshold
-  * (ref: DifferByLTCheckCalculator.scala:20-157). */
+/** DIFFER_BY_LT — relative difference < threshold, with the reference's
+  * exact edge cases: base=compare=0 → diff 0 (pass); compare=0 → diff 1;
+  * otherwise |base−compare| divided by the SIGNED compare value
+  * (ref: DifferByLTCheckCalculator.scala:73-76). */
 final case class DifferByLtCheck(id: String, baseMetric: String,
     compareMetric: String, threshold: Double) extends SnapshotCheck {
   val name = "DIFFER_BY_LT"
   def run(results: Seq[MetricResult]): CheckResult = {
     val cmp = lookup(results, compareMetric)
-    make(for (b <- lookup(results, baseMetric); c <- cmp)
-      yield math.abs(b - c) / math.abs(c) < threshold, cmp, s"differBy<$threshold vs")
+    make(for (b <- lookup(results, baseMetric); c <- cmp) yield {
+      val diff =
+        if (c == 0.0 && b == 0.0) 0.0
+        else if (c == 0.0) 1.0
+        else math.abs(b - c) / c
+      diff < threshold
+    }, cmp, s"differBy<$threshold vs")
   }
 }
 

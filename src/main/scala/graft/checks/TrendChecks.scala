@@ -18,11 +18,13 @@ object TrendChecks {
   }
 
   /** AVERAGE_BOUND_{FULL,UPPER,LOWER,RANGE}: base ∈ [avg·(1−t_lo), avg·(1+t_hi)]
-    * over the selected history window. */
+    * over the selected history window. `ref` (the job's reference instant
+    * anchoring datetime windows) is caller-supplied — no wall-clock default,
+    * so check outcomes are reproducible (ADVICE round 1). */
   def averageBound(id: String, current: MetricResult,
       history: Seq[HistoryPoint], rule: TrendMetrics.WindowRule,
       threshold: Double, kind: BoundKind,
-      ref: Instant = Instant.now()): CheckResult = {
+      ref: Instant): CheckResult = {
     val pts = TrendMetrics.window(history, rule, ref)
     if (pts.isEmpty)
       return CheckResult(id, s"AVERAGE_BOUND_$kind", status = false,

@@ -1,0 +1,23 @@
+package graft.examples
+import org.apache.spark.sql.SparkSession
+object QuickCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { q =>
+      val t0 = System.nanoTime()
+      try {
+        graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+          .coalesce(1).write.mode("overwrite").parquet(s"/tmp/verify_r2/$q")
+        println(s"[quick] $q OK in ${(System.nanoTime()-t0)/1e9} sec")
+      } catch { case e: Throwable =>
+        println(s"[quick] $q FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        e.printStackTrace()
+      }
+    }
+    spark.stop()
+  }
+}

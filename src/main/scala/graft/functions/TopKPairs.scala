@@ -1,0 +1,152 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k (score, id) aggregate — a size-k min-heap per aggregation
+  * group, merged across partials, so a per-group top-k never shuffles more
+  * than k rows per partition (the round-1 window-function ranking shuffled
+  * EVERY scored row: |corpus| x |queries| at ANN scale).
+  *
+  * Ordering: score desc, id asc on ties — identical to
+  * `row_number() OVER (ORDER BY score DESC, id)`, so results are
+  * deterministic. Returns array<struct<id:long, score:double>> best-first.
+  *
+  * Same extension point as the reference's sketch aggregates
+  * (SpaceSavingTopN.scala:39-151): a TypedImperativeAggregate with an
+  * explicit byte serde for partial exchange.
+  */
+case class TopKPairs(
+    left: Expression,  // score: double
+    right: Expression, // id: long
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKPairs.Heap] with BinaryLike[Expression] {
+
+  require(k > 0, s"top_k_pairs requires k > 0, got $k")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"top_k_pairs requires (double, long), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def createAggregationBuffer(): TopKPairs.Heap = new TopKPairs.Heap(k)
+
+  override def update(buf: TopKPairs.Heap, input: InternalRow): TopKPairs.Heap = {
+    val s = left.eval(input)
+    val i = right.eval(input)
+    if (s != null && i != null)
+      buf.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKPairs.Heap, other: TopKPairs.Heap): TopKPairs.Heap = {
+    other.foreach((s, i) => buf.offer(s, i))
+    buf
+  }
+
+  override def eval(buf: TopKPairs.Heap): Any = {
+    val rows = buf.sortedDesc.map { case (s, i) => InternalRow(i, s) }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: TopKPairs.Heap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { (s, i) => out.writeDouble(s); out.writeLong(i) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKPairs.Heap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val h = new TopKPairs.Heap(k)
+    var j = 0
+    while (j < n) { h.offer(in.readDouble(), in.readLong()); j += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopKPairs =
+    copy(left = l, right = r)
+  override def prettyName: String = "top_k_pairs"
+}
+
+object TopKPairs {
+  /** Size-bounded min-heap over (score, id) with worst element on top;
+    * "better" = higher score, ties to the smaller id. */
+  final class Heap(k: Int) {
+    // (score, id) pairs in two parallel arrays forming a binary heap whose
+    // root is the WORST kept element
+    private val scores = new Array[Double](k)
+    private val ids = new Array[Long](k)
+    var size: Int = 0
+
+    /** a is worse than b? (lower score, or equal score and larger id) */
+    private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+      sa < sb || (sa == sb && ia > ib)
+
+    def offer(s: Double, i: Long): Unit = {
+      if (size < k) {
+        var c = size
+        scores(c) = s; ids(c) = i
+        size += 1
+        while (c > 0 && worse(scores(c), ids(c), scores((c - 1) / 2), ids((c - 1) / 2))) {
+          swap(c, (c - 1) / 2); c = (c - 1) / 2
+        }
+      } else if (worse(scores(0), ids(0), s, i)) {
+        scores(0) = s; ids(0) = i
+        siftDown(0)
+      }
+    }
+
+    private def swap(a: Int, b: Int): Unit = {
+      val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+
+    private def siftDown(start: Int): Unit = {
+      var c = start
+      var done = false
+      while (!done) {
+        val l = 2 * c + 1; val r = 2 * c + 2
+        var w = c
+        if (l < size && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < size && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == c) done = true else { swap(c, w); c = w }
+      }
+    }
+
+    def foreach(f: (Double, Long) => Unit): Unit = {
+      var j = 0
+      while (j < size) { f(scores(j), ids(j)); j += 1 }
+    }
+
+    /** best-first (score desc, id asc). */
+    def sortedDesc: Array[(Double, Long)] = {
+      val arr = Array.tabulate(size)(j => (scores(j), ids(j)))
+      arr.sortInPlace()(Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long))
+      arr
+    }
+  }
+}

@@ -118,9 +118,79 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** All `tables` random-hyperplane LSH signatures of a (normalized) vector in
+  * ONE compiled pass → array<long> of length `tables`; table t packs `planes`
+  * sign bits of deterministic hashed hyperplanes (seed 7+t).
+  *
+  * Replaces the compositional Column form (tables × planes × dims
+  * `element_at * lit` nodes — ~20k expression nodes at 48×6×64, which took
+  * Catalyst minutes to analyze and evaluated interpreted): same math, one
+  * tight loop, O(tables·planes·dims) per row with zero allocation beyond the
+  * output array. Plane component (p,d) = splitmix64(seed + p·1000003 +
+  * d·10007) mapped to [-1,1) — reproducible across runs and parallelism.
+  */
+case class HyperplaneSigs(child: Expression, planes: Int, tables: Int, seed: Long = 7L)
+  extends UnaryExpression with CodegenFallback {
+
+  require(planes >= 1 && planes <= 63, "sign bits are packed into one long")
+  require(tables >= 1, "need at least one table")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sigs requires array<double|float>, got ${other.simpleString}")
+    }
+
+  private def comp(tableSeed: Long, p: Int, d: Int): Double = {
+    var h = tableSeed + p * 1000003L + d * 10007L
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    ((h ^ (h >>> 31)) >>> 11).toDouble / (1L << 52).toDouble - 1.0
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val dims = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val ts = seed + t
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var proj = 0.0
+        var d = 0
+        while (d < dims) {
+          val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+          proj += x * comp(ts, p, d)
+          d += 1
+        }
+        if (proj >= 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_sigs"
+}
+
 object VectorTextExprs {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def shingle_hashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
+  def hyperplane_sigs(v: Column, planes: Int, tables: Int, seed: Long = 7L): Column =
+    Bridge.column(HyperplaneSigs(Bridge.expression(v), planes, tables, seed))
 }

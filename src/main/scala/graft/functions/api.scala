@@ -16,11 +16,24 @@ object api {
     Bridge.column(CollectListLimit(Bridge.expression(c), limit)
       .toAggregateExpression())
 
+  /** Size-capped flatten-arrays collect — stage 2 of the grouping-metric
+    * error merge (ref: MergeListWithLimit.scala:29-84). */
+  def merge_list_limit(c: Column, limit: Int): Column =
+    Bridge.column(MergeListLimit(Bridge.expression(c), limit)
+      .toAggregateExpression())
+
   /** Approximate top-N most frequent values:
     * `array<struct<value:string,frequency:double>>`. Exact when the column
     * cardinality fits in `maxMapSize`.
     */
   def top_n_sketch(c: Column, n: Int, maxMapSize: Int = 1024): Column =
     Bridge.column(TopNSketch(Bridge.expression(c), n, maxMapSize)
+      .toAggregateExpression())
+
+  /** Bounded per-group top-k of (score, id) pairs — a size-k heap with
+    * map-side partial merge: `array<struct<id:long,score:double>>`,
+    * best-first (score desc, id asc). */
+  def top_k_pairs(score: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKPairs(Bridge.expression(score), Bridge.expression(id), k)
       .toAggregateExpression())
 }

@@ -59,7 +59,11 @@ final case class TopNMetric(id: String, column: String, n: Int = 10,
 final case class DistinctValuesMetric(id: String, columns: Seq[String]) extends GroupingMetric {
   val name = "DISTINCT_VALUES"
   def groupResult: Column = lit(1L).as(s"${id}_grp")
-  def finalResult: Column = sum(col(s"${id}_grp")).cast("double").as(id)
+  /** The all-null tuple is excluded, matching the reference
+    * (GroupingDFMetrics.scala:31-100). */
+  def finalResult: Column =
+    coalesce(sum(when(columns.map(c => col(c).isNotNull).reduce(_ || _),
+      col(s"${id}_grp")).otherwise(lit(0L))), lit(0L)).cast("double").as(id)
 }
 
 /** DUPLICATE_VALUES — Σ per-group (count − 1)

@@ -57,8 +57,10 @@ object FormulaParser extends JavaTokenParsers {
       case c ~ t ~ e => if (c != 0.0) t else e
     }
 
+  // left-associative like the reference grammar (FormulaParser.scala:194-197):
+  // 2^3^2 = (2^3)^2 = 64
   private def power: Parser[Double] = atom ~ rep("^" ~> atom) ^^ {
-    case base ~ exps => (base +: exps).reduceRight(math.pow)
+    case base ~ exps => exps.foldLeft(base)(math.pow)
   }
 
   private def unaryMinus: Parser[Double] = opt("-") ~ power ^^ {

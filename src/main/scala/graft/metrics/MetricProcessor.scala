@@ -75,19 +75,33 @@ object MetricProcessor {
   }
 
   /** Grouping metrics: one shuffle per distinct grouping-column set
-    * (ref: DFMetricProcessor.scala:61-79). */
+    * (ref: DFMetricProcessor.scala:61-79).
+    *
+    * Error dumps use the reference's TWO-STAGE capped merge
+    * (GroupingDFMetricCalculator.scala:25-139 + MergeListWithLimit.scala:
+    * 29-84): the per-group stage `collect_list_limit`s full per-row payloads
+    * (key fields + metric columns) inside each group, the final stage
+    * `merge_list_limit`-flattens the payloads of groups whose error
+    * condition holds — so the dump carries actual failing rows, not just
+    * group keys, while both stages stay memory-bounded. */
   def processGroupingMetrics(
       df: DataFrame,
       metrics: Seq[GroupingMetric],
       cfg: Config = Config()): Seq[MetricResult] = {
     metrics.groupBy(_.columns).toSeq.flatMap { case (gcols, ms) =>
+      val anyErrors = ms.exists(_.errorCondition.nonEmpty)
+      val groupAggs = ms.map(_.groupResult) ++
+        (if (anyErrors)
+          Seq(graft.functions.api.collect_list_limit(
+            rowData(cfg, gcols), cfg.errorDumpSize).as("__grp_rows"))
+        else Nil)
       val grouped = df.groupBy(gcols.map(col): _*)
-        .agg(ms.head.groupResult, ms.tail.map(_.groupResult): _*)
+        .agg(groupAggs.head, groupAggs.tail: _*)
       val finals: Seq[Column] = ms.flatMap { m =>
         val res = m.finalResult.as(m.id)
         val err = m.errorCondition.map { cond =>
-          collect_list_limit(
-            when(cond, array(gcols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)),
+          graft.functions.api.merge_list_limit(
+            when(cond, col("__grp_rows")),
             cfg.errorDumpSize).as(errName(m.id))
         }
         res +: err.toSeq
@@ -117,4 +131,17 @@ object MetricProcessor {
     * distributed. */
   def rowMetricsFrame(df: DataFrame, metrics: Seq[RowMetric]): DataFrame =
     df.select(metrics.map(m => m.result.as(m.id)): _*)
+
+  /** Grouping metrics sharing ONE column set as a 1-row DataFrame (no
+    * collect) — the distributed twin of [[processGroupingMetrics]]: per-group
+    * aggregate (one shuffle) then final aggregate over groups
+    * (ref: DFMetricProcessor.scala:61-79). */
+  def groupingMetricsFrame(df: DataFrame, metrics: Seq[GroupingMetric]): DataFrame = {
+    require(metrics.nonEmpty && metrics.map(_.columns).distinct.size == 1,
+      "groupingMetricsFrame requires metrics sharing one grouping-column set")
+    val gcols = metrics.head.columns
+    df.groupBy(gcols.map(col): _*)
+      .agg(metrics.head.groupResult, metrics.tail.map(_.groupResult): _*)
+      .select(metrics.map(m => m.finalResult.as(m.id)): _*)
+  }
 }

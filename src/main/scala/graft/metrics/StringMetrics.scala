@@ -55,9 +55,13 @@ final case class EmptyValuesMetric(id: String, columns: Seq[String]) extends Con
 final case class CompletenessMetric(id: String, columns: Seq[String],
     includeEmptyStrings: Boolean = false) extends RowMetric {
   val name = "COMPLETENESS"
+  /** Matches the reference: by default only nulls are incomplete; with
+    * includeEmptyStrings=true empty strings count as incomplete too
+    * (BasicStringDFMetrics.scala:114-166 — the round-1 branches were
+    * swapped, flagged in ADVICE.md). */
   private def ok(c: Column): Column =
-    if (includeEmptyStrings) c.isNotNull
-    else c.isNotNull && c.cast("string") =!= lit("")
+    if (includeEmptyStrings) c.isNotNull && c.cast("string") =!= lit("")
+    else c.isNotNull
   def result: Column = {
     val rowOk = columns.map(n => when(ok(col(n)), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
     try_divide(sum(rowOk), count(lit(1)) * lit(columns.size)).cast("double").as(id)

@@ -33,10 +33,16 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("dup_count"))
 
-  /** (id, sh: array<long> distinct shingle hashes, sz). */
+  /** (id, sh: array<long> distinct shingle hashes, sz), persisted: the
+    * shingle frame is consumed 3x (inverted index / candidate legs / exact
+    * verify) — without the persist the O(n) shingling pass re-runs each time
+    * (3x the scan cost at 100 TB; round-1 bench showed it dominating
+    * q_quality_filter_dedup). MEMORY_AND_DISK so oversized corpora spill
+    * instead of OOM. */
   private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), shingle_hashes(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact verification of candidate pairs: join back the full shingle
     * arrays and intersect. O(|A|+|B|) per candidate on sorted arrays. */
@@ -147,23 +153,25 @@ object Dedup {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
-    var labels = sym.select(col("a").as("id")).distinct()
+    var cached = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).cache()
+    var labels = cached
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("label").as("blabel")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("blabel")).as("nmin"))
+      // the old label rides along, so convergence is a filter over THIS
+      // frame's cache — no second join job per iteration
       val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .cache()
-      changed = updated
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
+      changed = updated.filter(col("label") =!= col("__old")).count()
+      cached.unpersist()
+      cached = updated
+      labels = updated.select(col("id"), col("label"))
       iter += 1
     }
     sym.unpersist()

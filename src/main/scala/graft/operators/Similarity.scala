@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -31,58 +30,62 @@ object Similarity {
   }
 
   /** Exact top-k neighbors for each query id: one broadcast of the (small)
-    * query set against one scan of the corpus; per-query ranking is a
-    * window over the query id (shuffle keyed by query — scales with corpus
-    * size × |queries|, the right baseline shape). */
+    * query set against one scan of the corpus; ranking is a bounded-heap
+    * aggregate ([[graft.functions.TopKPairs]]) with map-side partial merge —
+    * only k rows per (query, partition) cross the shuffle. The round-1
+    * window-function ranking shuffled every scored row
+    * (|corpus| x |queries|), the classic ANN-baseline scale killer. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = normalized(corpus, idCol, vecCol)
     val q = normalized(queries, idCol, vecCol)
       .select(col("id").as("qid"), col("nv").as("qv"))
     val scored = c.join(broadcast(q), col("id") =!= col("qid"))
-      .withColumn("cosine", dot(col("nv"), col("qv")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("id").as("neighbor"), col("rank"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("qid"), col("id"), dot(col("nv"), col("qv")).as("cosine"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.api.top_k_pairs(col("cosine"), col("id"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("qid"), col("e.id").as("neighbor"),
+        (col("r") + 1).cast("int").as("rank"),
+        round(col("e.score"), 6).as("cosine"))
   }
 
-  /** Random-hyperplane signature: `planes` sign bits packed into a long.
-    * Hyperplanes are deterministic (seeded per (plane, dim) via a hash), so
-    * signatures are reproducible across runs and parallelism. */
-  def hyperplaneSig(nv: Column, planes: Int, dims: Int, seed: Long = 7L): Column = {
-    require(planes <= 63, "sign bits are packed into one long")
-    // plane p component d = hash(p, d) mapped to [-1, 1)
-    def comp(p: Int, d: Int): Double = {
-      var h = seed + p * 1000003L + d * 10007L
-      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
-      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
-      ((h ^ (h >>> 31)) >>> 11).toDouble / (1L << 52).toDouble - 1.0
-    }
-    (0 until planes).map { p =>
-      val proj = (0 until dims).map(d =>
-        element_at(nv, d + 1) * lit(comp(p, d))).reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  // Random-hyperplane signatures (deterministic hashed planes) live in
+  // graft.functions.HyperplaneSigs — one compiled pass computes every
+  // table's sign bits; the compositional Column form was ~20k expression
+  // nodes at 48 tables and took Catalyst minutes to analyze.
 
-  /** LSH-bucketed approximate near-neighbor pairs: multi-probe via `tables`
-    * independent signatures; candidates = bucket collisions; verified with
-    * the exact dot product. */
+  /** LSH-bucketed approximate near-neighbor pairs: `tables` independent
+    * random-hyperplane signatures; candidates = bucket collisions (id pairs
+    * only — vectors do NOT ride the candidate shuffle, they are joined back
+    * once per verified candidate); verification is the exact dot product, so
+    * precision is 1 and recall is 1-(1-p^planes)^tables with
+    * p = 1 - arccos(s)/pi.
+    *
+    * Operating points: near-dup at tau >= 0.8 (p >= 0.795) wants
+    * planes=12, tables=8 (recall ~0.80 at s=0.8, ~0.97 at s=0.9, buckets
+    * 2^12/table keeps candidate sets tiny at 10^9 rows). Low thresholds are
+    * intrinsically hard for hyperplane LSH: at s ~= 0.5 (p ~= 0.67), recall
+    * 0.99 needs planes=6, tables=48 — the default here, matching the
+    * oracle-checked query contract (tau=0.5); at production scale, raise tau
+    * or planes before raising tables. */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
-      dims: Int, tau: Double, planes: Int = 12, tables: Int = 6): DataFrame = {
+      dims: Int, tau: Double, planes: Int = 6, tables: Int = 48): DataFrame = {
+    // At 100 TB persist `n`; it is consumed twice (signatures + verify).
     val n = normalized(df, idCol, vecCol)
-    val sigs = n.select(col("id"), col("nv"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          hyperplaneSig(col("nv"), planes, dims, seed = 7L + t).as("sig"))): _*))
-        .as("b"))
-    val x = sigs.select(col("b"), col("id").as("a"), col("nv").as("va"))
-    val y = sigs.select(col("b"), col("id").as("b2"), col("nv").as("vb"))
-    x.join(y, Seq("b")).filter(col("a") < col("b2"))
-      .select(col("a"), col("b2").as("b"), col("va"), col("vb")).distinct()
+    // all table signatures in one compiled pass (HyperplaneSigs) — the
+    // compositional Column form was ~20k expression nodes at 48 tables
+    val sigs = n.select(col("id"),
+      posexplode(graft.functions.VectorTextExprs
+        .hyperplane_sigs(col("nv"), planes, tables)).as(Seq("t", "sig")))
+      .select(col("id"), struct(col("t"), col("sig")).as("b"))
+    val candidates = sigs.select(col("b"), col("id").as("a"))
+      .join(sigs.select(col("b"), col("id").as("b2")), Seq("b"))
+      .filter(col("a") < col("b2"))
+      .select(col("a"), col("b2").as("b")).distinct()
+    candidates
+      .join(n.select(col("id").as("a"), col("nv").as("va")), Seq("a"))
+      .join(n.select(col("id").as("b"), col("nv").as("vb")), Seq("b"))
       .withColumn("cosine", dot(col("va"), col("vb")))
       .filter(col("cosine") >= tau)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))

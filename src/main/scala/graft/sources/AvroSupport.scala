@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DecoderFactory
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro support built on avro-core only (the spark-avro module is a
+  * deploy-time jar, absent in this image): a container-file reader and a
+  * `from_avro`-equivalent decode expression for Kafka values
+  * (reference capabilities: readers/SourceReaders.scala:525-554 avro file
+  * source; connections/kafka/KafkaConnection.scala:193-201 from_avro).
+  */
+object AvroSupport {
+
+  /** GenericRecord field value → external Row value (scalars + flat arrays;
+    * the reference's metric surface consumes scalar columns, §1.2). */
+  private def toExternal(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+    case (s: String, StringType) => s
+    case (e: org.apache.avro.generic.GenericEnumSymbol[_], StringType) => e.toString
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (x, ArrayType(et, _)) =>
+      x.asInstanceOf[java.util.Collection[_]].toArray.map(toExternal(_, et)).toSeq
+    case (r: GenericRecord, st: StructType) => recordToRow(r, st)
+    case (x, _) => x
+  }
+
+  def recordToRow(rec: GenericRecord, schema: StructType): Row =
+    Row.fromSeq(schema.fields.map { f =>
+      toExternal(rec.get(f.name), f.dataType)
+    }.toSeq)
+
+  /** GenericRecord field value → Catalyst internal value. */
+  private[sources] def toInternal(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: org.apache.avro.util.Utf8, StringType) => UTF8String.fromString(u.toString)
+    case (s: String, StringType) => UTF8String.fromString(s)
+    case (e: org.apache.avro.generic.GenericEnumSymbol[_], StringType) =>
+      UTF8String.fromString(e.toString)
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (x, ArrayType(et, _)) =>
+      new GenericArrayData(
+        x.asInstanceOf[java.util.Collection[_]].toArray.map(toInternal(_, et)))
+    case (r: GenericRecord, st: StructType) => recordToInternal(r, st)
+    case (x, _) => x
+  }
+
+  private[sources] def recordToInternal(rec: GenericRecord, schema: StructType): InternalRow =
+    InternalRow.fromSeq(schema.fields.map(f => toInternal(rec.get(f.name), f.dataType)).toSeq)
+
+  /** Avro container-file source: reads `.avro` files distributed (one input
+    * file per task — container blocks are not split; at 100 TB write many
+    * files, the standard avro layout), converting flat GenericRecords via
+    * the declared or embedded writer schema. */
+  def readAvroFiles(spark: SparkSession, path: String,
+      avscJson: Option[String] = None): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.getPath.getName.endsWith(".avro"))
+          .map(_.getPath.toString).toSeq.sorted
+      else Seq(path)
+    require(files.nonEmpty, s"no .avro files at $path")
+
+    // schema: declared .avsc wins; otherwise the first file's writer schema
+    val writerSchemaJson = avscJson.getOrElse {
+      val in = fs.open(new HPath(files.head))
+      try {
+        val dfs = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+        try dfs.getSchema.toString finally dfs.close()
+      } finally if (in != null) in.close()
+    }
+    val structType = SchemaDef.fromAvro(writerSchemaJson)
+
+    val rdd = spark.sparkContext.parallelize(files, files.size).flatMap { f =>
+      val hconf = new org.apache.hadoop.conf.Configuration()
+      val hp = new HPath(f)
+      val in = hp.getFileSystem(hconf).open(hp)
+      val reader = new GenericDatumReader[GenericRecord](
+        new Schema.Parser().parse(writerSchemaJson))
+      val dfs = new DataFileStream[GenericRecord](in, reader)
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = dfs.hasNext
+          if (!h) dfs.close()
+          h
+        }
+        def next(): Row = recordToRow(dfs.next(), structType)
+      }
+    }
+    spark.createDataFrame(rdd, structType)
+  }
+
+  def from_avro(c: Column, avscJson: String, confluentFraming: Boolean = false): Column =
+    Bridge.column(AvroDecode(Bridge.expression(c), avscJson, confluentFraming))
+}
+
+/** `from_avro`-equivalent scalar expression: binary column + writer schema →
+  * struct. `confluentFraming` skips the Schema Registry wire prefix (magic
+  * byte + 4-byte schema id) the reference's registry path produces
+  * (KafkaConnection.scala:193-201; actual registry lookups are a deploy-time
+  * concern — the payload schema must be supplied).
+  */
+case class AvroDecode(child: Expression, avscJson: String, confluentFraming: Boolean)
+  extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val schema = new Schema.Parser().parse(avscJson)
+  @transient private lazy val structType = SchemaDef.fromAvro(avscJson)
+  @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+
+  override def dataType: DataType = SchemaDef.fromAvro(avscJson)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"from_avro requires a binary column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val offset = if (confluentFraming) 5 else 0
+    val in = new ByteArrayInputStream(bytes, offset, bytes.length - offset)
+    val decoder = DecoderFactory.get().binaryDecoder(in, null)
+    AvroSupport.recordToInternal(reader.read(null, decoder), structType)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AvroDecode =
+    copy(child = newChild)
+
+  override def prettyName: String = "from_avro"
+}

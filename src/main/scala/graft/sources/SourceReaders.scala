@@ -11,8 +11,10 @@ final case class Source(
     df: DataFrame,
     keyFields: Seq[String] = Nil,
     parents: Seq[String] = Nil) {
-  require(keyFields.forall(df.columns.map(_.toLowerCase).contains),
-    s"keyFields ${keyFields.mkString(",")} must exist in source '$id'")
+  require({
+    val cols = df.columns.map(_.toLowerCase).toSet
+    keyFields.forall(k => cols.contains(k.toLowerCase))
+  }, s"keyFields ${keyFields.mkString(",")} must exist in source '$id'")
   def isStreaming: Boolean = df.isStreaming
 }
 
@@ -107,11 +109,27 @@ object SourceReaders {
       .option("url", url).option("dbtable", tableName)
       .options(connOptions).load())
 
-  /** Kafka batch/stream (ref: :213-256; value decode per format at
-    * KafkaConnection.scala:387-454). Requires the spark-sql-kafka connector
-    * on the deploy classpath. */
+  /** Kafka value-decode matrix — the reference's per-format decoding
+    * (KafkaConnection.scala:387-454: binary / string / json / xml / avro
+    * incl. Schema Registry framing at :193-201). */
+  sealed trait KafkaDecode
+  object KafkaDecode {
+    /** raw bytes pass-through. */
+    case object Binary extends KafkaDecode
+    case object AsString extends KafkaDecode
+    final case class Json(schema: StructType) extends KafkaDecode
+    final case class Xml(schema: StructType) extends KafkaDecode
+    /** binary-encoded avro; `confluentFraming` skips the registry wire
+      * prefix (magic byte + 4-byte schema id). */
+    final case class Avro(avscJson: String, confluentFraming: Boolean = false)
+      extends KafkaDecode
+  }
+
+  /** Kafka batch/stream (ref: :213-256). Requires the spark-sql-kafka
+    * connector on the deploy classpath; the decode column logic below is
+    * connector-independent and unit-tested against equivalent frames. */
   def kafka(spark: SparkSession, id: String, brokers: String, topic: String,
-      streaming: Boolean = true, decodeJsonSchema: Option[StructType] = None,
+      streaming: Boolean = true, decode: KafkaDecode = KafkaDecode.Binary,
       options: Map[String, String] = Map.empty): Source = {
     val kafkaOpts = Map(
       "kafka.bootstrap.servers" -> brokers,
@@ -119,15 +137,36 @@ object SourceReaders {
     val base =
       if (streaming) spark.readStream.format("kafka").options(kafkaOpts).load()
       else spark.read.format("kafka").options(kafkaOpts).load()
-    val decoded = decodeJsonSchema match {
-      case Some(s) => base.select(
-        col("key").cast("string"),
-        from_json(col("value").cast("string"), s).as("value"),
-        col("topic"), col("partition"), col("offset"), col("timestamp"))
-      case None => base
-    }
-    Source(id, decoded)
+    Source(id, decodeKafkaValue(base, decode))
   }
+
+  /** Applies the value decode to a kafka-shaped frame (key/value binary +
+    * topic/partition/offset/timestamp service columns). Split out so the
+    * decode matrix is testable without a broker. */
+  def decodeKafkaValue(df: DataFrame, decode: KafkaDecode): DataFrame = {
+    val service = Seq("topic", "partition", "offset", "timestamp")
+      .filter(df.columns.contains).map(col)
+    val valueCol = decode match {
+      case KafkaDecode.Binary => col("value")
+      case KafkaDecode.AsString => col("value").cast("string")
+      case KafkaDecode.Json(s) => from_json(col("value").cast("string"), s)
+      case KafkaDecode.Xml(s) => from_xml(col("value").cast("string"), s)
+      case KafkaDecode.Avro(avsc, framing) =>
+        AvroSupport.from_avro(col("value"), avsc, framing)
+    }
+    df.select((col("key").cast("string") +: valueCol.as("value") +: service): _*)
+  }
+
+  /** Avro container files — spark-avro's `format("avro")` when that jar is
+    * deployed; this built-in fallback reads via avro-core
+    * ([[AvroSupport.readAvroFiles]]), so the source works in minimal images
+    * too (ref: SourceReaders.scala:525-554). */
+  def avro(spark: SparkSession, id: String, path: String,
+      avscJson: Option[String] = None, useSparkAvro: Boolean = false): Source =
+    if (useSparkAvro) {
+      val r = spark.read.format("avro")
+      Source(id, avscJson.map(j => r.option("avroSchema", j)).getOrElse(r).load(path))
+    } else Source(id, AvroSupport.readAvroFiles(spark, path, avscJson))
 
   /** Arbitrary format + options (+ optional path) — the reference's escape
     * hatch (ref: :623-662). */

@@ -64,4 +64,10 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     val (tree, _) = planText(SparkEntry.queries("q_distinct_values")(spark, sf))
     "Exchange".r.findAllIn(tree).size should be <= 2
   }
+
+  test("q_dedup_embedding plans no nested-loop join (LSH-bucketed, not all-pairs)") {
+    val (_, full) = planText(SparkEntry.queries("q_dedup_embedding")(spark, sf))
+    full should not include "BroadcastNestedLoopJoin"
+    full should not include "CartesianProduct"
+  }
 }

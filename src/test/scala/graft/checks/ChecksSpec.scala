@@ -26,6 +26,15 @@ class ChecksSpec extends AnyFunSuite with Matchers {
     EqualToCheck("c", "missing", threshold = Some(1.0)).run(results).status shouldBe false
   }
 
+  test("DIFFER_BY_LT reference edge cases (DifferByLTCheckCalculator.scala:73-76)") {
+    val zs = Seq(mr("z1", 0.0), mr("z2", 0.0), mr("v", 5.0))
+    // base=compare=0 -> diff 0 -> passes any positive threshold
+    DifferByLtCheck("c", "z1", "z2", 0.01).run(zs).status shouldBe true
+    // compare=0, base!=0 -> diff 1
+    DifferByLtCheck("c", "v", "z1", 0.99).run(zs).status shouldBe false
+    DifferByLtCheck("c", "v", "z1", 1.01).run(zs).status shouldBe true
+  }
+
   test("expression check evaluates formula DSL over metric results") {
     ExpressionCheck("c", "{{ nulls }} / {{ rows }} < 0.05").run(results).status shouldBe true
     ExpressionCheck("c", "{{ nulls }} > 1 && {{ avg_len }} >= 12.5").run(results).status shouldBe true
@@ -37,7 +46,7 @@ class ChecksSpec extends AnyFunSuite with Matchers {
     def ev(f: String) = FormulaParser.evaluate(f, Map("x" -> 4.0, "y" -> -2.0))
     ev("abs({{y}})") shouldBe Right(2.0)
     ev("sqrt({{x}}) + 2 * 3") shouldBe Right(8.0)
-    ev("2 ^ 3 ^ 2") shouldBe Right(512.0) // right-assoc
+    ev("2 ^ 3 ^ 2") shouldBe Right(64.0) // left-assoc like the reference grammar
     ev("max({{x}}, 10) / min({{x}}, 2)") shouldBe Right(5.0)
     ev("CASE WHEN {{x}} > 5 THEN 1 WHEN {{x}} > 3 THEN 2 ELSE 3 END") shouldBe Right(2.0)
     ev("if ({{x}} == 4) 7 else 8") shouldBe Right(7.0)

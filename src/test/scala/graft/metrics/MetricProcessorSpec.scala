@@ -41,9 +41,13 @@ class MetricProcessorSpec extends AnyFunSuite with Matchers {
 
   test("EMPTY_VALUES") { run(EmptyValuesMetric("m", Seq("s1", "s2"))).value shouldBe 2.0 }
 
-  test("COMPLETENESS excludes empty strings by default") {
-    // s1: foo, "", null, foobar -> 2 ok; s2: 3 ok => 5/8
-    run(CompletenessMetric("m", Seq("s1", "s2"))).value shouldBe (5.0 / 8.0) +- eps
+  test("COMPLETENESS: only nulls incomplete by default; empties too when flagged") {
+    // reference semantics (BasicStringDFMetrics.scala:114-166):
+    // default -> s1: 3 non-null, s2: 4 non-null => 7/8
+    run(CompletenessMetric("m", Seq("s1", "s2"))).value shouldBe (7.0 / 8.0) +- eps
+    // includeEmptyStrings=true -> s1: foo,foobar = 2; s2: 3 non-empty => 5/8
+    run(CompletenessMetric("m", Seq("s1", "s2"), includeEmptyStrings = true))
+      .value shouldBe (5.0 / 8.0) +- eps
   }
 
   test("EMPTINESS counts nulls only by default") {
@@ -158,6 +162,18 @@ class MetricProcessorSpec extends AnyFunSuite with Matchers {
     val sc = MetricProcessor.processGroupingMetrics(df,
       Seq(SeqCompletenessMetric("sc", "k"))).head
     sc.value shouldBe (4.0 / 5.0) +- eps
+  }
+
+  test("DISTINCT_VALUES excludes the all-null tuple (ref GroupingDFMetrics:31-100)") {
+    val df = Seq[(Option[String], Option[String])](
+      (Some("a"), Some("x")), (Some("a"), None), (None, None), (None, None))
+      .toDF("u", "v")
+    MetricProcessor.processGroupingMetrics(df,
+      Seq(DistinctValuesMetric("d", Seq("u", "v")))).head.value shouldBe 2.0
+    // 1-row frame API agrees with the collect API
+    val frame = MetricProcessor.groupingMetricsFrame(df,
+      Seq(DistinctValuesMetric("d", Seq("u", "v"))))
+    frame.collect().head.getDouble(0) shouldBe 2.0
   }
 
   test("error dump is capped") {

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf-dir parquet tables, load the Spark result parquet written
+by graft.Verify, sort columns by name + rows by all columns, and compare
+values exactly. Usage: compare.py <sfDir> <verifyOutDir> [query ...]"""
+import json, sys, glob, os
+import duckdb, pandas as pd, numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify array/list cells so sort_values doesn't die (driver doesn't)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def cmp_frames(a: pd.DataFrame, b: pd.DataFrame):
+    if list(a.columns) != list(b.columns):
+        return False, f"schema {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return False, f"rows {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        for i in range(len(av)):
+            x, y = av[i], bv[i]
+            if pd.isna(x) and pd.isna(y):
+                continue
+            if isinstance(x, float) or isinstance(y, float):
+                if float(x) != float(y):
+                    return False, f"col {c} row {i}: {x!r} != {y!r} (diff {float(x)-float(y)})"
+            elif str(x) != str(y):
+                return False, f"col {c} row {i}: {x!r} ({type(x).__name__}) != {y!r} ({type(y).__name__})"
+    return True, "ok"
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d) or (only and name not in only):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        except Exception as e:
+            print(f"{name}: SPARK READ ERR {e}")
+            n_fail += 1
+            continue
+        if name not in oracle:
+            try:
+                c = canon(spark_df)
+                print(f"{name}: rows-only ({len(spark_df)} rows, sortable)")
+            except Exception as e:
+                print(f"{name}: rows-only SORT CRASH {type(e).__name__} {e}")
+                n_fail += 1
+            continue
+        try:
+            odf = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"{name}: ORACLE ERR {e}")
+            n_fail += 1
+            continue
+        try:
+            ok, msg = cmp_frames(canon(spark_df), canon(odf))
+        except Exception as e:
+            ok, msg = False, f"COMPARE CRASH {type(e).__name__} {e}"
+        print(f"{name}: {'PASS' if ok else 'FAIL ' + msg}")
+        n_pass += ok
+        n_fail += not ok
+    print(f"== {n_pass} pass / {n_fail} fail")
+
+if __name__ == "__main__":
+    main()
