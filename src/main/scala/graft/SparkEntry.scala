@@ -396,9 +396,11 @@ object SparkEntry {
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
+      // web-scale operating point: 16-bit blocks (4 tables, 65536 buckets
+      // per block), recall 1 for hamming <= 3
       import graft.operators.Dedup
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 7).orderBy(col("a"), col("b"))
+        maxHamming = 3, blockBits = 16).orderBy(col("a"), col("b"))
     }),
 
     "q_dedup_embedding" -> ((s, dir) => {

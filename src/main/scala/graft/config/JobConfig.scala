@@ -1,0 +1,281 @@
+package graft.config
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.checks._
+import graft.jobs._
+import graft.metrics._
+import graft.sources.{Source, SourceReaders}
+import graft.storage.{DqStorage, JdbcDqStorage, ParquetDqStorage}
+
+/** Declarative job configuration — the reference's primary UX is a config
+  * file describing sources, metrics, checks, storage and targets (HOCON
+  * jobconf model under config/jobconf, parsed+validated by
+  * config/validation/PreValidation.scala / PostValidation.scala, 801 LoC of
+  * cross-reference rules). Re-expressed here as a JSON job spec (Jackson is
+  * already on the Spark classpath) with the same two-phase model:
+  * parse (shape errors) then validate (cross-reference errors, ALL collected,
+  * not fail-fast) then build a [[graft.jobs.DqBatchJob]].
+  */
+object JobConfig {
+
+  final case class SourceConf(id: String, kind: String, path: String,
+      keyFields: Seq[String], options: Map[String, String])
+  final case class MetricConf(id: String, name: String, source: String,
+      columns: Seq[String], params: Map[String, String])
+  final case class ComposedConf(id: String, formula: String)
+  final case class CheckConf(id: String, kind: String, base: String,
+      compareMetric: Option[String], threshold: Option[Double],
+      formula: Option[String], critical: Boolean)
+  final case class LoadCheckConf(id: String, kind: String, count: Int,
+      columns: Seq[String])
+  final case class StorageConf(kind: String, location: String)
+  final case class Conf(
+      jobId: String,
+      sources: Seq[SourceConf],
+      loadChecks: Seq[LoadCheckConf],
+      metrics: Seq[MetricConf],
+      composed: Seq[ComposedConf],
+      checks: Seq[CheckConf],
+      storage: Option[StorageConf],
+      tolerance: Tolerance,
+      errorDumpSize: Int)
+
+  private val mapper = new ObjectMapper()
+
+  private def str(n: JsonNode, f: String, default: Option[String] = None): String =
+    Option(n.get(f)).map(_.asText).orElse(default)
+      .getOrElse(throw new IllegalArgumentException(s"missing field '$f' in ${n.toString.take(80)}"))
+
+  private def strSeq(n: JsonNode, f: String): Seq[String] =
+    Option(n.get(f)).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+
+  /** Phase 1: parse the JSON shape. Throws IllegalArgumentException with a
+    * precise message on malformed input (ref: PreValidation). */
+  def parse(json: String): Conf = {
+    val root = mapper.readTree(json)
+    def arr(f: String): Seq[JsonNode] =
+      Option(root.get(f)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    Conf(
+      jobId = str(root, "jobId"),
+      sources = arr("sources").map(s => SourceConf(
+        str(s, "id"), str(s, "kind"), str(s, "path"), strSeq(s, "keyFields"),
+        Option(s.get("options")).map(o => o.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty))),
+      loadChecks = arr("loadChecks").map(c => LoadCheckConf(
+        str(c, "id"), str(c, "kind"),
+        Option(c.get("count")).map(_.asInt).getOrElse(0), strSeq(c, "columns"))),
+      metrics = arr("metrics").map(m => MetricConf(
+        str(m, "id"), str(m, "name"), str(m, "source"), strSeq(m, "columns"),
+        Option(m.get("params")).map(p => p.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty))),
+      composed = arr("composedMetrics").map(c =>
+        ComposedConf(str(c, "id"), str(c, "formula"))),
+      checks = arr("checks").map(c => CheckConf(
+        str(c, "id"), str(c, "kind"), str(c, "base", Some("")),
+        Option(c.get("compareMetric")).map(_.asText),
+        Option(c.get("threshold")).map(_.asDouble),
+        Option(c.get("formula")).map(_.asText),
+        Option(c.get("critical")).exists(_.asBoolean))),
+      storage = Option(root.get("storage")).map(s =>
+        StorageConf(str(s, "kind"), str(s, "location"))),
+      tolerance = Option(root.get("tolerance")).map(_.asText.toLowerCase) match {
+        case Some("none") => Tolerance.None
+        case Some("all") => Tolerance.All
+        case _ => Tolerance.Critical
+      },
+      errorDumpSize = Option(root.get("errorDumpSize")).map(_.asInt).getOrElse(100))
+  }
+
+  /** Phase 2: cross-reference validation — ALL violations reported at once
+    * (the reference's PostValidation model). */
+  def validate(c: Conf): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    def dup(ids: Seq[String], what: String): Unit =
+      ids.groupBy(identity).filter(_._2.size > 1).keys
+        .foreach(id => errs += s"duplicate $what id '$id'")
+    dup(c.sources.map(_.id), "source")
+    dup(c.metrics.map(_.id) ++ c.composed.map(_.id), "metric")
+    dup(c.checks.map(_.id), "check")
+    val srcIds = c.sources.map(_.id).toSet
+    c.metrics.filterNot(m => srcIds(m.source))
+      .foreach(m => errs += s"metric '${m.id}' references unknown source '${m.source}'")
+    val metricIds = (c.metrics.map(_.id) ++ c.composed.map(_.id)).toSet
+    c.checks.filter(ch => ch.kind.toUpperCase != "EXPRESSION" && !metricIds(ch.base))
+      .foreach(ch => errs += s"check '${ch.id}' references unknown metric '${ch.base}'")
+    c.checks.filter(ch => ch.kind.toUpperCase != "EXPRESSION" &&
+        ch.compareMetric.isEmpty && ch.threshold.isEmpty)
+      .foreach(ch => errs += s"check '${ch.id}' needs compareMetric or threshold")
+    c.checks.filter(ch => ch.kind.toUpperCase == "EXPRESSION" && ch.formula.isEmpty)
+      .foreach(ch => errs += s"expression check '${ch.id}' needs a formula")
+    val refRe = "\\{\\{\\s*([\\w.\\-]+)\\s*\\}\\}".r
+    (c.composed.map(cc => cc.id -> cc.formula) ++
+      c.checks.flatMap(ch => ch.formula.map(ch.id -> _))).foreach { case (id, f) =>
+      refRe.findAllMatchIn(f).map(_.group(1)).filterNot(metricIds)
+        .foreach(ref => errs += s"formula of '$id' references unknown metric '$ref'")
+    }
+    errs.result()
+  }
+
+  /** Metric factory: config name → calculator (names follow the reference's
+    * MetricName enum, core/metrics/MetricName.scala:12-73). */
+  def metric(m: MetricConf): Either[RowMetric, GroupingMetric] = {
+    def p(key: String, default: String = null): String =
+      m.params.getOrElse(key,
+        Option(default).getOrElse(
+          throw new IllegalArgumentException(s"metric '${m.id}' needs param '$key'")))
+    def col1: String = m.columns.headOption.getOrElse(
+      throw new IllegalArgumentException(s"metric '${m.id}' needs a column"))
+    m.name.toUpperCase match {
+      case "ROW_COUNT" => Left(RowCountMetric(m.id))
+      case "NULL_VALUES" => Left(NullValuesMetric(m.id, m.columns))
+      case "EMPTY_VALUES" => Left(EmptyValuesMetric(m.id, m.columns))
+      case "COMPLETENESS" =>
+        Left(CompletenessMetric(m.id, m.columns, p("includeEmptyStrings", "false").toBoolean))
+      case "EMPTINESS" =>
+        Left(EmptinessMetric(m.id, m.columns, p("includeEmptyStrings", "false").toBoolean))
+      case "REGEX_MATCH" => Left(RegexMatchMetric(m.id, m.columns, p("regex")))
+      case "REGEX_MISMATCH" => Left(RegexMatchMetric(m.id, m.columns, p("regex"), mismatch = true))
+      case "MIN_STRING" => Left(StringLenExtremeMetric(m.id, m.columns, isMax = false))
+      case "MAX_STRING" => Left(StringLenExtremeMetric(m.id, m.columns, isMax = true))
+      case "AVG_STRING" => Left(AvgStringLenMetric(m.id, m.columns))
+      case "FORMATTED_DATE" => Left(FormattedDateMetric(m.id, m.columns,
+        p("format", "yyyy-MM-dd HH:mm:ss")))
+      case "STRING_LENGTH" => Left(StringLengthMetric(m.id, m.columns,
+        p("length").toInt, p("rule", "eq").toLowerCase match {
+          case "lt" => CompareRule.Lt
+          case "lte" => CompareRule.Lte
+          case "gt" => CompareRule.Gt
+          case "gte" => CompareRule.Gte
+          case _ => CompareRule.Eq
+        }))
+      case "STRING_IN_DOMAIN" =>
+        Left(StringDomainMetric(m.id, m.columns, p("domain").split(",").map(_.trim).toSet))
+      case "STRING_OUT_DOMAIN" =>
+        Left(StringDomainMetric(m.id, m.columns, p("domain").split(",").map(_.trim).toSet,
+          outbound = true))
+      case "STRING_VALUES" => Left(StringValuesMetric(m.id, m.columns, p("compareValue")))
+      case "MIN_NUMBER" => Left(NumberExtremeMetric(m.id, m.columns, isMax = false))
+      case "MAX_NUMBER" => Left(NumberExtremeMetric(m.id, m.columns, isMax = true))
+      case "SUM_NUMBER" => Left(SumNumberMetric(m.id, m.columns))
+      case "AVG_NUMBER" => Left(AvgNumberMetric(m.id, col1))
+      case "STD_NUMBER" => Left(StdNumberMetric(m.id, col1))
+      case "CASTED_NUMBER" => Left(CastedNumberMetric(m.id, m.columns))
+      case "FORMATTED_NUMBER" => Left(FormattedNumberMetric(m.id, m.columns,
+        p("precision").toInt, p("scale").toInt, p("outbound", "false").toBoolean))
+      case "NUMBER_IN_DOMAIN" =>
+        Left(NumberDomainMetric(m.id, m.columns, p("domain").split(",").map(_.trim.toDouble).toSet))
+      case "NUMBER_OUT_DOMAIN" =>
+        Left(NumberDomainMetric(m.id, m.columns, p("domain").split(",").map(_.trim.toDouble).toSet,
+          outbound = true))
+      case "NUMBER_VALUES" => Left(NumberValuesMetric(m.id, m.columns, p("compareValue").toDouble))
+      case "NUMBER_LESS_THAN" => Left(NumberCompareMetric(m.id, m.columns,
+        p("compareValue").toDouble, greater = false, p("includeBound", "false").toBoolean))
+      case "NUMBER_GREATER_THAN" => Left(NumberCompareMetric(m.id, m.columns,
+        p("compareValue").toDouble, greater = true, p("includeBound", "false").toBoolean))
+      case "NUMBER_BETWEEN" => Left(NumberBetweenMetric(m.id, m.columns,
+        p("lower").toDouble, p("upper").toDouble))
+      case "NUMBER_NOT_BETWEEN" => Left(NumberBetweenMetric(m.id, m.columns,
+        p("lower").toDouble, p("upper").toDouble, negate = true))
+      case "MEDIAN_VALUE" => Left(QuantileMetric(m.id, col1, 0.5))
+      case "FIRST_QUANTILE" => Left(QuantileMetric(m.id, col1, 0.25))
+      case "THIRD_QUANTILE" => Left(QuantileMetric(m.id, col1, 0.75))
+      case "GET_QUANTILE" => Left(QuantileMetric(m.id, col1, p("target").toDouble))
+      case "GET_PERCENTILE" => Left(PercentileAtValueMetric(m.id, col1, p("target").toDouble))
+      case "COVARIANCE" => Left(CovarianceMetric(m.id, m.columns(0), m.columns(1),
+        CovarianceMetric.Kind.Population))
+      case "COVARIANCE_BESSEL" => Left(CovarianceMetric(m.id, m.columns(0), m.columns(1),
+        CovarianceMetric.Kind.Sample))
+      case "CO_MOMENT" => Left(CovarianceMetric(m.id, m.columns(0), m.columns(1),
+        CovarianceMetric.Kind.CoMoment))
+      case "COLUMN_EQ" => Left(ColumnEqMetric(m.id, m.columns))
+      case "DAY_DISTANCE" => Left(DayDistanceMetric(m.id, m.columns(0), m.columns(1),
+        p("threshold").toInt, p("format", "yyyy-MM-dd")))
+      case "LEVENSHTEIN_DISTANCE" => Left(LevenshteinMetric(m.id, m.columns(0), m.columns(1),
+        p("threshold").toDouble, p("normalized", "false").toBoolean))
+      case "APPROXIMATE_DISTINCT_VALUES" =>
+        Left(ApproxDistinctMetric(m.id, col1, p("accuracyError", "0.01").toDouble))
+      case "APPROXIMATE_SEQUENCE_COMPLETENESS" =>
+        Left(ApproxSeqCompletenessMetric(m.id, col1, p("increment", "1").toLong))
+      case "TOP_N" => Left(TopNMetric(m.id, col1, p("targetNumber", "10").toInt,
+        p("maxCapacity", "1024").toInt))
+      case "DISTINCT_VALUES" => Right(DistinctValuesMetric(m.id, m.columns))
+      case "DUPLICATE_VALUES" => Right(DuplicateValuesMetric(m.id, m.columns))
+      case "SEQUENCE_COMPLETENESS" =>
+        Right(SeqCompletenessMetric(m.id, col1, p("increment", "1").toLong))
+      case other => throw new IllegalArgumentException(s"unknown metric name '$other'")
+    }
+  }
+
+  private def source(spark: SparkSession, s: SourceConf): Source = {
+    val opts = SourceReaders.ReadOpts(options = s.options)
+    s.kind.toLowerCase match {
+      case "parquet" => SourceReaders.parquet(spark, s.id, s.path, opts).copy(keyFields = s.keyFields)
+      case "orc" => SourceReaders.orc(spark, s.id, s.path, opts).copy(keyFields = s.keyFields)
+      case "json" => SourceReaders.json(spark, s.id, s.path, opts).copy(keyFields = s.keyFields)
+      case "csv" => SourceReaders.delimited(spark, s.id, s.path,
+        header = true, opts = opts).copy(keyFields = s.keyFields)
+      case "avro" => SourceReaders.avro(spark, s.id, s.path).copy(keyFields = s.keyFields)
+      case "table" => SourceReaders.table(spark, s.id, s.path).copy(keyFields = s.keyFields)
+      case other => throw new IllegalArgumentException(s"unknown source kind '$other'")
+    }
+  }
+
+  private def loadCheck(lc: LoadCheckConf): Source => CheckResult =
+    lc.kind.toUpperCase match {
+      case "EXACT_COLUMN_NUM" => s => LoadChecks.exactColumnNum(lc.id, s.df, lc.count)
+      case "MIN_COLUMN_NUM" => s => LoadChecks.minColumnNum(lc.id, s.df, lc.count)
+      case "COLUMNS_EXIST" => s => LoadChecks.columnsExist(lc.id, s.df, lc.columns)
+      case other => throw new IllegalArgumentException(s"unknown load check '$other'")
+    }
+
+  private def check(c: CheckConf): Either[CheckSpec, ExpressionCheckSpec] =
+    c.kind.toUpperCase match {
+      case "EQUAL_TO" =>
+        Left(CheckSpec(EqualToCheck(c.id, c.base, c.compareMetric, c.threshold), c.critical))
+      case "LESS_THAN" =>
+        Left(CheckSpec(LessThanCheck(c.id, c.base, c.compareMetric, c.threshold), c.critical))
+      case "GREATER_THAN" =>
+        Left(CheckSpec(GreaterThanCheck(c.id, c.base, c.compareMetric, c.threshold), c.critical))
+      case "DIFFER_BY_LT" =>
+        Left(CheckSpec(DifferByLtCheck(c.id, c.base, c.compareMetric.get,
+          c.threshold.get), c.critical))
+      case "EXPRESSION" =>
+        Right(ExpressionCheckSpec(ExpressionCheck(c.id, c.formula.get), c.critical))
+      case other => throw new IllegalArgumentException(s"unknown check kind '$other'")
+    }
+
+  /** Build a runnable job from validated config. */
+  def build(spark: SparkSession, c: Conf): DqBatchJob = {
+    val errs = validate(c)
+    require(errs.isEmpty, s"invalid job config:\n${errs.mkString("\n")}")
+    val srcs = c.sources.map(source(spark, _))
+    val byMetric = c.metrics.map(m => (m.source, metric(m)))
+    val storage: Option[DqStorage] = c.storage.map(s => s.kind.toLowerCase match {
+      case "parquet" => new ParquetDqStorage(spark, s.location)
+      case "jdbc" => new JdbcDqStorage(s.location)
+      case other => throw new IllegalArgumentException(s"unknown storage kind '$other'")
+    })
+    val parsedChecks = c.checks.map(check)
+    new DqBatchJob(spark, c.jobId, srcs,
+      loadChecks = c.loadChecks.map(loadCheck),
+      rowMetrics = byMetric.collect { case (s, Left(rm)) => (s, rm) }
+        .groupBy(_._1).map { case (s, ms) => s -> ms.map(_._2) },
+      groupingMetrics = byMetric.collect { case (s, Right(gm)) => (s, gm) }
+        .groupBy(_._1).map { case (s, ms) => s -> ms.map(_._2) },
+      composedMetrics = c.composed.map(cc => ComposedMetric(cc.id, cc.formula)),
+      checks = parsedChecks.collect { case Left(cs) => cs },
+      expressionChecks = parsedChecks.collect { case Right(es) => es },
+      storage = storage,
+      tolerance = c.tolerance,
+      errorDumpSize = c.errorDumpSize)
+  }
+
+  /** One-call entry: JSON file path → job. */
+  def fromFile(spark: SparkSession, path: String): DqBatchJob =
+    build(spark, parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path))))
+}

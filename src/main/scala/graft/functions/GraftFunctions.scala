@@ -37,5 +37,14 @@ object GraftFunctions {
       es => ShingleHashes(es.head, intArg(es(1), "n")), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("merge_list_limit",
+      es => MergeListLimit(es.head, intArg(es(1), "limit")).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("top_k_pairs",
+      es => TopKPairs(es.head, es(1), intArg(es(2), "k")).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_sigs",
+      es => HyperplaneSigs(es.head, intArg(es(1), "planes"), intArg(es(2), "tables")),
+      "scala_udf")
   }
 }

@@ -121,17 +121,29 @@ object Dedup {
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block-LSH candidates (8 blocks of 8 bits —
-    * pigeonhole guarantees recall for hamming ≤ 7) verified by exact
-    * hamming distance. */
+  /** SimHash near-dup pairs: block-LSH candidates verified by exact hamming
+    * distance. The 64-bit signature splits into 64/blockBits blocks; by
+    * pigeonhole, any pair within hamming (numBlocks-1) shares one unchanged
+    * block, so recall is 1 for maxHamming <= numBlocks-1.
+    *
+    * blockBits sets the scale/sensitivity trade: 8-bit blocks (8 tables)
+    * cover hamming <= 7 but give only 256 buckets per block — ~N/256 docs
+    * per bucket is quadratic-candidate territory at 10^9 docs (round-1
+    * weakness). 16-bit blocks (4 tables, 65536 buckets) are the web-scale
+    * point and still cover hamming <= 3, which for word-multiset simhash is
+    * a jaccard ~0.97 near-identical detector. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7): DataFrame = {
-    require(maxHamming <= 7, "8-block LSH guarantees recall only for hamming <= 7")
+      maxHamming: Int = 3, blockBits: Int = 16): DataFrame = {
+    require(64 % blockBits == 0, s"blockBits must divide 64, got $blockBits")
+    val numBlocks = 64 / blockBits
+    require(maxHamming <= numBlocks - 1,
+      s"$numBlocks-block LSH guarantees recall only for hamming <= ${numBlocks - 1}")
+    val mask = (1L << blockBits) - 1
     val sig = simHash(df, idCol, textCol)
     val blocked = sig.select(col("id"), col("simhash"),
-      explode(array((0 until 8).map(blk =>
+      explode(array((0 until numBlocks).map(blk =>
         struct(lit(blk).as("blk"),
-          shiftright(col("simhash"), blk * 8).bitwiseAND(255L).as("key"))): _*))
+          shiftright(col("simhash"), blk * blockBits).bitwiseAND(mask).as("key"))): _*))
         .as("b"))
     val x = blocked.select(col("b"), col("id").as("a"), col("simhash").as("ha"))
     val y = blocked.select(col("b"), col("id").as("b2"), col("simhash").as("hb"))

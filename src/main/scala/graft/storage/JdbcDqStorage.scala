@@ -1,0 +1,123 @@
+package graft.storage
+
+import java.sql.{Connection, DriverManager, Timestamp}
+import java.time.Instant
+
+import graft.checks.CheckResult
+import graft.metrics.{HistoryPoint, MetricResult}
+
+/** JDBC-backed DQ storage — the reference's primary backend (Slick models +
+  * Flyway migrations, core/storage/Models.scala:57-165,
+  * storage/MigrationRunner.scala), re-expressed as plain JDBC: schema
+  * migration = idempotent CREATE TABLE, inserts batched, history read via an
+  * indexed (job_id, metric_id, reference_ts) predicate. Column set mirrors
+  * `ResultMetricRegular` / `ResultCheck`. Works against any JDBC URL; specs
+  * run it on embedded Derby (`jdbc:derby:memory:...;create=true`, the one
+  * JDBC engine on the Spark classpath).
+  *
+  * Driver-side by design — results are O(#metrics) rows per run, exactly like
+  * the reference's storage managers.
+  */
+final class JdbcDqStorage(url: String, props: java.util.Properties = new java.util.Properties())
+  extends DqStorage with AutoCloseable {
+
+  private val conn: Connection = DriverManager.getConnection(url, props)
+  conn.setAutoCommit(false)
+  migrate()
+
+  /** Idempotent schema migration (Flyway-equivalent for the two tables). */
+  private def migrate(): Unit = {
+    val ddl = Seq(
+      """CREATE TABLE results_metrics (
+           job_id VARCHAR(256) NOT NULL,
+           metric_id VARCHAR(256) NOT NULL,
+           metric_name VARCHAR(128) NOT NULL,
+           source_id VARCHAR(256),
+           columns VARCHAR(2048),
+           result DOUBLE NOT NULL,
+           additional_result VARCHAR(2048),
+           reference_ts TIMESTAMP NOT NULL)""",
+      """CREATE INDEX idx_results_metrics
+         ON results_metrics (job_id, metric_id, reference_ts)""",
+      """CREATE TABLE results_checks (
+           job_id VARCHAR(256) NOT NULL,
+           check_id VARCHAR(256) NOT NULL,
+           check_name VARCHAR(128) NOT NULL,
+           base_metric VARCHAR(256),
+           status VARCHAR(16) NOT NULL,
+           message VARCHAR(4096),
+           reference_ts TIMESTAMP NOT NULL)""")
+    ddl.foreach { stmt =>
+      val s = conn.createStatement()
+      try { s.execute(stmt); conn.commit() }
+      catch { case _: java.sql.SQLException => conn.rollback() } // already exists
+      finally s.close()
+    }
+  }
+
+  override def saveMetrics(jobId: String, referenceTs: Instant,
+      results: Seq[MetricResult]): Unit = {
+    val ps = conn.prepareStatement(
+      "INSERT INTO results_metrics VALUES (?,?,?,?,?,?,?,?)")
+    try {
+      results.foreach { r =>
+        ps.setString(1, jobId)
+        ps.setString(2, r.metricId)
+        ps.setString(3, r.metricName)
+        ps.setString(4, r.sourceId)
+        ps.setString(5, r.columns.mkString(","))
+        ps.setDouble(6, r.value)
+        ps.setString(7, r.additional.getOrElse(""))
+        ps.setTimestamp(8, Timestamp.from(referenceTs))
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      conn.commit()
+    } finally ps.close()
+  }
+
+  override def saveChecks(jobId: String, referenceTs: Instant,
+      checks: Seq[CheckResult]): Unit = {
+    val ps = conn.prepareStatement(
+      "INSERT INTO results_checks VALUES (?,?,?,?,?,?,?)")
+    try {
+      checks.foreach { c =>
+        ps.setString(1, jobId)
+        ps.setString(2, c.checkId)
+        ps.setString(3, c.checkName)
+        ps.setString(4, c.baseMetric)
+        ps.setString(5, if (c.status) "Success" else "Failure")
+        ps.setString(6, c.message.take(4096))
+        ps.setTimestamp(7, Timestamp.from(referenceTs))
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      conn.commit()
+    } finally ps.close()
+  }
+
+  override def metricHistory(jobId: String, metricId: String,
+      before: Instant): Seq[HistoryPoint] = {
+    val ps = conn.prepareStatement(
+      """SELECT reference_ts, result FROM results_metrics
+         WHERE job_id = ? AND metric_id = ? AND reference_ts < ?
+         ORDER BY reference_ts""")
+    try {
+      ps.setString(1, jobId)
+      ps.setString(2, metricId)
+      ps.setTimestamp(3, Timestamp.from(before))
+      val rs = ps.executeQuery()
+      val out = Seq.newBuilder[HistoryPoint]
+      while (rs.next())
+        out += HistoryPoint(rs.getTimestamp(1).toInstant, rs.getDouble(2))
+      rs.close()
+      conn.commit() // end the read transaction (Derby refuses close mid-txn)
+      out.result()
+    } finally ps.close()
+  }
+
+  override def close(): Unit = {
+    try conn.rollback() catch { case _: java.sql.SQLException => }
+    conn.close()
+  }
+}

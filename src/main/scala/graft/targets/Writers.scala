@@ -95,4 +95,74 @@ object Notifications {
         .mkString("\n")))
     Message(s"[DQ] $jobId: ${failed.size} check failure(s)", body, recipients)
   }
+
+  /** Plain-socket SMTP transport (capability parity with the reference's
+    * writers/EmailWriter.scala without a mail jar — SMTP is a line
+    * protocol). No TLS/auth: point it at a relay, as the reference's default
+    * config does. */
+  final class SmtpTransport(host: String, port: Int, from: String) extends Transport {
+    override def send(m: Message): Unit = {
+      val socket = new java.net.Socket(host, port)
+      try {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(socket.getInputStream, "UTF-8"))
+        val out = new java.io.PrintWriter(
+          new java.io.OutputStreamWriter(socket.getOutputStream, "UTF-8"))
+        def expect(codes: String*): Unit = {
+          var line = in.readLine()
+          while (line != null && line.length >= 4 && line.charAt(3) == '-')
+            line = in.readLine() // multi-line reply
+          require(line != null && codes.exists(line.startsWith),
+            s"SMTP: expected ${codes.mkString("/")}, got $line")
+        }
+        def cmd(c: String, codes: String*): Unit = {
+          out.print(c + "\r\n"); out.flush(); expect(codes: _*)
+        }
+        expect("220")
+        cmd(s"HELO graft", "250")
+        cmd(s"MAIL FROM:<$from>", "250")
+        m.recipients.foreach(r => cmd(s"RCPT TO:<$r>", "250", "251"))
+        cmd("DATA", "354")
+        val headers = Seq(
+          s"From: $from",
+          s"To: ${m.recipients.mkString(", ")}",
+          s"Subject: ${m.subject}",
+          "MIME-Version: 1.0",
+          "Content-Type: text/plain; charset=UTF-8")
+        // dot-stuff body lines per RFC 5321 §4.5.2
+        val body = m.body.split("\n", -1)
+          .map(l => if (l.startsWith(".")) "." + l else l)
+        out.print((headers ++ Seq("") ++ body).mkString("", "\r\n", "\r\n.\r\n"))
+        out.flush(); expect("250")
+        cmd("QUIT", "221")
+      } finally socket.close()
+    }
+  }
+
+  /** Mattermost incoming-webhook transport (ref: writers/MMWriter.scala) —
+    * one JSON POST. */
+  final class MattermostTransport(webhookUrl: String) extends Transport {
+    override def send(m: Message): Unit = {
+      val conn = new java.net.URI(webhookUrl).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setDoOutput(true)
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val payload = s"""{"text": "**${esc(m.subject)}**\\n${esc(m.body)}"}"""
+      val os = conn.getOutputStream
+      try os.write(payload.getBytes("UTF-8")) finally os.close()
+      val code = conn.getResponseCode
+      require(code >= 200 && code < 300, s"webhook POST failed: HTTP $code")
+      conn.disconnect()
+    }
+  }
 }

@@ -1,0 +1,109 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Declarative-job config: parse → validate (all errors at once) → build →
+  * run end-to-end on real parquet (the reference's jobconf UX,
+  * config/validation/PostValidation.scala cross-reference rules). */
+class JobConfigSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  private val goodJson =
+    """{
+      "jobId": "cfg_job",
+      "sources": [
+        {"id": "lineitem", "kind": "parquet",
+         "path": "/root/testdata/sf0.001/lineitem.parquet",
+         "keyFields": ["l_orderkey", "l_linenumber"]}
+      ],
+      "loadChecks": [
+        {"id": "lc_cols", "kind": "MIN_COLUMN_NUM", "count": 5},
+        {"id": "lc_exist", "kind": "COLUMNS_EXIST", "columns": ["l_quantity"]}
+      ],
+      "metrics": [
+        {"id": "rows", "name": "ROW_COUNT", "source": "lineitem"},
+        {"id": "avg_qty", "name": "AVG_NUMBER", "source": "lineitem",
+         "columns": ["l_quantity"]},
+        {"id": "qty_p50", "name": "MEDIAN_VALUE", "source": "lineitem",
+         "columns": ["l_quantity"]},
+        {"id": "flag_re", "name": "REGEX_MATCH", "source": "lineitem",
+         "columns": ["l_returnflag"], "params": {"regex": "^[ANR]$"}},
+        {"id": "flags", "name": "DISTINCT_VALUES", "source": "lineitem",
+         "columns": ["l_returnflag"]}
+      ],
+      "composedMetrics": [
+        {"id": "qty_x2", "formula": "{{ avg_qty }} * 2"}
+      ],
+      "checks": [
+        {"id": "ck_rows", "kind": "GREATER_THAN", "base": "rows",
+         "threshold": 100, "critical": true},
+        {"id": "ck_flags", "kind": "EQUAL_TO", "base": "flags", "threshold": 3},
+        {"id": "ck_expr", "kind": "EXPRESSION",
+         "formula": "{{ qty_x2 }} > {{ avg_qty }} && {{ flag_re }} == {{ rows }}"}
+      ],
+      "tolerance": "critical",
+      "errorDumpSize": 50
+    }"""
+
+  test("config-declared job parses, validates, builds and passes end-to-end") {
+    val conf = JobConfig.parse(goodJson)
+    JobConfig.validate(conf) shouldBe empty
+    val result = JobConfig.build(spark, conf)
+      .run(java.time.Instant.parse("2026-08-01T00:00:00Z"))
+    result.passed shouldBe true
+    result.metrics.map(_.metricId) should contain allOf
+      ("rows", "avg_qty", "qty_p50", "flag_re", "flags", "qty_x2")
+    result.metrics.find(_.metricId == "rows").get.value shouldBe 6000.0
+    result.metrics.find(_.metricId == "flags").get.value shouldBe 3.0
+    result.checks.map(_._1.checkId).toSet shouldBe Set("ck_rows", "ck_flags", "ck_expr")
+    result.checks.foreach { case (r, _) => r.status shouldBe true }
+  }
+
+  test("cross-reference validation collects every violation at once") {
+    val bad =
+      """{
+        "jobId": "bad",
+        "sources": [
+          {"id": "s1", "kind": "parquet", "path": "/x"},
+          {"id": "s1", "kind": "parquet", "path": "/y"}
+        ],
+        "metrics": [
+          {"id": "m1", "name": "ROW_COUNT", "source": "nope"}
+        ],
+        "composedMetrics": [
+          {"id": "c1", "formula": "{{ ghost }} + 1"}
+        ],
+        "checks": [
+          {"id": "k1", "kind": "GREATER_THAN", "base": "missing"},
+          {"id": "k2", "kind": "EXPRESSION"}
+        ]
+      }"""
+    val errs = JobConfig.validate(JobConfig.parse(bad))
+    errs.exists(_.contains("duplicate source id 's1'")) shouldBe true
+    errs.exists(_.contains("unknown source 'nope'")) shouldBe true
+    errs.exists(_.contains("unknown metric 'missing'")) shouldBe true
+    errs.exists(_.contains("needs compareMetric or threshold")) shouldBe true
+    errs.exists(_.contains("needs a formula")) shouldBe true
+    errs.exists(_.contains("unknown metric 'ghost'")) shouldBe true
+    errs.size should be >= 6
+    an[IllegalArgumentException] should be thrownBy
+      JobConfig.build(spark, JobConfig.parse(bad))
+  }
+
+  test("metric factory covers the MetricName surface incl. params") {
+    def m(name: String, cols: Seq[String] = Seq("c"),
+        params: Map[String, String] = Map.empty) =
+      JobConfig.metric(JobConfig.MetricConf("id", name, "s", cols, params))
+    m("STRING_LENGTH", params = Map("length" -> "5", "rule" -> "gte"))
+      .isLeft shouldBe true
+    m("NUMBER_BETWEEN", params = Map("lower" -> "1", "upper" -> "2")).isLeft shouldBe true
+    m("TOP_N", params = Map("targetNumber" -> "3")).isLeft shouldBe true
+    m("DUPLICATE_VALUES").isRight shouldBe true
+    m("SEQUENCE_COMPLETENESS").isRight shouldBe true
+    an[IllegalArgumentException] should be thrownBy m("NO_SUCH_METRIC")
+    an[IllegalArgumentException] should be thrownBy m("REGEX_MATCH") // missing regex param
+  }
+}

@@ -35,5 +35,31 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers {
     val sc = spark.sql("SELECT score_doc('val x = 1') AS s").select("s.kn_ppl")
       .collect().head.getDouble(0)
     sc should be > 1.0
+
+    spark.sql("SELECT merge_list_limit(a, 3) AS m FROM " +
+      "(SELECT array(v, v) AS a FROM t)")
+      .collect().head.getSeq[String](0) should have size 3
+
+    spark.sql("SELECT size(hyperplane_sigs(array(1.0d, 0.5d), 6, 48)) AS n")
+      .collect().head.getInt(0) shouldBe 48
+  }
+
+  test("top_k_pairs: bounded heap equals sort-based top-k, merges across partitions") {
+    import org.apache.spark.sql.functions._
+    // 1000 (score, id) rows over 3 groups, scores engineered with ties
+    val rows = (0 until 1000).map { i =>
+      (i % 3, (i % 7).toDouble, i.toLong)
+    }
+    val df = rows.toDF("g", "score", "id").repartition(8)
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.api.top_k_pairs(col("score"), col("id"), 5).as("tk"))
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getLong(0), e.getDouble(1))))
+      .toMap
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._3, r._2)).sortBy { case (id, s) => (-s, id) }.take(5)
+    }
+    got.keySet shouldBe expect.keySet
+    got.foreach { case (g, tk) => tk.toList shouldBe expect(g).toList }
   }
 }

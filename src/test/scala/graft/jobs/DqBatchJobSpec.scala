@@ -83,6 +83,31 @@ class DqBatchJobSpec extends AnyFunSuite with Matchers {
       TrendMetrics.ByRecords(30), Instant.now()).value shouldBe 31.0 +- 0.2
   }
 
+  test("JDBC storage backend (embedded Derby) mirrors the parquet lifecycle") {
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("derby-home").toString)
+    val storage = new graft.storage.JdbcDqStorage(
+      "jdbc:derby:memory:graftdq;create=true")
+    try {
+      val t0 = Instant.parse("2026-08-01T00:00:00Z")
+      val job = new DqBatchJob(spark, "dqj", Seq(src),
+        rowMetrics = Map("lineitem" -> Seq(RowCountMetric("rows"))),
+        checks = Seq(CheckSpec(GreaterThanCheck("ck", "rows", threshold = Some(1.0)))),
+        storage = Some(storage))
+      job.run(t0).passed shouldBe true
+      job.run(t0.plusSeconds(86400)).passed shouldBe true
+      // history read-back: strictly-before filter, chronological order
+      storage.metricHistory("dqj", "rows", t0.plusSeconds(2 * 86400))
+        .map(_.value) shouldBe Seq(6000.0, 6000.0)
+      storage.metricHistory("dqj", "rows", t0.plusSeconds(1))
+        .map(_.value) shouldBe Seq(6000.0)
+      // migration is idempotent: a second storage on the same DB reuses tables
+      val again = new graft.storage.JdbcDqStorage("jdbc:derby:memory:graftdq")
+      again.metricHistory("dqj", "rows", t0.plusSeconds(2 * 86400)) should have size 2
+      again.close()
+    } finally storage.close()
+  }
+
   test("tolerance modes") {
     val base = new DqBatchJob(spark, "t", Seq(src),
       rowMetrics = Map("lineitem" -> Seq(RowCountMetric("rows"))),

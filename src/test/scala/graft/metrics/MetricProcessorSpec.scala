@@ -176,6 +176,26 @@ class MetricProcessorSpec extends AnyFunSuite with Matchers {
     frame.collect().head.getDouble(0) shouldBe 2.0
   }
 
+  test("grouping error dumps carry per-row payloads (two-stage capped merge)") {
+    // ref semantics (GroupingDFMetrics.scala:167-168 + MergeListWithLimit):
+    // DUPLICATE_VALUES errors are the rows of duplicated groups, with
+    // keyFields prepended to the metric columns
+    val df = Seq(("r1", "a"), ("r2", "a"), ("r3", "b"), ("r4", "c"), ("r5", "c"))
+      .toDF("rowkey", "v")
+    val r = MetricProcessor.processGroupingMetrics(df,
+      Seq(DuplicateValuesMetric("dup", Seq("v"))),
+      MetricProcessor.Config(keyFields = Seq("rowkey"))).head
+    r.value shouldBe 2.0
+    // payloads: both rows of group a and both of group c
+    r.errors.map(_.toList).toSet shouldBe Set(
+      List("r1", "a"), List("r2", "a"), List("r4", "c"), List("r5", "c"))
+    // cap applies across the flattened payloads
+    val capped = MetricProcessor.processGroupingMetrics(df,
+      Seq(DuplicateValuesMetric("dup", Seq("v"))),
+      MetricProcessor.Config(keyFields = Seq("rowkey"), errorDumpSize = 3)).head
+    capped.errors should have size 3
+  }
+
   test("error dump is capped") {
     val df = spark.range(1000).selectExpr("cast(null as string) as s")
     val r = MetricProcessor.processRowMetrics(df,

@@ -36,10 +36,26 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     // sketch at hamming<=7 is a near-identical detector, not a 0.8-jaccard one.
     val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.95)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 7)
+    val sim = Dedup.simHashPairs(docs, "doc_id", "text",
+      maxHamming = 7, blockBits = 8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     planted.nonEmpty shouldBe true
     (planted -- sim) shouldBe empty
+  }
+
+  test("simhash 16-bit banding recall equals brute-force hamming <= 3") {
+    // banded candidates + verify must equal the all-pairs hamming filter —
+    // the pigeonhole guarantee (4 blocks cover hamming <= numBlocks-1 = 3)
+    val sigs = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val banded = Dedup.simHashPairs(docs, "doc_id", "text",
+      maxHamming = 3, blockBits = 16)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    banded shouldBe brute
   }
 
   test("embedding cosine pairs and brute-force top-k agree with each other") {

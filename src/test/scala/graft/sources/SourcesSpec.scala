@@ -54,6 +54,91 @@ class SourcesSpec extends AnyFunSuite with Matchers {
       SourceReaders.delimited(spark, "bad", s"$tmp/c") // headerless without schema
   }
 
+  private val avroSchemaJson =
+    """{"type":"record","name":"evt","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":["null","string"]},
+      |{"name":"score","type":"double"}]}""".stripMargin
+
+  private def writeAvroFile(path: java.io.File, rows: Seq[(Long, String, Double)]): Unit = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new Schema.Parser().parse(avroSchemaJson)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path)
+    rows.foreach { case (id, name, score) =>
+      val r = new GenericData.Record(schema)
+      r.put("id", id); r.put("name", name); r.put("score", score)
+      w.append(r)
+    }
+    w.close()
+  }
+
+  test("avro container files read without spark-avro (avro-core fallback)") {
+    val dir = new java.io.File(tmp, "avrosrc"); dir.mkdirs()
+    writeAvroFile(new java.io.File(dir, "part0.avro"),
+      Seq((1L, "a", 0.5), (2L, null, 1.5)))
+    writeAvroFile(new java.io.File(dir, "part1.avro"), Seq((3L, "c", 2.5)))
+    val src = SourceReaders.avro(spark, "av", dir.toString)
+    src.df.schema.fieldNames.toSeq shouldBe Seq("id", "name", "score")
+    val rows = src.df.orderBy("id").collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    rows(1).isNullAt(1) shouldBe true
+    rows(2).getString(1) shouldBe "c"
+    rows.map(_.getDouble(2)).sum shouldBe 4.5
+    // declared .avsc schema path
+    SourceReaders.avro(spark, "av2", dir.toString, Some(avroSchemaJson))
+      .df.count() shouldBe 3
+  }
+
+  test("kafka value decode matrix: string / json / xml / avro (incl. registry framing)") {
+    import org.apache.spark.sql.functions._
+    // binary-avro payloads built with avro-core, framed and unframed
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    val schema = new Schema.Parser().parse(avroSchemaJson)
+    def avroBytes(id: Long, name: String, score: Double, framing: Boolean): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      if (framing) bos.write(Array[Byte](0, 0, 0, 0, 42)) // magic + schema id
+      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      val r = new GenericData.Record(schema)
+      r.put("id", id); r.put("name", name); r.put("score", score)
+      new GenericDatumWriter[GenericRecord](schema).write(r, enc)
+      enc.flush()
+      bos.toByteArray
+    }
+    def kafkaShaped(value: Array[Byte]) =
+      Seq((Array[Byte](107), value, "t", 0, 0L, new java.sql.Timestamp(0)))
+        .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+
+    val jsonDf = SourceReaders.decodeKafkaValue(
+      kafkaShaped("""{"id":7,"name":"x"}""".getBytes), SourceReaders.KafkaDecode.Json(
+        StructType(Seq(StructField("id", LongType), StructField("name", StringType)))))
+    jsonDf.select("value.id", "value.name").collect().head.toSeq shouldBe Seq(7L, "x")
+
+    val xmlDf = SourceReaders.decodeKafkaValue(
+      kafkaShaped("<r><id>9</id><name>y</name></r>".getBytes), SourceReaders.KafkaDecode.Xml(
+        StructType(Seq(StructField("id", LongType), StructField("name", StringType)))))
+    xmlDf.select("value.id", "value.name").collect().head.toSeq shouldBe Seq(9L, "y")
+
+    val strDf = SourceReaders.decodeKafkaValue(
+      kafkaShaped("plain".getBytes), SourceReaders.KafkaDecode.AsString)
+    strDf.select("value").collect().head.getString(0) shouldBe "plain"
+
+    val avroDf = SourceReaders.decodeKafkaValue(
+      kafkaShaped(avroBytes(5L, "z", 2.25, framing = false)),
+      SourceReaders.KafkaDecode.Avro(avroSchemaJson))
+    avroDf.select("value.id", "value.name", "value.score").collect().head.toSeq shouldBe
+      Seq(5L, "z", 2.25)
+
+    val framedDf = SourceReaders.decodeKafkaValue(
+      kafkaShaped(avroBytes(6L, "w", 3.5, framing = true)),
+      SourceReaders.KafkaDecode.Avro(avroSchemaJson, confluentFraming = true))
+    framedDf.select("value.id").collect().head.getLong(0) shouldBe 6L
+  }
+
   test("fixed-width reader parses by positions and casts") {
     Files.writeString(java.nio.file.Paths.get(s"$tmp/fixed.txt"),
       "alice  34\nbob    27\n")

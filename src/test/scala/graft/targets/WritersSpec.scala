@@ -50,4 +50,67 @@ class WritersSpec extends AnyFunSuite with Matchers {
     Notifications.render("hello {{ name }}!", Map("name" -> "world")) shouldBe "hello world!"
     Notifications.render("{{ missing }}", Map.empty) shouldBe ""
   }
+
+  test("SMTP transport speaks the protocol against a local fake server") {
+    val server = new java.net.ServerSocket(0)
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+      val out = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"))
+      def reply(r: String): Unit = { out.print(r + "\r\n"); out.flush() }
+      reply("220 fake ESMTP")
+      var line = in.readLine()
+      val sb = new StringBuilder
+      var inData = false
+      while (line != null) {
+        if (inData) {
+          if (line == ".") { inData = false; reply("250 ok: queued") }
+          else sb.append(line).append("\n")
+        } else {
+          sb.append(line).append("\n")
+          line.takeWhile(_ != ' ') match {
+            case "HELO" => reply("250 fake")
+            case "MAIL" | "RCPT" => reply("250 ok")
+            case "DATA" => reply("354 go"); inData = true
+            case "QUIT" => reply("221 bye"); line = null
+            case _ => reply("250 ok")
+          }
+        }
+        if (line != null) line = in.readLine()
+      }
+      received.put(sb.toString)
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+    new Notifications.SmtpTransport("127.0.0.1", server.getLocalPort, "dq@example.org")
+      .send(Notifications.Message("alert", "line1\n.dotted", Seq("ops@example.org")))
+    val transcript = received.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+    server.close()
+    transcript should include("MAIL FROM:<dq@example.org>")
+    transcript should include("RCPT TO:<ops@example.org>")
+    transcript should include("Subject: alert")
+    transcript should include("..dotted") // RFC 5321 dot-stuffing
+  }
+
+  test("Mattermost webhook transport POSTs JSON to a local fake endpoint") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val bodyRef = new java.util.concurrent.atomic.AtomicReference[String]()
+    server.createContext("/hook", (ex: com.sun.net.httpserver.HttpExchange) => {
+      bodyRef.set(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      ex.sendResponseHeaders(200, 2)
+      ex.getResponseBody.write("ok".getBytes); ex.close()
+    })
+    server.start()
+    try {
+      new Notifications.MattermostTransport(
+        s"http://127.0.0.1:${server.getAddress.getPort}/hook")
+        .send(Notifications.Message("dq \"alert\"", "all good", Nil))
+      bodyRef.get should include("**dq \\\"alert\\\"**")
+      bodyRef.get should include("all good")
+    } finally server.stop(0)
+  }
 }
