@@ -454,9 +454,12 @@ object SparkEntry {
     }),
 
     "q_multimodal_features" -> ((s, _) => {
+      // real pure-JVM codecs (BMP/WAV/frame container): width/height/rate
+      // are decoded from the binary payload, not echoed metadata
       import graft.operators.Multimodal
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 500L))
-        .toDF.select(col("media_id"), col("kind"), col("n_bytes"))
+        .toDF.select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"), col("sample_rate"))
         .orderBy(col("media_id"))
     }),
 

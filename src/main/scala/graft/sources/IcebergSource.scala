@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Iceberg catalog wiring (reference:
+  * connections/iceberg/IcebergConnection.scala:45-72): an Iceberg
+  * "connection" is nothing but Spark conf — register a catalog
+  * implementation + its properties, then read tables with `spark.table` so
+  * Catalyst gets Iceberg's partition pruning, metadata-only scans and
+  * snapshot options natively.
+  *
+  * The iceberg-spark-runtime jar is deploy-time (absent in this image);
+  * everything here is plain Spark conf/API and compiles without it.
+  * `available` gates the integration spec, mirroring the reference's
+  * integration-tagged IcebergRestCatalogSpec.
+  */
+object IcebergSource {
+
+  sealed trait CatalogKind { def impl: String }
+  object CatalogKind {
+    case object Hadoop extends CatalogKind { val impl = "hadoop" }
+    case object Hive extends CatalogKind { val impl = "hive" }
+    case object Rest extends CatalogKind { val impl = "rest" }
+  }
+
+  /** Register an Iceberg catalog on the session (idempotent — Spark conf). */
+  def configureCatalog(spark: SparkSession, name: String, kind: CatalogKind,
+      warehouse: Option[String] = None, uri: Option[String] = None,
+      extra: Map[String, String] = Map.empty): Unit = {
+    val base = s"spark.sql.catalog.$name"
+    spark.conf.set(base, "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set(s"$base.type", kind.impl)
+    warehouse.foreach(w => spark.conf.set(s"$base.warehouse", w))
+    uri.foreach(u => spark.conf.set(s"$base.uri", u))
+    extra.foreach { case (k, v) => spark.conf.set(s"$base.$k", v) }
+  }
+
+  /** Read `catalog.db.table` — Iceberg scans arrive as ordinary V2 relations,
+    * so filters/pruning push down like any other source. `snapshotId` /
+    * `asOfTimestamp` select a point-in-time snapshot (time travel). */
+  def table(spark: SparkSession, id: String, fqTable: String,
+      snapshotId: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None,
+      keyFields: Seq[String] = Nil): Source = {
+    val reader = spark.read.format("iceberg")
+    val withOpts = (snapshotId, asOfTimestampMs) match {
+      case (Some(s), _) => reader.option("snapshot-id", s.toString)
+      case (_, Some(t)) => reader.option("as-of-timestamp", t.toString)
+      case _ => reader
+    }
+    val df =
+      if (snapshotId.isEmpty && asOfTimestampMs.isEmpty) spark.table(fqTable)
+      else withOpts.load(fqTable)
+    Source(id, df, keyFields)
+  }
+
+  /** True when the iceberg-spark runtime is on the classpath — gates
+    * integration specs. */
+  def available: Boolean =
+    try { Class.forName("org.apache.iceberg.spark.SparkCatalog"); true }
+    catch { case _: ClassNotFoundException => false }
+}

@@ -118,5 +118,39 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     f1.map(_.feature.toSeq) shouldBe f2.map(_.feature.toSeq)
     f1.foreach(_.feature.length shouldBe Multimodal.FeatureDim)
     f1.map(_.kind).toSet shouldBe Set("image", "audio", "video")
+    // decoded dims/rate come from the PAYLOAD and must equal the generator's
+    val rows = m.collect().sortBy(_.media_id)
+    f1.zip(rows).foreach { case (f, r) =>
+      f.kind match {
+        case "image" => (f.width, f.height) shouldBe ((r.width, r.height))
+        case "audio" => f.sample_rate shouldBe r.sample_rate
+        case "video" => (f.width, f.height) shouldBe ((r.width, r.height))
+      }
+    }
+  }
+
+  test("BMP/WAV codecs: encode-decode round trips, resize, sine RMS") {
+    // BMP round trip, including rows needing padding (width % 4 != 0)
+    val img = Multimodal.encodeBmp(7, 5, (x, y) => (x * 37 << 16) | (y * 51 << 8) | 128)
+    val dec = Multimodal.decodeBmp(img)
+    (dec.width, dec.height) shouldBe ((7, 5))
+    dec.pixel(3, 2) shouldBe ((3 * 37 << 16) | (2 * 51 << 8) | 128)
+    // nearest-neighbor resize re-encodes real bytes
+    val resized = Multimodal.decodeBmp(Multimodal.resizeBmp(img, 14, 10))
+    (resized.width, resized.height) shouldBe ((14, 10))
+    resized.pixel(6, 4) shouldBe dec.pixel(3, 2)
+    // WAV round trip + RMS of a full-scale sine = 1/sqrt(2)
+    val rate = 16000
+    val sine = Array.tabulate(rate)(t =>
+      (math.sin(2 * math.Pi * 440 * t / rate) * 32767).toShort)
+    val wav = Multimodal.decodeWav(Multimodal.encodeWav(rate, sine))
+    wav.sampleRate shouldBe rate
+    wav.samples.toSeq shouldBe sine.toSeq
+    Multimodal.audioFeatures(wav)(0).toDouble shouldBe (1.0 / math.sqrt(2)) +- 0.01
+    // video container: frame sampling picks every 2nd frame
+    val frames = (0 until 6).map(i => Multimodal.encodeBmp(4, 4, (_, _) => i))
+    val sampled = Multimodal.sampleFrames(Multimodal.encodeVideo(frames), 2)
+    sampled.size shouldBe 3
+    Multimodal.decodeBmp(sampled(1)).pixel(0, 0) shouldBe 2
   }
 }

@@ -178,6 +178,28 @@ class SourcesSpec extends AnyFunSuite with Matchers {
       spark, Seq(li), Seq(SqlVS("q", Seq("li2"), "SELECT 1")), allowSql = false)
   }
 
+  test("iceberg catalog wiring sets the standard conf keys") {
+    IcebergSource.configureCatalog(spark, "lake", IcebergSource.CatalogKind.Hadoop,
+      warehouse = Some("/tmp/wh"), extra = Map("cache-enabled" -> "false"))
+    spark.conf.get("spark.sql.catalog.lake") shouldBe
+      "org.apache.iceberg.spark.SparkCatalog"
+    spark.conf.get("spark.sql.catalog.lake.type") shouldBe "hadoop"
+    spark.conf.get("spark.sql.catalog.lake.warehouse") shouldBe "/tmp/wh"
+    spark.conf.get("spark.sql.catalog.lake.cache-enabled") shouldBe "false"
+  }
+
+  test("iceberg table read (integration: needs iceberg-spark runtime)") {
+    // mirrors the reference's integration-tagged IcebergRestCatalogSpec:
+    // skipped (not failed) when the deploy-time jar is absent
+    assume(IcebergSource.available, "iceberg-spark runtime not on classpath")
+    IcebergSource.configureCatalog(spark, "it_lake",
+      IcebergSource.CatalogKind.Hadoop,
+      warehouse = Some(Files.createTempDirectory("iceberg-wh").toString))
+    spark.sql("CREATE TABLE it_lake.db.t (id BIGINT, v STRING) USING iceberg")
+    spark.sql("INSERT INTO it_lake.db.t VALUES (1, 'a'), (2, 'b')")
+    IcebergSource.table(spark, "t", "it_lake.db.t").df.count() shouldBe 2
+  }
+
   test("source keyFields validated against columns") {
     val df = Seq((1, "a")).toDF("id", "name")
     an[IllegalArgumentException] should be thrownBy Source("s", df, Seq("nope"))
