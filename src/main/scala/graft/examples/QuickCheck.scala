@@ -11,11 +11,10 @@ object QuickCheck {
       val t0 = System.nanoTime()
       try {
         graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
-          .coalesce(1).write.mode("overwrite").parquet(s"/tmp/verify_r2/$q")
+          .write.mode("overwrite").format("noop").save()
         println(s"[quick] $q OK in ${(System.nanoTime()-t0)/1e9} sec")
       } catch { case e: Throwable =>
         println(s"[quick] $q FAILED: ${e.getClass.getName}: ${e.getMessage}")
-        e.printStackTrace()
       }
     }
     spark.stop()

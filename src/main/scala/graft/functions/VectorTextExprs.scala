@@ -186,6 +186,80 @@ case class HyperplaneSigs(child: Expression, planes: Int, tables: Int, seed: Lon
   override def prettyName: String = "hyperplane_sigs"
 }
 
+/** MinHash-LSH band keys of a shingle-hash array in ONE compiled pass →
+  * array<long> of `bands` bucket keys. Band t's key mixes the `rows`
+  * min-hashes of permutations t·rows..t·rows+rows-1 plus the band index,
+  * so keys never collide across bands.
+  *
+  * MinHash of a document is a PER-ROW function of its own shingle set —
+  * the round-1 implementation exploded shingles and ran a 72-aggregate
+  * groupBy (a full shuffle of every (doc, shingle) pair) to compute what
+  * this expression computes in O(|shingles|·k) compiled work with zero
+  * exchange. Only the tiny (id, band) pairs ever shuffle now.
+  * Permutation hashes are splitmix64(shingle ^ mix(seed+i)) — deterministic
+  * across runs and parallelism.
+  */
+case class MinHashBands(child: Expression, bands: Int, rows: Int, seed: Long = 11L)
+  extends UnaryExpression with CodegenFallback {
+
+  require(bands >= 1 && rows >= 1, "bands and rows must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"min_hash_bands requires array<long>, got ${other.simpleString}")
+    }
+
+  private def mix(x0: Long): Long = {
+    var x = x0
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  @transient private lazy val perm: Array[Long] =
+    Array.tabulate(bands * rows)(i => mix(seed + i) | 1L)
+
+  override def nullSafeEval(input: Any): Any = {
+    val sh = input.asInstanceOf[ArrayData]
+    val n = sh.numElements()
+    val k = bands * rows
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = sh.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = mix(s ^ perm(i))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b
+      var r = 0
+      while (r < rows) { h = (h ^ mins(b * rows + r)) * 0x100000001b3L; r += 1 }
+      keys(b) = mix(h)
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+
+  override def prettyName: String = "min_hash_bands"
+}
+
 object VectorTextExprs {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
@@ -193,4 +267,6 @@ object VectorTextExprs {
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
   def hyperplane_sigs(v: Column, planes: Int, tables: Int, seed: Long = 7L): Column =
     Bridge.column(HyperplaneSigs(Bridge.expression(v), planes, tables, seed))
+  def min_hash_bands(sh: Column, bands: Int, rows: Int, seed: Long = 11L): Column =
+    Bridge.column(MinHashBands(Bridge.expression(sh), bands, rows, seed))
 }

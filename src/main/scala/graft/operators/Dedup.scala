@@ -82,21 +82,19 @@ object Dedup {
     * become candidates; candidates are verified exactly, so precision is 1
     * and recall is 1-(1-tau^r)^b. Defaults r=3, b=24:
     * miss(s=0.8) ≈ 3e-8, noise candidates (s≈0.05) ≈ 3e-3 of pairs —
-    * recall ~1 without the r=2 candidate explosion. */
+    * recall ~1 without the r=2 candidate explosion.
+    *
+    * All 72 min-hashes + band keys come from ONE compiled per-row pass over
+    * the doc's own shingle array ([[graft.functions.MinHashBands]]); the
+    * only exchange before verification is the (id, band) candidate join —
+    * round 1 shuffled every (doc, shingle) pair through a 72-aggregate
+    * groupBy just to build signatures. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.7, bands: Int = 24, rows: Int = 3): DataFrame = {
-    val k = bands * rows
     val sh = shingled(df, idCol, textCol, n)
-    val inv = sh.select(col("id"), explode(col("sh")).as("k"))
-    // k min-hashes in ONE fused aggregate (the metric-engine pattern)
-    val sig = inv.groupBy(col("id"))
-      .agg(min(xxhash64(col("k"), lit(0))).as("mh0"),
-        (1 until k).map(i => min(xxhash64(col("k"), lit(i))).as(s"mh$i")): _*)
-    val banded = sig.select(col("id"),
-      explode(array((0 until bands).map { bnd =>
-        xxhash64(((bnd * rows) until ((bnd + 1) * rows))
-          .map(i => col(s"mh$i")) :+ lit(bnd): _*)
-      }: _*)).as("band"))
+    val banded = sh.select(col("id"),
+      explode(graft.functions.VectorTextExprs
+        .min_hash_bands(col("sh"), bands, rows)).as("band"))
     val candidates = banded.select(col("band"), col("id").as("a"))
       .join(banded.select(col("band"), col("id").as("b")), Seq("band"))
       .filter(col("a") < col("b"))
@@ -162,31 +160,34 @@ object Dedup {
     * every node that appears in an edge; isolated nodes are their own
     * (implicit) component. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    // Iterative self-referencing plans MUST truncate lineage each round:
+    // with plain cache() the logical plan still nests every prior iteration,
+    // and downstream consumers that reference the result more than once sent
+    // the optimizer into exponential constraint/plan-duplication territory
+    // (observed: a 2000-row flagship join going from seconds to minutes).
+    // localCheckpoint materializes to executor storage and cuts the plan; on
+    // a real cluster use a reliable checkpoint dir for fault tolerance.
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct().cache()
-    var cached = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
-    var labels = cached
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("label").as("blabel")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("blabel")).as("nmin"))
-      // the old label rides along, so convergence is a filter over THIS
-      // frame's cache — no second join job per iteration
+      // the old label rides along, so convergence is a filter over the
+      // checkpointed frame — no second join job per iteration
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       changed = updated.filter(col("label") =!= col("__old")).count()
-      cached.unpersist()
-      cached = updated
       labels = updated.select(col("id"), col("label"))
       iter += 1
     }
-    sym.unpersist()
     labels
   }
 
