@@ -168,6 +168,19 @@ object SourceReaders {
       Source(id, avscJson.map(j => r.option("avroSchema", j)).getOrElse(r).load(path))
     } else Source(id, AvroSupport.readAvroFiles(spark, path, avscJson))
 
+  /** Greenplum via the Pivotal connector — mirrors the reference's option
+    * plumbing (connections/greenplum/PivotalConnection.scala: url/user/
+    * password + dbschema/dbtable per source). The connector jar is
+    * deploy-time; this builds the exact reader configuration. */
+  def greenplum(spark: SparkSession, id: String, url: String, table: String,
+      schema: String = "public", user: Option[String] = None,
+      password: Option[String] = None,
+      extra: Map[String, String] = Map.empty): Source = {
+    val opts = Map("url" -> url, "dbschema" -> schema, "dbtable" -> table) ++
+      user.map("user" -> _) ++ password.map("password" -> _) ++ extra
+    Source(id, spark.read.format("greenplum").options(opts).load())
+  }
+
   /** Arbitrary format + options (+ optional path) — the reference's escape
     * hatch (ref: :623-662). */
   def custom(spark: SparkSession, id: String, format: String,
