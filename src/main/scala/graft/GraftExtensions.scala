@@ -46,5 +46,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "_FUNC_(a, b) - numeric array dot product"),
       (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("merge_list_limit"),
+      info("merge_list_limit", "_FUNC_(arr, limit) - size-capped flatten-merge of arrays"),
+      (es: Seq[Expression]) =>
+        MergeListLimit(es.head, intArg(es(1), "limit")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("top_k_pairs"),
+      info("top_k_pairs", "_FUNC_(score, id, k) - bounded-heap per-group top-k"),
+      (es: Seq[Expression]) =>
+        TopKPairs(es.head, es(1), intArg(es(2), "k")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("hyperplane_sigs"),
+      info("hyperplane_sigs", "_FUNC_(vec, planes, tables) - LSH table signatures"),
+      (es: Seq[Expression]) =>
+        HyperplaneSigs(es.head, intArg(es(1), "planes"), intArg(es(2), "tables"))))
+    ext.injectFunction((FunctionIdentifier("min_hash_bands"),
+      info("min_hash_bands", "_FUNC_(shingles, bands, rows) - MinHash-LSH band keys"),
+      (es: Seq[Expression]) =>
+        MinHashBands(es.head, intArg(es(1), "bands"), intArg(es(2), "rows"))))
   }
 }

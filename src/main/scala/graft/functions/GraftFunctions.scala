@@ -46,5 +46,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hyperplane_sigs",
       es => HyperplaneSigs(es.head, intArg(es(1), "planes"), intArg(es(2), "tables")),
       "scala_udf")
+    reg.createOrReplaceTempFunction("min_hash_bands",
+      es => MinHashBands(es.head, intArg(es(1), "bands"), intArg(es(2), "rows")),
+      "scala_udf")
   }
 }

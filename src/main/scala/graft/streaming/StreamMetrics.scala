@@ -31,17 +31,42 @@ object StreamMetrics {
       tsCol: String,
       windowDuration: String,
       watermarkDelay: String,
-      metrics: Seq[RowMetric]): DataFrame = {
+      metrics: Seq[RowMetric],
+      slideDuration: Option[String] = None): DataFrame = {
     require(stream.isStreaming, "windowedMetrics expects a streaming DataFrame")
+    val win = slideDuration
+      .map(s => window(col(tsCol), windowDuration, s))
+      .getOrElse(window(col(tsCol), windowDuration))
     stream
       // watermarks require TIMESTAMP (with zone); NTZ sources are cast —
       // safe under the project-wide UTC session timezone
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowDuration))
+      .groupBy(win)
       .agg(metrics.head.result, metrics.tail.map(_.result): _*)
       .select(col("window.start").as("window_start") +:
         metrics.map(m => col(m.id)): _*)
+  }
+
+  /** Session windows (gap-based) — beyond the reference, which only has
+    * tumbling windows (SURVEY §2.9); Structured Streaming's `session_window`
+    * gives it natively with the same fused-metric shape. */
+  def sessionWindowMetrics(
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gapDuration: String,
+      watermarkDelay: String,
+      metrics: Seq[RowMetric]): DataFrame = {
+    require(stream.isStreaming, "sessionWindowMetrics expects a streaming DataFrame")
+    stream
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gapDuration), col(keyCol))
+      .agg(metrics.head.result, metrics.tail.map(_.result): _*)
+      .select(col("session_window.start").as("session_start") +:
+        col("session_window.end").as("session_end") +:
+        col(keyCol) +: metrics.map(m => col(m.id)): _*)
   }
 
   /** Start the windowed metric query with checkpoint-based resume

@@ -57,6 +57,52 @@ class StreamMetricsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("sliding windows over a stream match the batch window() equivalent") {
+    val tmp = Files.createTempDirectory("graft-stream-slide").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    events.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$tmp/in")
+    val windowed = StreamMetrics.windowedMetrics(stream, "ts", "2 hours",
+      "30 minutes", Seq(RowCountMetric("cnt")), slideDuration = Some("1 hour"))
+    val q = windowed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("swm").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("swm").collect()
+      .map(r => r.get(0) -> r.getDouble(1)).toMap
+    val expected = events
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .select(col("window.start"), col("cnt")).collect()
+      .map(r => r.get(0) -> r.getDouble(1)).toMap
+    got.nonEmpty shouldBe true
+    got.foreach { case (ws, cnt) => expected(ws) shouldBe cnt }
+  }
+
+  test("session windows (gap-based) close after the gap and split by key") {
+    val tmp = Files.createTempDirectory("graft-stream-sess").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // key a: two sessions (gap > 60s between 30 and 300); key b: one session
+    Seq(("a", at(0), 1.0), ("a", at(30), 2.0), ("a", at(300), 3.0),
+      ("b", at(10), 5.0))
+      .toDF("k", "ts", "v").write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema("k string, ts timestamp, v double").parquet(s"$tmp/in")
+    val sess = StreamMetrics.sessionWindowMetrics(stream, "ts", "k",
+      "60 seconds", "0 seconds",
+      Seq(RowCountMetric("cnt"), SumNumberMetric("sum_v", Seq("v"))))
+    val q = sess.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val rows = spark.table("sess").collect()
+      .map(r => (r.getString(2), r.getDouble(3), r.getDouble(4)))
+    // watermark 0s finalizes all but the latest-open session; at least the
+    // first a-session and the b-session must be emitted correctly
+    rows should contain(("a", 2.0, 3.0))
+    rows should contain(("b", 1.0, 5.0))
+  }
+
   test("checkpointed stream resumes without reprocessing") {
     val tmp = Files.createTempDirectory("graft-stream-ckpt").toString
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
