@@ -1,0 +1,100 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.{CorpusGen, CorpusSpec}
+import graft.pipeline.{FilterConfig, QualityFilter}
+
+/** Corpus-level dedup throughput probe: the full verdictsWithDedup pipeline
+  * (fused scoring + MinHash-LSH pairs + connected components + canonical
+  * rejoin) on a generated corpus, at two core counts.
+  *
+  * Each leg runs in a FRESH CHILD JVM: successive SparkSessions in one JVM
+  * degrade 2-10x (codegen class accumulation + GC state + host noise), so
+  * in-process sequential legs charge that degradation to whichever core
+  * count runs later — the round-2 probe first "measured" 0.07 scaling
+  * efficiency that way, while first-session runs of the same legs showed
+  * c32 FASTER than c8.
+  *
+  * Usage: runMain graft.examples.DedupScale [nFiles] [cores,cores,...]
+  */
+object DedupScale {
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--child")) { childMain(args(1).toInt, args(2)); return }
+
+    val nFiles = args.headOption.map(_.toLong).getOrElse(100000L)
+    val coreCounts = args.lift(1).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(8, 32))
+    val corpusDir = java.nio.file.Files.createTempDirectory("dedup-scale").toString
+
+    // materialize the corpus once so every leg reads identical input
+    {
+      val s = session(32)
+      CorpusGen.corpus(s, CorpusSpec(nFiles = nFiles))
+        .repartition(64).write.mode("overwrite").parquet(corpusDir)
+      s.stop()
+    }
+
+    // two interleaved passes of fresh-JVM legs, min per core count
+    val results = (1 to 2).flatMap(_ => coreCounts.map(c => c -> childRun(c, corpusDir)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, ts) => c -> ts.map(_._2).min }
+    results.foreach { case (c, sec) =>
+      println(f"[dedup-scale] c$c: $sec%.1f s, ${nFiles / sec}%.0f files/s")
+    }
+    if (results.size >= 2) {
+      val (c1, s1) = results.head
+      val (c2, s2) = results.last
+      val eff = (s1 / s2) / (c2.toDouble / c1)
+      println(f"[dedup-scale] $c1 -> $c2 cores scaling efficiency: $eff%.3f")
+    }
+  }
+
+  /** Spawn one measurement leg in a fresh JVM; returns wall seconds. */
+  private def childRun(cores: Int, corpusDir: String): Double = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("-Xmx") || a.startsWith("-XX:ReservedCodeCache") || a.startsWith("-D"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.examples.DedupScale", "--child", cores.toString, corpusDir)
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    p.waitFor()
+    "\\[leg\\] ([0-9.]+)".r.findFirstMatchIn(out) match {
+      case Some(m) => m.group(1).toDouble
+      case None => throw new IllegalStateException(s"child failed:\n${out.takeRight(2000)}")
+    }
+  }
+
+  private def childMain(cores: Int, corpusDir: String): Unit = {
+    val s = session(cores)
+    try {
+      // warmup (model training + codegen) on a slice
+      QualityFilter.verdictsWithDedup(
+        s.read.parquet(corpusDir).limit(2000), FilterConfig())
+        .write.mode("overwrite").format("noop").save()
+      val t0 = System.nanoTime()
+      QualityFilter.verdictsWithDedup(s.read.parquet(corpusDir), FilterConfig())
+        .write.mode("overwrite").format("noop").save()
+      println(f"[leg] ${(System.nanoTime() - t0) / 1e9}%.3f")
+    } finally s.stop()
+  }
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"dedup-scale-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}

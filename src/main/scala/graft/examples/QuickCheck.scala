@@ -1,5 +1,9 @@
 package graft.examples
+
 import org.apache.spark.sql.SparkSession
+
+/** Dev loop: run named SparkEntry queries against sf0.01 with a noop write
+  * (the same action Bench times) and report wall seconds. */
 object QuickCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -12,7 +16,7 @@ object QuickCheck {
       try {
         graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
           .write.mode("overwrite").format("noop").save()
-        println(s"[quick] $q OK in ${(System.nanoTime()-t0)/1e9} sec")
+        println(f"[quick] $q OK in ${(System.nanoTime() - t0) / 1e9}%.2f sec")
       } catch { case e: Throwable =>
         println(s"[quick] $q FAILED: ${e.getClass.getName}: ${e.getMessage}")
       }

@@ -80,23 +80,39 @@ object Dedup {
 
   /** MinHash + LSH banding: b bands of r rows. Docs sharing any band bucket
     * become candidates; candidates are verified exactly, so precision is 1
-    * and recall is 1-(1-tau^r)^b. Defaults r=3, b=24:
-    * miss(s=0.8) ≈ 3e-8, noise candidates (s≈0.05) ≈ 3e-3 of pairs —
-    * recall ~1 without the r=2 candidate explosion.
+    * and recall is 1-(1-tau^r)^b. Defaults r=5, b=32: miss(s=0.8) ≈ 3e-6,
+    * miss(s=0.75) ≈ 2e-4, while collisions between UNRELATED docs scale as
+    * b·s^r — at r=3 (round 1's default) shared boilerplate shingles made
+    * candidate buckets grow with corpus size and the verify stage (which
+    * ships both full shingle arrays per candidate) dominated the 100k-file
+    * probe at 206 s; r=5 cut measured candidates ~5x at 20k docs and keeps
+    * cutting as s^5 at scale.
     *
-    * All 72 min-hashes + band keys come from ONE compiled per-row pass over
+    * `maxBucket` is the explosion backstop (the banding twin of
+    * [[ngramJaccardPairs]]'s df cap): band keys shared by more than
+    * maxBucket docs are boilerplate collisions and are dropped from
+    * candidate generation only — a qualifying pair loses that band but has
+    * b-1 more chances; verification stays exact.
+    *
+    * All min-hashes + band keys come from ONE compiled per-row pass over
     * the doc's own shingle array ([[graft.functions.MinHashBands]]); the
     * only exchange before verification is the (id, band) candidate join —
     * round 1 shuffled every (doc, shingle) pair through a 72-aggregate
     * groupBy just to build signatures. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, tau: Double = 0.7, bands: Int = 24, rows: Int = 3): DataFrame = {
+      n: Int = 3, tau: Double = 0.7, bands: Int = 32, rows: Int = 5,
+      maxBucket: Int = 500): DataFrame = {
     val sh = shingled(df, idCol, textCol, n)
     val banded = sh.select(col("id"),
       explode(graft.functions.VectorTextExprs
         .min_hash_bands(col("sh"), bands, rows)).as("band"))
-    val candidates = banded.select(col("band"), col("id").as("a"))
-      .join(banded.select(col("band"), col("id").as("b")), Seq("band"))
+    val smallBuckets = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") >= 2 && col("__bc") <= maxBucket)
+      .select(col("band"))
+    val bandedF = banded.join(smallBuckets, Seq("band"))
+    val candidates = bandedF.select(col("band"), col("id").as("a"))
+      .join(bandedF.select(col("band"), col("id").as("b")), Seq("band"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     verify(candidates, sh, tau)
