@@ -420,6 +420,18 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      // IVF in its exact regime (nProbe = nLists scans every posting list,
+      // so the result equals brute force independent of clustering) — the
+      // driver verifies the IVF plumbing against the same SQL oracle; the
+      // approximate regime (nProbe < nLists) is spec-covered by recall
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nLists = 8, nProbe = 8)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "q_token_count" -> ((s, dir) => {
       import graft.operators.TextAnalysis
       t(s, dir, "documents").select(
@@ -529,6 +541,19 @@ object SparkEntry {
        GROUP BY l_orderkey
        ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 
+  /** Exact top-5 cosine neighbors oracle — shared by the brute-force query
+    * and the IVF query in its exact regime (nProbe = nLists). */
+  private val annTopkSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       s AS (SELECT q.qid, e.vec_id AS neighbor,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS c
+             FROM embeddings e, q WHERE e.vec_id <> q.qid),
+       r AS (SELECT qid, neighbor, c,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, neighbor) AS rk
+             FROM s)
+       SELECT qid, neighbor, CAST(rk AS INT) AS rank, round(c, 6) AS cosine
+       FROM r WHERE rk <= 5 ORDER BY qid, rk"""
+
   /** Shared DuckDB CTE for word-3gram shingle sets. */
   private val shingleCte =
     """WITH sh AS (
@@ -622,16 +647,8 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5
          ORDER BY a, b""",
-    "q_ann_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         s AS (SELECT q.qid, e.vec_id AS neighbor,
-                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS c
-               FROM embeddings e, q WHERE e.vec_id <> q.qid),
-         r AS (SELECT qid, neighbor, c,
-                 row_number() OVER (PARTITION BY qid ORDER BY c DESC, neighbor) AS rk
-               FROM s)
-         SELECT qid, neighbor, CAST(rk AS INT) AS rank, round(c, 6) AS cosine
-         FROM r WHERE rk <= 5 ORDER BY qid, rk""",
+    "q_ann_ivf_topk" -> annTopkSql,
+    "q_ann_topk" -> annTopkSql,
     "q_token_count" ->
       """SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0

@@ -55,6 +55,62 @@ object Similarity {
   // table's sign bits; the compositional Column form was ~20k expression
   // nodes at 48 tables and took Catalyst minutes to analyze.
 
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
+    * a k-means coarse quantizer (Spark ML, trained on a bounded sample)
+    * buckets the corpus into `nLists` posting lists; each query scans only
+    * its `nProbe` nearest lists, so scored candidates shrink by
+    * ~nProbe/nLists versus the brute-force scan. Exact-regime property:
+    * with nProbe = nLists every list is scanned and the result EQUALS
+    * [[bruteForceTopK]] regardless of clustering quality — which is how the
+    * driver-verified query pins correctness while the recall spec covers
+    * the approximate regime.
+    *
+    * Shapes: centroid assignment is a per-row argmax over `nLists` compiled
+    * dot products (no shuffle); the probe join shuffles only (list_id, qid)
+    * fan-out; ranking is the bounded-heap [[graft.functions.TopKPairs]]
+    * aggregate (k rows per partition cross the wire). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 64, nProbe: Int = 8, seed: Long = 13L,
+      trainSample: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = normalized(corpus, idCol, vecCol)
+    val train = c.limit(trainSample).select(array_to_vector(col("nv")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+
+    // nearest-centroid scores: nLists compiled dot products per row
+    def centroidScores: Column =
+      array(centroids.map(ct => dot(col("nv"), typedlit(ct))): _*)
+    // argmax -> 0-based list id
+    def listOf(scores: Column): Column =
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+
+    val posting = c.withColumn("list_id", listOf(centroidScores))
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("nv").as("qv"))
+      .withColumn("__scores", array(centroids.map(ct =>
+        dot(col("qv"), typedlit(ct))): _*))
+      // nProbe highest-scoring lists: sort (score, idx) pairs desc, slice
+      .withColumn("list_id", explode(slice(reverse(array_sort(zip_with(
+        col("__scores"),
+        sequence(lit(0), lit(nLists - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))))), 1, math.min(nProbe, nLists))
+        .getField("i")))
+      .select(col("qid"), col("qv"), col("list_id"))
+
+    val scored = posting.join(broadcast(q), Seq("list_id"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), dot(col("nv"), col("qv")).as("cosine"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.api.top_k_pairs(col("cosine"), col("id"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("qid"), col("e.id").as("neighbor"),
+        (col("r") + 1).cast("int").as("rank"),
+        round(col("e.score"), 6).as("cosine"))
+  }
+
   /** LSH-bucketed approximate near-neighbor pairs: `tables` independent
     * random-hyperplane signatures; candidates = bucket collisions (id pairs
     * only — vectors do NOT ride the candidate shuffle, they are joined back

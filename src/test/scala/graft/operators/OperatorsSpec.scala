@@ -91,6 +91,25 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     (0 until 5).foreach { i => found should contain((i.toLong, (100 + i).toLong)) }
   }
 
+  test("IVF top-k: exact regime equals brute force; probing keeps recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    // nProbe = nLists scans every posting list -> identical to brute force
+    val exact = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+      nLists = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    exact shouldBe brute
+    // approximate regime: probing half the lists keeps most top-1 neighbors
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 1,
+      nLists = 8, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top1 = brute.collect { case ((q, 1), n) => q -> n }
+    val hits = top1.count { case (q, n) => approx.get(q).contains(n) }
+    hits.toDouble / top1.size should be >= 0.5
+  }
+
   test("token counting and fingerprint invariants") {
     val df = Seq((1L, "Hello  world foo"), (2L, "hello world foo"), (3L, ""))
       .toDF("doc_id", "text")
