@@ -70,4 +70,18 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     full should not include "BroadcastNestedLoopJoin"
     full should not include "CartesianProduct"
   }
+
+  test("ANN top-k ranks via the bounded-heap aggregate, not a window sort") {
+    // a Window rank shuffles every scored (corpus x query) row — the
+    // round-1 scale killer; the heap aggregate ships k rows per partition
+    val (tree, _) = planText(SparkEntry.queries("q_ann_topk")(spark, sf))
+    tree should not include "Window"
+    tree should include("ObjectHashAggregate")
+  }
+
+  test("q_dedup_minhash_lsh plans no cartesian/nested-loop join") {
+    val (_, full) = planText(SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf))
+    full should not include "BroadcastNestedLoopJoin"
+    full should not include "CartesianProduct"
+  }
 }
