@@ -16,16 +16,24 @@ import graft.pipeline.{FilterConfig, QualityFilter}
   * efficiency that way, while first-session runs of the same legs showed
   * c32 FASTER than c8.
   *
-  * Usage: runMain graft.examples.DedupScale [nFiles] [cores,cores,...]
+  * Usage: runMain graft.examples.DedupScale [nFiles] [cores,cores,...] [bands] [rows]
   */
 object DedupScale {
 
+  private var cfg = FilterConfig()
+
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("--child")) { childMain(args(1).toInt, args(2)); return }
+    if (args.headOption.contains("--child")) {
+      cfg = FilterConfig(dedupBands = args(3).toInt, dedupRows = args(4).toInt)
+      childMain(args(1).toInt, args(2)); return
+    }
 
     val nFiles = args.headOption.map(_.toLong).getOrElse(100000L)
     val coreCounts = args.lift(1).map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(8, 32))
+    cfg = FilterConfig(
+      dedupBands = args.lift(2).map(_.toInt).getOrElse(32),
+      dedupRows = args.lift(3).map(_.toInt).getOrElse(5))
     val corpusDir = java.nio.file.Files.createTempDirectory("dedup-scale").toString
 
     // materialize the corpus once so every leg reads identical input
@@ -60,7 +68,8 @@ object DedupScale {
         a.startsWith("-Xmx") || a.startsWith("-XX:ReservedCodeCache") || a.startsWith("-D"))
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
-      "graft.examples.DedupScale", "--child", cores.toString, corpusDir)
+      "graft.examples.DedupScale", "--child", cores.toString, corpusDir,
+      cfg.dedupBands.toString, cfg.dedupRows.toString)
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
@@ -76,10 +85,10 @@ object DedupScale {
     try {
       // warmup (model training + codegen) on a slice
       QualityFilter.verdictsWithDedup(
-        s.read.parquet(corpusDir).limit(2000), FilterConfig())
+        s.read.parquet(corpusDir).limit(2000), cfg)
         .write.mode("overwrite").format("noop").save()
       val t0 = System.nanoTime()
-      QualityFilter.verdictsWithDedup(s.read.parquet(corpusDir), FilterConfig())
+      QualityFilter.verdictsWithDedup(s.read.parquet(corpusDir), cfg)
         .write.mode("overwrite").format("noop").save()
       println(f"[leg] ${(System.nanoTime() - t0) / 1e9}%.3f")
     } finally s.stop()

@@ -1,0 +1,61 @@
+package graft.examples
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.corpus.{CorpusGen, CorpusSpec}
+import graft.pipeline.{FilterConfig, QualityFilter}
+
+/** One-off stage decomposition of verdictsWithDedup at a given corpus size. */
+object ProbeDedup {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("pd").toString
+    def step(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $name -> $r in ${(System.nanoTime()-t0)/1e9}%.1f sec")
+    }
+    step("gen")({ CorpusGen.corpus(spark, CorpusSpec(nFiles = n)).repartition(64)
+      .write.mode("overwrite").parquet(dir); 0L })
+    val corpus = spark.read.parquet(dir)
+    val cfg = FilterConfig()
+    val m = QualityFilter.withMetrics(corpus, cfg)
+      .withColumn("key", concat_ws("|", col("repo"), col("path")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    step("score+persist")(m.count())
+    val kept = m.filter(col("keep")).select(col("key"), col("content"))
+    import graft.functions.VectorTextExprs.{shingle_hashes, min_hash_bands}
+    val sh = kept.select(col("key").as("id"), shingle_hashes(col("content"), 3).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    step("shingle+persist")(sh.count())
+    val banded = sh.select(col("id"),
+      explode(min_hash_bands(col("sh"), cfg.dedupBands, cfg.dedupRows)).as("band"))
+    step("banded")(banded.count())
+    val smallBuckets = banded.groupBy(col("band")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2 && col("c") <= 500).select(col("band"))
+    val bandedF = banded.join(smallBuckets, Seq("band"))
+    val candidates = bandedF.select(col("band"), col("id").as("a"))
+      .join(bandedF.select(col("band"), col("id").as("b")), Seq("band"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    step("candidates")(candidates.count())
+    val verified = candidates
+      .join(sh.select(col("id").as("a"), col("sh").as("sha"), col("sz").as("asz")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shb"), col("sz").as("bsz")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("j", col("inter").cast("double") /
+        (col("asz") + col("bsz") - col("inter")).cast("double"))
+      .filter(col("j") >= cfg.dedupTau).select("a", "b")
+    step("verify")(verified.count())
+    val pairs = verified.localCheckpoint()
+    val hashed = pairs.select(xxhash64(col("a")).as("a"), xxhash64(col("b")).as("b"))
+    step("cc")(graft.operators.Dedup.connectedComponents(hashed).count())
+    step("full")(QualityFilter.verdictsWithDedup(corpus, cfg).count())
+    spark.stop()
+  }
+}

@@ -2,8 +2,7 @@ package graft.examples
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev loop: run named SparkEntry queries against sf0.01 with a noop write
-  * (the same action Bench times) and report wall seconds. */
+/** Dev loop: dump named SparkEntry queries to parquet for tools/compare.py. */
 object QuickCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -15,7 +14,7 @@ object QuickCheck {
       val t0 = System.nanoTime()
       try {
         graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
-          .write.mode("overwrite").format("noop").save()
+          .coalesce(1).write.mode("overwrite").parquet(s"/tmp/verify_final/$q")
         println(f"[quick] $q OK in ${(System.nanoTime() - t0) / 1e9}%.2f sec")
       } catch { case e: Throwable =>
         println(s"[quick] $q FAILED: ${e.getClass.getName}: ${e.getMessage}")

@@ -87,8 +87,10 @@ case class ShingleHashes(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     val count = math.max(words.length - (n - 1), if (words.nonEmpty) 1 else 0)
-    val seen = new java.util.HashSet[Long]()
-    val out = Array.newBuilder[Long]
+    // primitive array + sort-dedupe: the original java.util.HashSet[Long]
+    // boxed every hash, and at 10^6-doc scale the resulting garbage turned a
+    // ~20 s shingling pass into 268 s of GC
+    val hashes = new Array[Long](count)
     var i = 0
     while (i < count) {
       // FNV-1a-style 64-bit hash over the joined shingle (words + separator)
@@ -104,11 +106,17 @@ case class ShingleHashes(child: Expression, n: Int)
         k += 1
         j += 1
       }
-      if (seen.add(h)) out += h
+      hashes(i) = h
       i += 1
     }
-    val arr = out.result()
-    java.util.Arrays.sort(arr)
+    java.util.Arrays.sort(hashes)
+    var uniq = 0
+    i = 0
+    while (i < count) {
+      if (i == 0 || hashes(i) != hashes(i - 1)) { hashes(uniq) = hashes(i); uniq += 1 }
+      i += 1
+    }
+    val arr = if (uniq == count) hashes else java.util.Arrays.copyOf(hashes, uniq)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(arr)
   }
 
@@ -260,6 +268,76 @@ case class MinHashBands(child: Expression, bands: Int, rows: Int, seed: Long = 1
   override def prettyName: String = "min_hash_bands"
 }
 
+/** Intersection size of two SORTED ascending long arrays — one linear merge,
+  * zero allocation. Replaces `size(array_intersect(a, b))` in the exact
+  * near-dup verification, whose generic implementation allocated per
+  * element; ShingleHashes guarantees the sort order. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires two array<long> columns, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+/** Count of positions where two long arrays agree — MinHash signature
+  * agreement, i.e. an unbiased jaccard estimator with k = len standard
+  * error sqrt(j(1-j)/k). Compiled loop, zero allocation. */
+case class ArrayEqCount(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"array_eq_count requires two array<long> columns, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayEqCount =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "array_eq_count"
+}
+
 object VectorTextExprs {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
@@ -269,4 +347,8 @@ object VectorTextExprs {
     Bridge.column(HyperplaneSigs(Bridge.expression(v), planes, tables, seed))
   def min_hash_bands(sh: Column, bands: Int, rows: Int, seed: Long = 11L): Column =
     Bridge.column(MinHashBands(Bridge.expression(sh), bands, rows, seed))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+  def array_eq_count(a: Column, b: Column): Column =
+    Bridge.column(ArrayEqCount(Bridge.expression(a), Bridge.expression(b)))
 }

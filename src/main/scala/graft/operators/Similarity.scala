@@ -77,7 +77,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val c = normalized(corpus, idCol, vecCol)
     val train = c.limit(trainSample).select(array_to_vector(col("nv")).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+    // random init: k-means|| costs ~5 extra passes and a quantizer does not
+    // need it — recall is governed by nProbe, not centroid optimality
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .setInitMode("random").fit(train)
     val centroids = model.clusterCenters.map(_.toArray.toSeq)
 
     // nearest-centroid scores: nLists compiled dot products per row
