@@ -15,6 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // regenerate the straight-line-oracle fixtures FIRST so the DuckDB gate
+    // always compares reference-code-now vs pipeline-code-now (stale fixtures
+    // would turn a lockstep model change into a false failure)
+    try graft.corpus.Fixtures.writeAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] fixture generation failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1,0 +1,132 @@
+package graft.corpus
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipeline.FilterConfig
+
+/** Oracle fixtures for the driver's DuckDB correctness gate.
+  *
+  * The north-rule verdicts (langid + KN perplexity + heuristics + corpus
+  * dedup) are not ANSI-SQL-expressible, so the DuckDB oracle instead reads
+  * EXPECTED rows materialized to parquet by the straight-line, Spark-free
+  * reference implementation ([[ReferenceOracle]], plain Scala string ops) —
+  * the oracle SQL is then a plain `SELECT … FROM '<fixture>' ORDER BY …`.
+  * [[graft.Verify]] regenerates every fixture at the start of each run, so
+  * the comparison is always reference-code-now vs pipeline-code-now.
+  *
+  * Paths are absolute: Verify (any cwd) and the driver's DuckDB must read
+  * the same files.
+  */
+object Fixtures {
+
+  val dir = "/root/repo/target/fixtures"
+
+  val verdictsPath = s"$dir/expected_verdicts"
+  val verdictsDedupPath = s"$dir/expected_verdicts_dedup"
+  val simhashPath = s"$dir/expected_simhash_pairs"
+  val mediaPath = s"$dir/media"
+
+  /** Mirrors the column names/types of `QualityFilter.verdicts` output (with
+    * drop_reasons joined and floats rounded, as the flagship queries emit). */
+  final case class ExpectedVerdict(
+      repo: String,
+      path: String,
+      commit: String,
+      keep: Boolean,
+      drop_reasons: String,
+      lang_pred: String,
+      lang_conf: Double,
+      kn_ppl: Double,
+      scrubbed_content: Option[String],
+      content_sha256: String,
+      partition_id: Int)
+
+  final case class ExpectedSimhashPair(a: Long, b: Long, hamming: Int)
+
+  /** Same rounding as Spark's `round(col, 6)` on doubles (HALF_UP via
+    * BigDecimal.valueOf) — both sides round bit-identical inputs, so the
+    * driver's exact float compare holds. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Spark's `xxhash64(string)` (seed 42), via the engine's own public hash
+    * utility — partition_id is write-layout metadata keyed on this hash. */
+  private def xxhash64(s: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
+
+  private def toExpected(l: LabelRow, numPartitions: Int): ExpectedVerdict = {
+    val h = xxhash64(l.repo)
+    val pid = (((h % numPartitions) + numPartitions) % numPartitions).toInt
+    ExpectedVerdict(l.repo, l.path, l.commit, l.keep,
+      l.dropReasons.mkString(","), l.lang, round6(l.conf), round6(l.ppl),
+      l.scrubbed, l.contentSha256, pid)
+  }
+
+  /** Straight-line 64-bit SimHash over space-split word occurrences —
+    * independently re-implements the spark-side aggregate (sign of per-bit
+    * +1/-1 counts over xxhash64(word)). */
+  def simHash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.split(" ", -1).foreach { w =>
+      val h = xxhash64(w)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Brute-force all-pairs hamming ≤ maxHamming — the banded spark query has
+    * recall 1 for hamming ≤ numBlocks-1 by pigeonhole, so its result must
+    * EQUAL this. Quadratic, driver-side: oracle-only, bounded SF. */
+  def simhashPairs(docs: Seq[(Long, String)], maxHamming: Int): Seq[ExpectedSimhashPair] = {
+    val sigs = docs.map { case (id, text) => (id, simHash64(text)) }.sortBy(_._1)
+    val out = Seq.newBuilder[ExpectedSimhashPair]
+    var i = 0
+    while (i < sigs.length) {
+      var j = i + 1
+      while (j < sigs.length) {
+        val d = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+        if (d <= maxHamming)
+          out += ExpectedSimhashPair(sigs(i)._1, sigs(j)._1, d)
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Writes every fixture, overwriting stale copies. `sfDir` feeds the
+    * simhash fixture (it labels the driver's `documents` table). */
+  def writeAll(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    val cfg = FilterConfig()
+    val spec = CorpusSpec(nFiles = 2000)
+    val rows = (0L until spec.nFiles).map(i => CorpusGen.fileAt(spec, i))
+
+    val perFile = rows.map(r => ReferenceOracle.label(r, cfg))
+      .map(toExpected(_, cfg.numPartitions))
+    spark.createDataset(perFile).coalesce(1)
+      .write.mode("overwrite").parquet(verdictsPath)
+
+    val corpusLevel = ReferenceOracle.labelCorpus(rows, cfg)
+      .map(toExpected(_, cfg.numPartitions))
+    spark.createDataset(corpusLevel).coalesce(1)
+      .write.mode("overwrite").parquet(verdictsDedupPath)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    spark.createDataset(simhashPairs(docs, maxHamming = 3)).coalesce(1)
+      .write.mode("overwrite").parquet(simhashPath)
+
+    graft.operators.Multimodal.syntheticMedia(spark, 500L).coalesce(1)
+      .write.mode("overwrite").parquet(mediaPath)
+  }
+}

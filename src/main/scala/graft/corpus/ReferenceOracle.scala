@@ -6,7 +6,8 @@ import java.util.regex.Pattern
 import graft.pipeline.{FilterConfig, QualityFilter, Scrub}
 import graft.textmodel.LangModel
 
-/** The per-file reference label (keep/drop + scrubbed golden). */
+/** The per-file reference label (keep/drop + scrubbed golden + model
+  * scores, all computed by the straight-line path). */
 final case class LabelRow(
     repo: String,
     path: String,
@@ -14,7 +15,10 @@ final case class LabelRow(
     keep: Boolean,
     dropReasons: Seq[String],
     scrubbed: Option[String],
-    contentSha256: String)
+    contentSha256: String,
+    lang: String,
+    conf: Double,
+    ppl: Double)
 
 /** Straight-line, single-threaded reference implementation of the filter
   * rules (FIXTURES.md B.1 "reference labels"): plain Scala string ops, no
@@ -113,6 +117,6 @@ object ReferenceOracle {
     val keep = rs.isEmpty
     LabelRow(row.repo, row.path, row.commit, keep, rs,
       if (keep) Some(Scrub.scrubString(content)) else None,
-      sha256Hex(content))
+      sha256Hex(content), scored.lang, scored.conf, scored.ppl)
   }
 }

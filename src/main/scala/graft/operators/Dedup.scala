@@ -58,23 +58,30 @@ object Dedup {
   private val EstK = 64
   private val EstMargin = 0.22
 
-  /** Exact verification of candidate pairs, two-phase:
-    * (1) estimate jaccard from 64-minhash signature agreement (512 B per
-    *     doc cross the join instead of the full shingle array) and discard
-    *     candidates more than [[EstMargin]] below tau;
+  /** Verification of candidate pairs, two-phase:
+    * (1) [optional, `estimateFilter`] estimate jaccard from 64-minhash
+    *     signature agreement (512 B per doc cross the join instead of the
+    *     full shingle array) and discard candidates more than [[EstMargin]]
+    *     below tau — this phase is PROBABILISTIC: a pair exactly at tau is
+    *     dropped with p ≈ 3e-4 (3.5 standard errors at k=64);
     * (2) join the full sorted shingle arrays for the survivors only and
-    *     count the intersection with one linear merge.
+    *     count the intersection with one linear merge — exact.
     * The 1M-file probe shipped 2M candidate pairs x two ~2.4 KB arrays
     * through phase-2 joins before this split; survivors are ~the true pair
-    * set, so the heavy join shrinks ~40x. */
-  private def verify(candidates: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    * set, so the heavy join shrinks ~40x. Callers needing
+    * exact-given-candidates semantics pass estimateFilter = false and pay
+    * the full phase-2 join for every candidate. */
+  private def verify(candidates: DataFrame, sh: DataFrame, tau: Double,
+      estimateFilter: Boolean): DataFrame = {
     import graft.functions.VectorTextExprs.{array_eq_count, sorted_intersect_count}
-    val survivors = candidates
-      .join(sh.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
-      .filter(array_eq_count(col("siga"), col("sigb")).cast("double") / EstK.toDouble
-        >= tau - EstMargin)
-      .select(col("a"), col("b"))
+    val survivors =
+      if (!estimateFilter) candidates
+      else candidates
+        .join(sh.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
+        .join(sh.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
+        .filter(array_eq_count(col("siga"), col("sigb")).cast("double") / EstK.toDouble
+          >= tau - EstMargin)
+        .select(col("a"), col("b"))
     survivors
       .join(sh.select(col("id").as("a"), col("sh").as("sha"), col("sz").as("asz")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("sh").as("shb"), col("sz").as("bsz")), Seq("b"))
@@ -85,16 +92,35 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Materializes the (tiny) pair result eagerly so the O(corpus) shingle
+    * cache can be released deterministically: retained executor storage
+    * shrinks from the whole shingled corpus to the output pair set — which
+    * the caller holds anyway. localCheckpoint also cuts the LSH lineage, so
+    * downstream iterative consumers (connected components) never re-trigger
+    * candidate generation. */
+  private def materializeAndRelease(result: DataFrame, sh: DataFrame): DataFrame = {
+    val out = result.localCheckpoint()
+    sh.unpersist(blocking = false)
+    out
+  }
+
   /** All pairs (a < b) with n-gram Jaccard ≥ tau — inverted-index self-join
-    * for candidates (pairs sharing ≥1 shingle), exact verification. To bound
-    * worst-case candidate blowup on pathological ultra-frequent shingles,
-    * shingles with document frequency > maxShingleDf are excluded from
-    * CANDIDATE GENERATION only (verification stays exact); a qualifying pair
-    * whose every shared shingle is ultra-frequent would be missed — at
-    * tau >= 0.5 that requires a near-duplicate made entirely of boilerplate,
-    * which the frequency cap itself makes cheap to special-case upstream. */
+    * for candidates (pairs sharing ≥1 shingle), then two-phase verification
+    * (estimate pre-filter + exact intersection; see [[verify]] — with the
+    * default estimateFilter a borderline pair at exactly tau is dropped with
+    * p ≈ 3e-4; pass estimateFilter = false for exact-given-candidates
+    * semantics). To bound worst-case candidate blowup on pathological
+    * ultra-frequent shingles, shingles with document frequency > maxShingleDf
+    * are excluded from CANDIDATE GENERATION only; a qualifying pair whose
+    * every shared shingle is ultra-frequent would be missed — at tau >= 0.5
+    * that requires a near-duplicate made entirely of boilerplate, which the
+    * frequency cap itself makes cheap to special-case upstream.
+    *
+    * Eager: the result (pair set) is materialized and the O(corpus) shingle
+    * cache released before returning. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, tau: Double = 0.7, maxShingleDf: Int = 10000): DataFrame = {
+      n: Int = 3, tau: Double = 0.7, maxShingleDf: Int = 10000,
+      estimateFilter: Boolean = true): DataFrame = {
     val sh = shingled(df, idCol, textCol, n)
     val inv = sh.select(col("id"), explode(col("sh")).as("k"))
     val rare = inv.groupBy("k").agg(count(lit(1)).as("df"))
@@ -104,18 +130,21 @@ object Dedup {
       .join(invR.select(col("k"), col("id").as("b")), Seq("k"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    verify(candidates, sh, tau)
+    materializeAndRelease(verify(candidates, sh, tau, estimateFilter), sh)
   }
 
   /** MinHash + LSH banding: b bands of r rows. Docs sharing any band bucket
-    * become candidates; candidates are verified exactly, so precision is 1
-    * and recall is 1-(1-tau^r)^b. Defaults r=5, b=32: miss(s=0.8) ≈ 3e-6,
-    * miss(s=0.75) ≈ 2e-4, while collisions between UNRELATED docs scale as
+    * become candidates; verification makes precision 1, and recall is
+    * 1-(1-s^r)^b times the estimate-pre-filter survival (≈ 1 - 3e-4 for a
+    * pair at exactly tau; see [[verify]], or pass estimateFilter = false).
+    * Defaults r=5, b=32: band miss(s=0.8) ≈ 3e-6, miss(s=0.75) ≈ 2e-4,
+    * miss(s=0.7) ≈ 2.8e-3, while collisions between UNRELATED docs scale as
     * b·s^r — at r=3 (round 1's default) shared boilerplate shingles made
     * candidate buckets grow with corpus size and the verify stage (which
     * ships both full shingle arrays per candidate) dominated the 100k-file
     * probe at 206 s; r=5 cut measured candidates ~5x at 20k docs and keeps
-    * cutting as s^5 at scale.
+    * cutting as s^5 at scale. For exactness-critical thresholds run r=2
+    * (band miss(s=0.7) ≤ 1e-10) and eat the larger candidate set.
     *
     * `maxBucket` is the explosion backstop (the banding twin of
     * [[ngramJaccardPairs]]'s df cap): band keys shared by more than
@@ -130,7 +159,7 @@ object Dedup {
     * groupBy just to build signatures. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.7, bands: Int = 32, rows: Int = 5,
-      maxBucket: Int = 500): DataFrame = {
+      maxBucket: Int = 500, estimateFilter: Boolean = true): DataFrame = {
     val sh = shingled(df, idCol, textCol, n)
     val banded = sh.select(col("id"),
       explode(graft.functions.VectorTextExprs
@@ -144,7 +173,7 @@ object Dedup {
       .join(bandedF.select(col("band"), col("id").as("b")), Seq("band"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    verify(candidates, sh, tau)
+    materializeAndRelease(verify(candidates, sh, tau, estimateFilter), sh)
   }
 
   /** 64-bit SimHash over word hashes: sign of the per-bit weighted sum,

@@ -69,19 +69,38 @@ object Similarity {
     * dot products (no shuffle); the probe join shuffles only (list_id, qid)
     * fan-out; ranking is the bounded-heap [[graft.functions.TopKPairs]]
     * aggregate (k rows per partition cross the wire). */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nLists: Int = 64, nProbe: Int = 8, seed: Long = 13L,
-      trainSample: Int = 100000): DataFrame = {
+  /** Coarse-quantizer training, separated from the query path so callers
+    * (benchmarks, repeated query batches) train ONCE and reuse: k-means on a
+    * bounded UNBIASED sample — `sample(fraction, seed)` scans once with no
+    * single-partition funnel, unlike `limit(n)`, which both serialized the
+    * head through one task and sampled only the corpus prefix (a biased
+    * quantizer whenever the table is sorted, e.g. by repo). Random init +
+    * few iterations: a quantizer does not need converged centroids — recall
+    * is governed by nProbe, not centroid optimality. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, seed: Long = 13L, trainSample: Int = 100000): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = normalized(corpus, idCol, vecCol)
-    val train = c.limit(trainSample).select(array_to_vector(col("nv")).as("features"))
-    // random init: k-means|| costs ~5 extra passes and a quantizer does not
-    // need it — recall is governed by nProbe, not centroid optimality
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+    val total = c.count()
+    val frac = if (total <= trainSample) 1.0
+    else math.min(1.0, trainSample * 1.2 / total.toDouble)
+    val train = c.sample(withReplacement = false, frac, seed)
+      .select(array_to_vector(col("nv")).as("features"))
+    new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .setInitMode("random").fit(train)
-    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+      .clusterCenters.map(_.toArray)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 64, nProbe: Int = 8, seed: Long = 13L,
+      trainSample: Int = 100000,
+      trainedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol)
+    val centroids: Array[Seq[Double]] = trainedCentroids
+      .getOrElse(trainCentroids(corpus, idCol, vecCol, nLists, seed, trainSample))
+      .map(_.toSeq)
 
     // nearest-centroid scores: nLists compiled dot products per row
     def centroidScores: Column =
@@ -130,8 +149,10 @@ object Similarity {
     * or planes before raising tables. */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
       dims: Int, tau: Double, planes: Int = 6, tables: Int = 48): DataFrame = {
-    // At 100 TB persist `n`; it is consumed twice (signatures + verify).
+    // persisted: consumed 3x (signatures + both verify legs) — released
+    // below once the (tiny) pair result is materialized
     val n = normalized(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // all table signatures in one compiled pass (HyperplaneSigs) — the
     // compositional Column form was ~20k expression nodes at 48 tables
     val sigs = n.select(col("id"),
@@ -142,11 +163,16 @@ object Similarity {
       .join(sigs.select(col("b"), col("id").as("b2")), Seq("b"))
       .filter(col("a") < col("b2"))
       .select(col("a"), col("b2").as("b")).distinct()
-    candidates
+    val result = candidates
       .join(n.select(col("id").as("a"), col("nv").as("va")), Seq("a"))
       .join(n.select(col("id").as("b"), col("nv").as("vb")), Seq("b"))
       .withColumn("cosine", dot(col("va"), col("vb")))
       .filter(col("cosine") >= tau)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+      // eager: materialize the O(pairs) output so the O(corpus) normalized
+      // cache can be released deterministically before returning
+      .localCheckpoint()
+    n.unpersist(blocking = false)
+    result
   }
 }

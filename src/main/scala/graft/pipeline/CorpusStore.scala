@@ -100,4 +100,35 @@ object ResumableRun {
         if (stats.isNullAt(1)) 0L else stats.getLong(1))
     } finally v.unpersist()
   }
+
+  /** Full pipeline INCLUDING corpus-level near-dup removal. Near-dup
+    * clusters span hash partitions by construction, so this stage is
+    * corpus-global and does NOT resume partition-wise (re-run it whole;
+    * the per-file stage above is the partition-resumable one). Every cache
+    * the build creates internally — the scoring projection, dedup shingle
+    * frames, CC iteration snapshots — is released after the store write
+    * ([[graft.util.CacheScope]]), so a long-running job's executor storage
+    * stays bounded by the run, not the session. */
+  def runWithDedup(
+      spark: SparkSession,
+      input: DataFrame,
+      cfg: FilterConfig,
+      store: CorpusStore,
+      jobId: String): RunReport =
+    graft.util.CacheScope.withScope(spark) {
+      val v = QualityFilter.verdictsWithDedup(input, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        store.writeVerdicts(v)
+        store.appendLineage(QualityFilter.partitionLineage(v, jobId)
+          .withColumn("execution_ts", current_timestamp()))
+        val stats = v.agg(
+          count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L)),
+          countDistinct(col("partition_id"))).collect().head
+        RunReport(jobId, 0,
+          if (stats.isNullAt(2)) 0L else stats.getLong(2),
+          stats.getLong(0),
+          if (stats.isNullAt(1)) 0L else stats.getLong(1))
+      } finally v.unpersist()
+    }
 }

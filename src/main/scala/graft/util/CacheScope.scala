@@ -1,0 +1,26 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** Job-scoped cache lifecycle for pipelines whose operators persist or
+  * localCheckpoint internally (shingle frames, CC iteration snapshots, the
+  * scoring projection): runs `f`, then unpersists every RDD whose
+  * persistence was CREATED inside the scope. Caches made before the scope
+  * (e.g. a caller's table cache) are untouched.
+  *
+  * Dropping a localCheckpointed RDD's blocks is safe once nothing downstream
+  * will recompute — i.e. after every output of the scope has been
+  * materialized/written, which is the contract of the run-style entry points
+  * that use this. In a long-running service this is what keeps executor
+  * storage O(current job), not O(jobs ever run).
+  */
+object CacheScope {
+
+  def withScope[T](spark: SparkSession)(f: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try f
+    finally spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+}

@@ -65,10 +65,46 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     "Exchange".r.findAllIn(tree).size should be <= 2
   }
 
-  test("q_dedup_embedding plans no nested-loop join (LSH-bucketed, not all-pairs)") {
-    val (_, full) = planText(SparkEntry.queries("q_dedup_embedding")(spark, sf))
-    full should not include "BroadcastNestedLoopJoin"
-    full should not include "CartesianProduct"
+  /** The dedup/similarity operators materialize eagerly (internal cache
+    * release), so the interesting plans run DURING construction — capture
+    * every executed plan with a listener and assert over all of them, which
+    * is strictly stronger than explaining the final frame. */
+  private def executedPlans(body: => Unit): Seq[String] = {
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      // listener events are delivered asynchronously: wait until the
+      // captured set is non-empty and stable
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val now = plans.synchronized(plans.size)
+        if (now == last && now > 0) stable += 1 else stable = 0
+        last = now
+        Thread.sleep(100)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    plans.synchronized(plans.toSeq)
+  }
+
+  test("q_dedup_embedding runs no nested-loop join in ANY job (LSH-bucketed, not all-pairs)") {
+    val plans = executedPlans {
+      SparkEntry.queries("q_dedup_embedding")(spark, sf).collect()
+    }
+    plans should not be empty
+    plans.foreach { p =>
+      p should not include "BroadcastNestedLoopJoin"
+      p should not include "CartesianProduct"
+    }
   }
 
   test("ANN top-k ranks via the bounded-heap aggregate, not a window sort") {
@@ -79,9 +115,46 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     tree should include("ObjectHashAggregate")
   }
 
-  test("q_dedup_minhash_lsh plans no cartesian/nested-loop join") {
-    val (_, full) = planText(SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf))
-    full should not include "BroadcastNestedLoopJoin"
-    full should not include "CartesianProduct"
+  test("q_dedup_minhash_lsh runs no cartesian/nested-loop join in ANY job") {
+    val plans = executedPlans {
+      SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf).collect()
+    }
+    plans should not be empty
+    plans.foreach { p =>
+      p should not include "BroadcastNestedLoopJoin"
+      p should not include "CartesianProduct"
+    }
+  }
+
+  test("dedup rejoin never FORCES a broadcast of the unbounded non-canonical side") {
+    // with autoBroadcastJoinThreshold = -1 nothing may broadcast unless a
+    // hint forces it — the round-2 `broadcast(nonCanonical)` hint (a
+    // guaranteed OOM at web-scale dup rates) would fail this gate; AQE
+    // remains free to broadcast by MEASURED size in normal runs
+    import graft.corpus.{CorpusGen, CorpusSpec}
+    import graft.pipeline.{FilterConfig, QualityFilter}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = CorpusGen.corpus(spark, CorpusSpec(nFiles = 200)).toDF
+      val plans = executedPlans {
+        QualityFilter.verdictsWithDedup(corpus, FilterConfig()).collect()
+      }
+      plans should not be empty
+      plans.foreach(_ should not include "BroadcastHashJoin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("runWithDedup releases every cache it creates (no storage leak)") {
+    import graft.corpus.{CorpusGen, CorpusSpec}
+    import graft.pipeline.{FilterConfig, ParquetCorpusStore, ResumableRun}
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val dir = java.nio.file.Files.createTempDirectory("graft-scope").toString
+    val corpus = CorpusGen.corpus(spark, CorpusSpec(nFiles = 300)).toDF
+    val report = ResumableRun.runWithDedup(spark, corpus,
+      FilterConfig(numPartitions = 8), new ParquetCorpusStore(dir), "scope-job")
+    report.rowsIn shouldBe 300
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    (after -- before) shouldBe empty
   }
 }

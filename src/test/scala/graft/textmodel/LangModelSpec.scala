@@ -42,6 +42,22 @@ class LangModelSpec extends AnyFunSuite with Matchers {
     s.knPpl shouldBe LangModel.knLm.perplexity(content)
   }
 
+  test("analyzer langid/conf/ppl are bit-identical to LangModel.score " +
+    "(fixture-oracle parity contract)") {
+    // the expected-verdict fixtures compare these doubles EXACTLY against
+    // the pipeline's DocAnalyzer output (graft.corpus.Fixtures)
+    (0L until 50L).foreach { i =>
+      val row = CorpusGen.fileAt(graft.corpus.CorpusSpec(nFiles = 50), i)
+      val a = DocAnalyzer.analyze(row.content)
+      val sc = LangModel.score(row.content)
+      withClue(s"${row.repo}/${row.path}") {
+        a.langPred shouldBe sc.lang
+        a.langConf shouldBe sc.conf
+        a.knPpl shouldBe sc.ppl
+      }
+    }
+  }
+
   test("models are deterministic across invocations") {
     val doc = CorpusGen.cleanContent("go", Rng(779L, 2L), 20L)
     LangModel.score(doc) shouldBe LangModel.score(doc)
