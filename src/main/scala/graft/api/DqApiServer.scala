@@ -1,0 +1,97 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.config.JobConfig
+import graft.storage.DqStorage
+
+/** REST surface for config validation and storage queries — the
+  * `checkita-api` module's capabilities (HTTP config validation endpoints +
+  * DQ-storage reads; reference: checkita-api, ~1.4k LoC of http4s routes)
+  * rebuilt on the JDK's built-in HTTP server: zero extra dependencies, no
+  * compute of its own, and every route delegates to the SAME code paths the
+  * batch job uses (JobConfig.parse/validate, DqStorage.metricHistory) — the
+  * API can never drift from the engine.
+  *
+  * Routes:
+  *  - `POST /api/jobs/validate`  body = job-config JSON →
+  *    `{"valid":bool,"errors":[...]}` (parse errors are reported the same way)
+  *  - `GET  /api/storage/metrics/history?jobId=..&metricId=..[&before=ISO]` →
+  *    `{"points":[{"ts":"...","value":...},...]}`
+  *  - `GET  /api/health` → `{"status":"ok"}`
+  */
+final class DqApiServer(storage: Option[DqStorage], port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split("&").toSeq
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }.toMap
+
+  server.createContext("/api/health", (ex: HttpExchange) =>
+    respond(ex, 200, """{"status":"ok"}"""))
+
+  server.createContext("/api/jobs/validate", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
+    else {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val errors =
+        try JobConfig.validate(JobConfig.parse(body))
+        catch { case e: Exception => Seq(s"parse error: ${e.getMessage}") }
+      val errJson = errors.map(e => "\"" + jsonEscape(e) + "\"").mkString("[", ",", "]")
+      respond(ex, 200, s"""{"valid":${errors.isEmpty},"errors":$errJson}""")
+    }
+  })
+
+  server.createContext("/api/storage/metrics/history", (ex: HttpExchange) => {
+    val p = queryParams(ex)
+    (p.get("jobId"), p.get("metricId"), storage) match {
+      case (_, _, None) =>
+        respond(ex, 503, """{"error":"no storage configured"}""")
+      case (Some(jobId), Some(metricId), Some(st)) =>
+        val before = p.get("before").map(java.time.Instant.parse)
+          .getOrElse(java.time.Instant.parse("9999-12-31T00:00:00Z"))
+        try {
+          val pts = st.metricHistory(jobId, metricId, before)
+            .map(h => s"""{"ts":"${h.ts}","value":${h.value}}""")
+            .mkString("[", ",", "]")
+          respond(ex, 200, s"""{"points":$pts}""")
+        } catch {
+          case e: Exception =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            respond(ex, 500, s"""{"error":"${jsonEscape(msg)}"}""")
+        }
+      case _ =>
+        respond(ex, 400, """{"error":"jobId and metricId are required"}""")
+    }
+  })
+
+  def start(): DqApiServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

@@ -110,6 +110,12 @@ object JobConfig {
     c.checks.filter(ch => ch.kind.toUpperCase != "EXPRESSION" &&
         ch.compareMetric.isEmpty && ch.threshold.isEmpty)
       .foreach(ch => errs += s"check '${ch.id}' needs compareMetric or threshold")
+    // DIFFER_BY_LT compares base vs compareMetric WITHIN a threshold — both
+    // are required (the generic compareMetric-or-threshold rule above is
+    // not enough; a missing one must surface here, not as a crash in build)
+    c.checks.filter(ch => ch.kind.toUpperCase == "DIFFER_BY_LT" &&
+        (ch.compareMetric.isEmpty || ch.threshold.isEmpty))
+      .foreach(ch => errs += s"DIFFER_BY_LT check '${ch.id}' needs BOTH compareMetric and threshold")
     c.checks.filter(ch => ch.kind.toUpperCase == "EXPRESSION" && ch.formula.isEmpty)
       .foreach(ch => errs += s"expression check '${ch.id}' needs a formula")
     val refRe = "\\{\\{\\s*([\\w.\\-]+)\\s*\\}\\}".r
@@ -242,10 +248,15 @@ object JobConfig {
       case "GREATER_THAN" =>
         Left(CheckSpec(GreaterThanCheck(c.id, c.base, c.compareMetric, c.threshold), c.critical))
       case "DIFFER_BY_LT" =>
-        Left(CheckSpec(DifferByLtCheck(c.id, c.base, c.compareMetric.get,
-          c.threshold.get), c.critical))
+        val cm = c.compareMetric.getOrElse(throw new IllegalArgumentException(
+          s"DIFFER_BY_LT check '${c.id}' needs a compareMetric"))
+        val th = c.threshold.getOrElse(throw new IllegalArgumentException(
+          s"DIFFER_BY_LT check '${c.id}' needs a threshold"))
+        Left(CheckSpec(DifferByLtCheck(c.id, c.base, cm, th), c.critical))
       case "EXPRESSION" =>
-        Right(ExpressionCheckSpec(ExpressionCheck(c.id, c.formula.get), c.critical))
+        Right(ExpressionCheckSpec(ExpressionCheck(c.id,
+          c.formula.getOrElse(throw new IllegalArgumentException(
+            s"expression check '${c.id}' needs a formula"))), c.critical))
       case other => throw new IllegalArgumentException(s"unknown check kind '$other'")
     }
 

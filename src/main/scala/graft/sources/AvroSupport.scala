@@ -90,19 +90,23 @@ object AvroSupport {
     }
     val structType = SchemaDef.fromAvro(writerSchemaJson)
 
+    // executors must see the SESSION's hadoop conf (S3 credentials,
+    // endpoints, custom FS) — a bare `new Configuration()` in the task
+    // would silently drop them on any non-default filesystem
+    val bcConf = spark.sparkContext.broadcast(
+      new graft.util.SerializableHadoopConf(conf))
     val rdd = spark.sparkContext.parallelize(files, files.size).flatMap { f =>
-      val hconf = new org.apache.hadoop.conf.Configuration()
       val hp = new HPath(f)
-      val in = hp.getFileSystem(hconf).open(hp)
+      val in = hp.getFileSystem(bcConf.value.value).open(hp)
       val reader = new GenericDatumReader[GenericRecord](
         new Schema.Parser().parse(writerSchemaJson))
       val dfs = new DataFileStream[GenericRecord](in, reader)
+      // close on TASK completion, not on iterator exhaustion — a partially
+      // consumed iterator (limit, take) would otherwise leak the stream
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dfs.close()))
       new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = dfs.hasNext
-          if (!h) dfs.close()
-          h
-        }
+        def hasNext: Boolean = dfs.hasNext
         def next(): Row = recordToRow(dfs.next(), structType)
       }
     }

@@ -53,6 +53,14 @@ object SchemaDef {
     fixedFull(fields)
   }
 
+  /** Catalog/metastore declared schema: the schema of a registered table
+    * used AS a schema object — for validating/parsing other sources against
+    * it (ref "hive" schema kind: Schemas.scala:123-150, which reads field
+    * names+types from the metastore). Works with any Spark catalog
+    * (in-memory, Hive, Iceberg) since it goes through the session catalog. */
+  def fromTable(spark: org.apache.spark.sql.SparkSession, table: String): StructType =
+    spark.table(table).schema
+
   /** Avro .avsc → Spark schema (ref: Schemas.scala:104-122). Minimal mapping
     * of the Avro types the reference supports for flat records; unions with
     * null become nullable fields. */

@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.concurrent.TrieMap
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.Column
+
+/** Minimal Confluent-compatible Schema Registry client — driver-side schema
+  * resolution with caching, the reference capability at
+  * connections/schemaregistry/SchemaRegistryConnection.scala and
+  * config/jobconf/Schemas.scala:151+ (registry schema kind: fetch by
+  * subject/version or by global id over HTTP).
+  *
+  * Schemas resolve ONCE on the driver at job setup and ride into the
+  * [[AvroDecode]] expression as a literal — executors never call the
+  * registry, so 10^12 decoded rows cost one HTTP round-trip. The cache makes
+  * repeated job builds (retries, stream restarts) hit the network at most
+  * once per id/subject.
+  */
+final class SchemaRegistryClient(
+    baseUrl: String,
+    connectTimeoutMs: Int = 5000,
+    readTimeoutMs: Int = 10000) extends Serializable {
+
+  @transient private lazy val mapper = new ObjectMapper()
+  @transient private lazy val byId = TrieMap[Int, String]()
+  @transient private lazy val bySubject = TrieMap[String, (Int, String)]()
+
+  private def getJson(path: String): JsonNode = {
+    val conn = new URL(baseUrl.stripSuffix("/") + path)
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestProperty("Accept", "application/vnd.schemaregistry.v1+json, application/json")
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body =
+      try new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      finally stream.close()
+    if (code >= 400)
+      throw new java.io.IOException(s"schema registry GET $path -> HTTP $code: $body")
+    mapper.readTree(body)
+  }
+
+  /** GET /schemas/ids/{id} → writer schema JSON (.avsc). */
+  def schemaById(id: Int): String =
+    byId.getOrElseUpdate(id, getJson(s"/schemas/ids/$id").get("schema").asText())
+
+  /** GET /subjects/{subject}/versions/latest → (global id, .avsc). */
+  def latestBySubject(subject: String): (Int, String) =
+    bySubject.getOrElseUpdate(subject, {
+      val n = getJson(s"/subjects/$subject/versions/latest")
+      (n.get("id").asInt(), n.get("schema").asText())
+    })
+
+  /** Confluent wire frame → schema id (magic byte 0 + big-endian int). */
+  def frameSchemaId(payload: Array[Byte]): Int = {
+    require(payload.length >= 5 && payload(0) == 0,
+      "not a Confluent-framed payload (magic byte 0 + 4-byte schema id)")
+    ((payload(1) & 0xff) << 24) | ((payload(2) & 0xff) << 16) |
+      ((payload(3) & 0xff) << 8) | (payload(4) & 0xff)
+  }
+
+  /** Kafka value decode with registry-resolved schema: latest schema for the
+    * subject, Confluent framing skipped per row. */
+  def decodeLatest(value: Column, subject: String): Column =
+    AvroSupport.from_avro(value, latestBySubject(subject)._2, confluentFraming = true)
+
+  /** Kafka value decode with the schema a specific frame references. */
+  def decodeById(value: Column, schemaId: Int): Column =
+    AvroSupport.from_avro(value, schemaById(schemaId), confluentFraming = true)
+}

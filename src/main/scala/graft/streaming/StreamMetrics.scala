@@ -23,6 +23,22 @@ import graft.metrics.RowMetric
   */
 object StreamMetrics {
 
+  /** Which clock drives windowing — the reference's three windowing kinds
+    * (config/Enums.scala:76-92, applied in utils/SparkUtils.scala:143-163):
+    * an event-time data column, the processing (ingest) time, or an
+    * arbitrary per-row time expression. */
+  sealed trait WindowTime
+  object WindowTime {
+    /** window on an event-time column present in the data. */
+    final case class EventTime(tsCol: String) extends WindowTime
+    /** window on ingest time — rows are stamped `current_timestamp()` as
+      * they enter the micro-batch (ref "processing time" kind). */
+    case object ProcessingTime extends WindowTime
+    /** window on a custom per-row expression castable to timestamp (ref
+      * "custom time column" kind, e.g. a millis epoch field). */
+    final case class CustomTime(expr: org.apache.spark.sql.Column) extends WindowTime
+  }
+
   /** Per-window fused metric aggregation. Append mode emits a window only
     * once the watermark passes — the analogue of the reference's
     * "window below min-watermark → finalize" rule. */
@@ -32,16 +48,33 @@ object StreamMetrics {
       windowDuration: String,
       watermarkDelay: String,
       metrics: Seq[RowMetric],
+      slideDuration: Option[String] = None): DataFrame =
+    windowedMetricsBy(stream, WindowTime.EventTime(tsCol), windowDuration,
+      watermarkDelay, metrics, slideDuration)
+
+  /** [[windowedMetrics]] generalized over the windowing clock. */
+  def windowedMetricsBy(
+      stream: DataFrame,
+      timeMode: WindowTime,
+      windowDuration: String,
+      watermarkDelay: String,
+      metrics: Seq[RowMetric],
       slideDuration: Option[String] = None): DataFrame = {
     require(stream.isStreaming, "windowedMetrics expects a streaming DataFrame")
+    val tsName = "__graft_wts"
+    // watermarks require TIMESTAMP (with zone); NTZ sources are cast —
+    // safe under the project-wide UTC session timezone
+    val tsExpr = timeMode match {
+      case WindowTime.EventTime(c) => col(c).cast("timestamp")
+      case WindowTime.ProcessingTime => current_timestamp()
+      case WindowTime.CustomTime(e) => e.cast("timestamp")
+    }
     val win = slideDuration
-      .map(s => window(col(tsCol), windowDuration, s))
-      .getOrElse(window(col(tsCol), windowDuration))
+      .map(s => window(col(tsName), windowDuration, s))
+      .getOrElse(window(col(tsName), windowDuration))
     stream
-      // watermarks require TIMESTAMP (with zone); NTZ sources are cast —
-      // safe under the project-wide UTC session timezone
-      .withColumn(tsCol, col(tsCol).cast("timestamp"))
-      .withWatermark(tsCol, watermarkDelay)
+      .withColumn(tsName, tsExpr)
+      .withWatermark(tsName, watermarkDelay)
       .groupBy(win)
       .agg(metrics.head.result, metrics.tail.map(_.result): _*)
       .select(col("window.start").as("window_start") +:

@@ -1,0 +1,23 @@
+package graft.util
+
+import org.apache.hadoop.conf.Configuration
+
+/** Serializable wrapper for a hadoop Configuration (which is Writable but
+  * not java-serializable): ships the SESSION's filesystem settings — S3
+  * credentials, endpoints, custom FS implementations — into executor
+  * closures, instead of executors falling back to a default `new
+  * Configuration()` that silently drops them. */
+final class SerializableHadoopConf(@transient var value: Configuration)
+  extends Serializable {
+
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.api
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.metrics.MetricResult
+import graft.storage.ParquetDqStorage
+
+/** API module: validation + storage-query routes against a live local
+  * server, exercising the same JobConfig/DqStorage code paths as the batch
+  * job. */
+class DqApiServerSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  private def get(url: String): (Int, String) = {
+    val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    val code = c.getResponseCode
+    val in = if (code >= 400) c.getErrorStream else c.getInputStream
+    (code, try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close())
+  }
+
+  private def post(url: String, body: String): (Int, String) = {
+    val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod("POST")
+    c.setDoOutput(true)
+    val out = c.getOutputStream
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val code = c.getResponseCode
+    val in = if (code >= 400) c.getErrorStream else c.getInputStream
+    (code, try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close())
+  }
+
+  test("validate + history + health routes work end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api").toString
+    val storage = new ParquetDqStorage(spark, dir)
+    val t0 = java.time.Instant.parse("2026-08-01T00:00:00Z")
+    storage.saveMetrics("job1", t0,
+      Seq(MetricResult("m1", "ROW_COUNT", "s1", Nil, 100.0)))
+    storage.saveMetrics("job1", t0.plusSeconds(3600),
+      Seq(MetricResult("m1", "ROW_COUNT", "s1", Nil, 120.0)))
+
+    val srv = new DqApiServer(Some(storage)).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      get(s"$base/api/health")._2 should include("ok")
+
+      val good =
+        """{"jobId":"j","sources":[{"id":"s1","kind":"parquet",
+          |"path":"/root/testdata/sf0.001/lineitem.parquet"}],
+          |"metrics":[{"id":"m1","name":"ROW_COUNT","source":"s1"}],
+          |"checks":[{"id":"c1","kind":"GREATER_THAN","base":"m1","threshold":1}]}"""
+          .stripMargin
+      val (okCode, okBody) = post(s"$base/api/jobs/validate", good)
+      okCode shouldBe 200
+      okBody should include(""""valid":true""")
+
+      val bad = """{"jobId":"j","metrics":[{"id":"m1","name":"ROW_COUNT","source":"ghost"}]}"""
+      val (_, badBody) = post(s"$base/api/jobs/validate", bad)
+      badBody should include(""""valid":false""")
+      badBody should include("unknown source")
+
+      val (_, notJson) = post(s"$base/api/jobs/validate", "{nope")
+      notJson should include(""""valid":false""")
+
+      val (hCode, hBody) = get(
+        s"$base/api/storage/metrics/history?jobId=job1&metricId=m1")
+      hCode shouldBe 200
+      hBody should include("100.0")
+      hBody should include("120.0")
+      // `before` filters history like the trend engine does
+      val (_, hBefore) = get(s"$base/api/storage/metrics/history" +
+        "?jobId=job1&metricId=m1&before=2026-08-01T00:30:00Z")
+      hBefore should include("100.0")
+      hBefore should not include "120.0"
+
+      get(s"$base/api/storage/metrics/history?jobId=job1")._1 shouldBe 400
+    } finally srv.stop()
+  }
+}

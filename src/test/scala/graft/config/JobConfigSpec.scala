@@ -93,6 +93,26 @@ class JobConfigSpec extends AnyFunSuite with Matchers {
       JobConfig.build(spark, JobConfig.parse(bad))
   }
 
+  test("DIFFER_BY_LT with threshold but no compareMetric is a VALIDATION error, not a crash") {
+    val bad =
+      """{
+        "jobId": "dbl",
+        "sources": [{"id": "s1", "kind": "parquet",
+                     "path": "/root/testdata/sf0.001/lineitem.parquet"}],
+        "metrics": [{"id": "m1", "name": "ROW_COUNT", "source": "s1"}],
+        "checks": [
+          {"id": "k1", "kind": "DIFFER_BY_LT", "base": "m1", "threshold": 0.1}
+        ]
+      }"""
+    val errs = JobConfig.validate(JobConfig.parse(bad))
+    errs.exists(_.contains("DIFFER_BY_LT check 'k1' needs BOTH")) shouldBe true
+    // build surfaces the collected message, never a bare NoSuchElementException
+    val ex = intercept[IllegalArgumentException] {
+      JobConfig.build(spark, JobConfig.parse(bad))
+    }
+    ex.getMessage should include("DIFFER_BY_LT check 'k1'")
+  }
+
   test("metric factory covers the MetricName surface incl. params") {
     def m(name: String, cols: Seq[String] = Seq("c"),
         params: Map[String, String] = Map.empty) =

@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Live Schema Registry resolution against a local fake registry (same
+  * local-fake pattern as the SMTP/Mattermost transports in WritersSpec):
+  * subject/id fetch over HTTP, caching, and end-to-end decode of a
+  * Confluent-framed Kafka value with the registry-resolved schema. */
+class SchemaRegistrySpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val avsc =
+    """{"type":"record","name":"Rec","fields":[
+      |{"name":"id","type":"long"},{"name":"name","type":"string"}]}"""
+      .stripMargin.replace("\n", "")
+
+  private def jsonEscaped(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/vnd.schemaregistry.v1+json")
+    ex.sendResponseHeaders(code, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  test("registry client: subject/id fetch, caching, framed kafka decode end-to-end") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new AtomicInteger(0)
+    server.createContext("/schemas/ids/42", (ex: HttpExchange) => {
+      hits.incrementAndGet()
+      respond(ex, 200, s"""{"schema":"${jsonEscaped(avsc)}"}""")
+    })
+    server.createContext("/subjects/files-value/versions/latest", (ex: HttpExchange) => {
+      hits.incrementAndGet()
+      respond(ex, 200,
+        s"""{"subject":"files-value","version":3,"id":42,"schema":"${jsonEscaped(avsc)}"}""")
+    })
+    server.createContext("/", (ex: HttpExchange) =>
+      respond(ex, 404, """{"error_code":40403,"message":"not found"}"""))
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+    try {
+      val client = new SchemaRegistryClient(base)
+      client.latestBySubject("files-value") shouldBe ((42, avsc))
+      client.schemaById(42) shouldBe avsc
+
+      // Confluent-framed binary-avro payload (magic 0 + big-endian id 42)
+      import org.apache.avro.Schema
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      import org.apache.avro.io.EncoderFactory
+      val schema = new Schema.Parser().parse(avsc)
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array[Byte](0, 0, 0, 0, 42))
+      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      val rec = new GenericData.Record(schema)
+      rec.put("id", 7L); rec.put("name", "x")
+      new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+      enc.flush()
+      val payload = bos.toByteArray
+
+      client.frameSchemaId(payload) shouldBe 42
+
+      val kafkaShaped = Seq((Array[Byte](107), payload))
+        .toDF("key", "value")
+      kafkaShaped.select(client.decodeLatest(col("value"), "files-value").as("v"))
+        .select("v.id", "v.name").collect().head.toSeq shouldBe Seq(7L, "x")
+      kafkaShaped.select(client.decodeById(col("value"),
+          client.frameSchemaId(payload)).as("v"))
+        .select("v.id").collect().head.getLong(0) shouldBe 7L
+
+      // cache: repeated resolutions never re-hit the network
+      val hitsAfterFirstRound = hits.get()
+      client.latestBySubject("files-value")._1 shouldBe 42
+      client.schemaById(42) shouldBe avsc
+      hits.get() shouldBe hitsAfterFirstRound
+
+      // ...even with the registry DOWN (stream restart resilience)
+      server.stop(0)
+      client.latestBySubject("files-value")._1 shouldBe 42
+      // a non-cached id must fail loudly, not hang or return garbage
+      an[Exception] should be thrownBy client.schemaById(99)
+    } finally
+      try server.stop(0) catch { case _: Throwable => () }
+  }
+}

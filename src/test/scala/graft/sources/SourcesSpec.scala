@@ -32,6 +32,11 @@ class SourcesSpec extends AnyFunSuite with Matchers {
       StructField("tag", StringType, nullable = true),
       StructField("vals", ArrayType(DoubleType, containsNull = false), nullable = false)))
     an[IllegalArgumentException] should be thrownBy SchemaDef.typeOf("blob")
+    // catalog/metastore declared-schema kind (ref "hive" schema kind)
+    Seq((1L, "x")).toDF("id", "tag").createOrReplaceTempView("schema_src")
+    SchemaDef.fromTable(spark, "schema_src") shouldBe StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = true)))
   }
 
   test("file readers: parquet, orc, csv (header + declared schema), json") {
