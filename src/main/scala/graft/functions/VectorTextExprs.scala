@@ -338,9 +338,117 @@ case class ArrayEqCount(left: Expression, right: Expression)
   override def prettyName: String = "array_eq_count"
 }
 
+/** L2-normalize a numeric vector in ONE pass: accumulate the squared norm
+  * left-to-right (bit-identical to `dot_product(v, v)`), sqrt once, divide
+  * each element — exactly the arithmetic of the compositional
+  * `transform(v, x / sqrt(dot(v,v)))` form, minus its plan pathology:
+  * CollapseProject inlines that form into EVERY downstream reference, and
+  * the per-element lambda re-evaluates the norm per ELEMENT — in the IVF
+  * posting projection (argmax over k centroid dots) the normalization was
+  * re-computed ~16x per row with O(dims) work per element, turning a
+  * 2000-row query into seconds. One compiled pass makes every re-evaluation
+  * O(dims). Zero vectors keep the compositional form's semantics (0/0 =
+  * NaN elements). */
+case class NormalizeVec(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType | LongType | IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"normalize_vec requires a numeric array, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val n = v.numElements()
+    val d = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      d(i) = et match {
+        case DoubleType => v.getDouble(i)
+        case FloatType => v.getFloat(i).toDouble
+        case LongType => v.getLong(i).toDouble
+        case IntegerType => v.getInt(i).toDouble
+        case other => throw new IllegalArgumentException(s"normalize_vec: $other")
+      }
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < n) { acc += d(i) * d(i); i += 1 }
+    val norm = math.sqrt(acc)
+    i = 0
+    while (i < n) { d(i) = d(i) / norm; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(d)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeVec =
+    copy(child = newChild)
+
+  override def prettyName: String = "normalize_vec"
+}
+
+/** Index (0-based) of the centroid with the largest dot product against the
+  * input vector — the IVF coarse-quantizer assignment as ONE compiled pass
+  * over k×dims, replacing `array_position(scores, array_max(scores))` whose
+  * `scores = array(k dot products)` subtree was duplicated by the argmax
+  * composition. First-maximum tie-breaking matches `array_position`. */
+case class CentroidArgMax(child: Expression, centroids: Seq[Seq[Double]])
+  extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"centroid_arg_max requires array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dims = v.numElements()
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      val n = math.min(dims, ct.length)
+      var acc = 0.0
+      var d = 0
+      while (d < n) { acc += v.getDouble(d) * ct(d); d += 1 }
+      if (acc > bestScore) { bestScore = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgMax =
+    copy(child = newChild)
+
+  override def prettyName: String = "centroid_arg_max"
+}
+
 object VectorTextExprs {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def normalize_vec(v: Column): Column =
+    Bridge.column(NormalizeVec(Bridge.expression(v)))
+  def centroid_arg_max(v: Column, centroids: Seq[Seq[Double]]): Column =
+    Bridge.column(CentroidArgMax(Bridge.expression(v), centroids))
   def shingle_hashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
   def hyperplane_sigs(v: Column, planes: Int, tables: Int, seed: Long = 7L): Column =

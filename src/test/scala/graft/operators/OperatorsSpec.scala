@@ -30,6 +30,25 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     lsh shouldBe exact
   }
 
+  test("minhash default operating point (r=5/b=32) finds a borderline pair at s ~ 0.71") {
+    // the scaladoc's miss bound at the default is (1-s^5)^32 ≈ 2.8e-3 at
+    // s=0.7 — this pins a DETERMINISTIC borderline pair just above tau so a
+    // banding regression (fewer effective bands, broken hashing) fails here
+    // rather than silently eroding recall
+    val base = (0 until 60).map(i => s"tok$i")
+    // replace the last k tokens: shingle sets share a long prefix
+    val variant = base.dropRight(10) ++ (0 until 10).map(i => s"alt$i")
+    def shingles(ts: Seq[String]) = ts.sliding(3).map(_.mkString(" ")).toSet
+    val (sa, sb) = (shingles(base), shingles(variant))
+    val s = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    s should (be >= 0.70 and be <= 0.72) // the pair is genuinely borderline
+    val df = Seq((1L, base.mkString(" ")), (2L, variant.mkString(" ")))
+      .toDF("doc_id", "text")
+    val found = Dedup.minHashLshPairs(df, "doc_id", "text", n = 3, tau = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    found shouldBe Array((1L, 2L))
+  }
+
   test("simhash recall: every near-identical pair (jaccard >= 0.95) is found") {
     // SimHash sketches word-multiset cosine: expected hamming for jaccard j
     // is ~64*acos(2j/(1+j))/pi — j=0.95 ⇒ ~5 bits, j=0.8 ⇒ ~10 bits. So the
