@@ -47,12 +47,13 @@ object Bench {
         df
       }
     SparkEntry.queries("q1_agg")(spark, sfDir).count() // JIT/classload warmup
-    // best-of-2 per query: this VM shows transient multi-second slowdowns;
-    // min wall time reflects the engine, not the host's mood. Timed action
-    // is a noop-format write — unlike count(), it cannot prune away the
-    // query's own projections.
+    // best-of-3 per query: this VM shows transient multi-second slowdowns
+    // (observed same-code totals 42-61 s across one evening); min wall time
+    // reflects the engine, not the host's mood. Timed action is a
+    // noop-format write — unlike count(), it cannot prune away the query's
+    // own projections.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
