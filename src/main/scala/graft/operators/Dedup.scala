@@ -226,6 +226,74 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Connected components, size-adaptive (the AQE philosophy applied to the
+    * operator): min-label propagation needs O(diameter) shuffle rounds —
+    * each a full scheduler barrier — which is the right shape for billions
+    * of edges but pure fixed latency when the edge set is small. When the
+    * (already-materialized) edge list is under `driverEdgeLimit`, run an
+    * exact union-find on the driver in one pass and parallelize the labels
+    * back out; both paths produce IDENTICAL output (label = min node id of
+    * the component — spec-asserted), so the cutover changes cost, never
+    * results. At 10^12-file dup rates the edge list exceeds any driver, and
+    * the distributed path engages automatically. */
+  def connectedComponentsAuto(edges: DataFrame,
+      driverEdgeLimit: Long = 2000000L, maxIter: Int = 30): DataFrame = {
+    // cheap when the caller hands a checkpointed/cached frame (the dedup
+    // pipeline always does — pairs are eagerly materialized)
+    val n = edges.limit((driverEdgeLimit + 1).toInt).count()
+    if (n > driverEdgeLimit) connectedComponents(edges, maxIter)
+    else {
+      val spark = edges.sparkSession
+      val schema = edges.schema
+      val rows = edges.select(col("a"), col("b")).collect()
+      // union-find over arbitrary node values; ordering MUST match Spark's
+      // (distributed min() semantics) so both paths pick identical labels
+      val parent = scala.collection.mutable.HashMap[Any, Any]()
+      def cmp(dt: org.apache.spark.sql.types.DataType, x: Any, y: Any): Int = dt match {
+        case org.apache.spark.sql.types.LongType =>
+          java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long])
+        case org.apache.spark.sql.types.IntegerType =>
+          java.lang.Integer.compare(x.asInstanceOf[Int], y.asInstanceOf[Int])
+        case org.apache.spark.sql.types.StringType =>
+          x.asInstanceOf[String].compareTo(y.asInstanceOf[String])
+        case st: org.apache.spark.sql.types.StructType =>
+          val (rx, ry) = (x.asInstanceOf[org.apache.spark.sql.Row],
+            y.asInstanceOf[org.apache.spark.sql.Row])
+          var i = 0
+          while (i < st.fields.length) {
+            val c = cmp(st.fields(i).dataType, rx.get(i), ry.get(i))
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        case other => throw new IllegalArgumentException(
+          s"connectedComponentsAuto: unsupported node id type $other")
+      }
+      val idType = schema("a").dataType
+      val ord: Ordering[Any] = (x: Any, y: Any) => cmp(idType, x, y)
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      rows.foreach { r =>
+        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val ids = rows.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+      val out = ids.map(id => org.apache.spark.sql.Row(id, find(id)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", schema("a").dataType),
+          org.apache.spark.sql.types.StructField("label", schema("a").dataType))))
+    }
+  }
+
   /** Connected components over an undirected edge list (a, b) via iterative
     * min-label propagation: each node adopts the smallest label among itself
     * and its neighbors until fixpoint — converges in O(component diameter)

@@ -49,6 +49,30 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     found shouldBe Array((1L, 2L))
   }
 
+  test("connected components: driver union-find path equals distributed label propagation") {
+    // deterministic multi-component graph with chains (diameter > 1),
+    // including a component whose min id arrives "late" in the edge order
+    val edges = Seq((5L, 3L), (3L, 9L), (9L, 7L), (20L, 21L), (22L, 21L),
+      (40L, 41L), (2L, 9L), (100L, 100L))
+      .toDF("a", "b")
+    val dist = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drv = Dedup.connectedComponentsAuto(edges, driverEdgeLimit = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    drv shouldBe dist
+    dist(7L) shouldBe 2L // min id of the {2,3,5,7,9} chain
+    dist(22L) shouldBe 20L
+    // ...and with 128-bit struct node ids (the pipeline's id type)
+    val sEdges = edges.select(
+      struct(xxhash64(col("a")).as("h1"), xxhash64(col("a"), lit(1L)).as("h2")).as("a"),
+      struct(xxhash64(col("b")).as("h1"), xxhash64(col("b"), lit(1L)).as("h2")).as("b"))
+    val sDist = Dedup.connectedComponents(sEdges)
+      .collect().map(r => r.get(0).toString -> r.get(1).toString).toMap
+    val sDrv = Dedup.connectedComponentsAuto(sEdges, driverEdgeLimit = 1000)
+      .collect().map(r => r.get(0).toString -> r.get(1).toString).toMap
+    sDrv shouldBe sDist
+  }
+
   test("simhash recall: every near-identical pair (jaccard >= 0.95) is found") {
     // SimHash sketches word-multiset cosine: expected hamming for jaccard j
     // is ~64*acos(2j/(1+j))/pi — j=0.95 ⇒ ~5 bits, j=0.8 ⇒ ~10 bits. So the
