@@ -238,9 +238,11 @@ object Dedup {
     * the distributed path engages automatically. */
   def connectedComponentsAuto(edges: DataFrame,
       driverEdgeLimit: Long = 2000000L, maxIter: Int = 30): DataFrame = {
-    // cheap when the caller hands a checkpointed/cached frame (the dedup
-    // pipeline always does — pairs are eagerly materialized)
-    val n = edges.limit((driverEdgeLimit + 1).toInt).count()
+    // a full parallel count — cheap when the caller hands a
+    // checkpointed/cached frame (the dedup pipeline always does: pairs are
+    // eagerly materialized); a limit()-based probe would funnel rows
+    // through a single partition
+    val n = edges.count()
     if (n > driverEdgeLimit) connectedComponents(edges, maxIter)
     else {
       val spark = edges.sparkSession
