@@ -21,6 +21,10 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // small-SF micro-shuffles: let AQE coalesce tiny exchanges instead of
+      // preserving one partition per core (measured: dedup-stage c32
+      // 22.5 s -> 14.3 s; at real scale data sizes keep partitions wide)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -62,5 +62,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("min_hash_bands", "_FUNC_(shingles, bands, rows) - MinHash-LSH band keys"),
       (es: Seq[Expression]) =>
         MinHashBands(es.head, intArg(es(1), "bands"), intArg(es(2), "rows"))))
+    ext.injectFunction((FunctionIdentifier("normalize_vec"),
+      info("normalize_vec", "_FUNC_(vec) - L2-normalized double vector, one pass"),
+      (es: Seq[Expression]) => NormalizeVec(es.head)))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count", "_FUNC_(a, b) - |a ∩ b| of two sorted long arrays"),
+      (es: Seq[Expression]) => SortedIntersectCount(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("array_eq_count"),
+      info("array_eq_count", "_FUNC_(a, b) - positions where two arrays agree"),
+      (es: Seq[Expression]) => ArrayEqCount(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("bmp_resize"),
+      info("bmp_resize", "_FUNC_(bytes, w, h) - nearest-neighbor BMP re-encode"),
+      (es: Seq[Expression]) => graft.operators.BmpResize(es.head,
+        intArg(es(1), "width"), intArg(es(2), "height"))))
   }
 }

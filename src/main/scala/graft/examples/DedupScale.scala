@@ -100,6 +100,9 @@ object DedupScale {
       .appName(s"dedup-scale-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // latency-bound micro-shuffles: let AQE actually coalesce tiny
+      // exchanges instead of preserving one partition per core
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -49,5 +49,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("min_hash_bands",
       es => MinHashBands(es.head, intArg(es(1), "bands"), intArg(es(2), "rows")),
       "scala_udf")
+    reg.createOrReplaceTempFunction("normalize_vec",
+      es => NormalizeVec(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      es => SortedIntersectCount(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("array_eq_count",
+      es => ArrayEqCount(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("bmp_resize",
+      es => graft.operators.BmpResize(es.head,
+        intArg(es(1), "width"), intArg(es(2), "height")), "scala_udf")
   }
 }

@@ -235,9 +235,11 @@ object Dedup {
     * back out; both paths produce IDENTICAL output (label = min node id of
     * the component — spec-asserted), so the cutover changes cost, never
     * results. At 10^12-file dup rates the edge list exceeds any driver, and
-    * the distributed path engages automatically. */
+    * the distributed path engages automatically. The default limit keeps
+    * driver union-find state in the low hundreds of MB even for struct
+    * node ids (~4 map entries per edge, ~100 B each). */
   def connectedComponentsAuto(edges: DataFrame,
-      driverEdgeLimit: Long = 2000000L, maxIter: Int = 30): DataFrame = {
+      driverEdgeLimit: Long = 500000L, maxIter: Int = 30): DataFrame = {
     // a full parallel count — cheap when the caller hands a
     // checkpointed/cached frame (the dedup pipeline always does: pairs are
     // eagerly materialized); a limit()-based probe would funnel rows

@@ -13,6 +13,12 @@ import org.apache.spark.sql.SparkSession
   * materialized/written, which is the contract of the run-style entry points
   * that use this. In a long-running service this is what keeps executor
   * storage O(current job), not O(jobs ever run).
+  *
+  * Concurrency caveat: the scope is SESSION-wide, not thread-local — if
+  * another job persists frames on a different thread while a scope is open,
+  * those caches are released too. Run-style pipelines (one logical job per
+  * scope) are the intended user; don't wrap scopes around concurrent work
+  * sharing one session.
   */
 object CacheScope {
 

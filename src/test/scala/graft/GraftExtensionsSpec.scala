@@ -22,6 +22,11 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       r.getInt(1) shouldBe 3
       spark.sql("SELECT doc_stats('val x = 1').lang_pred AS l")
         .collect().head.getString(0) should not be empty
+      val nv = spark.sql("SELECT normalize_vec(array(3.0d, 4.0d)) AS nv")
+        .collect().head.getSeq[Double](0)
+      nv shouldBe Seq(0.6, 0.8)
+      spark.sql("SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,9L)) AS c")
+        .collect().head.getInt(0) shouldBe 2
     } finally {
       // do not stop: TestSpark's session shares the local JVM; dropping this
       // one would tear down the shared SparkContext for later suites
