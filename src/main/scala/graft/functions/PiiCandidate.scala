@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass PII candidate gate — exactly the predicate of the scrub
+  * chain's old `rlike("@|AKIA|eyJ|[0-9a-fA-F]{32}")` gate (true iff the
+  * text CAN contain any scrub-pass match: '@' for emails, the literal AKIA
+  * / eyJ prefixes, or a 32-char hex run), computed with intrinsified
+  * indexOf + one char scan instead of a backtracking alternation NFA over
+  * the whole document. Gate equality means scrub output is unchanged; only
+  * the cost of rejecting the ~96% PII-free documents drops. */
+case class PiiCandidate(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pii_candidate requires a string column, got ${child.dataType.simpleString}")
+
+  @inline private def isHex(ch: Char): Boolean =
+    (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.indexOf('@') >= 0 || s.contains("AKIA") || s.contains("eyJ")) true
+    else {
+      var run = 0
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        if (isHex(s.charAt(i))) {
+          run += 1
+          if (run >= 32) return true
+        } else run = 0
+        i += 1
+      }
+      false
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PiiCandidate =
+    copy(child = newChild)
+
+  override def prettyName: String = "pii_candidate"
+}

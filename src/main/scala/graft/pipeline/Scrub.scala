@@ -29,11 +29,16 @@ object Scrub {
     * rows failing the gate pass through scrub-identical (scrub(x) == x). */
   val candidatePattern: String = "@|AKIA|eyJ|[0-9a-fA-F]{32}"
 
-  /** Spark-side scrub: gated, chained codegen'd regexp_replace. */
+  /** Spark-side scrub: gated, chained codegen'd regexp_replace. The gate is
+    * the compiled [[graft.functions.PiiCandidate]] scan — same predicate as
+    * `rlike(candidatePattern)` (spec-asserted), minus the alternation-NFA
+    * walk over every PII-free document. */
   def scrubCol(c: Column): Column = {
     import org.apache.spark.sql.functions.when
     val full = passes.foldLeft(c)((acc, p) => regexp_replace(acc, p.pattern, p.replacement))
-    when(c.rlike(candidatePattern), full).otherwise(c)
+    val gate = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PiiCandidate(org.apache.spark.sql.graft.Bridge.expression(c)))
+    when(gate, full).otherwise(c)
   }
 
   /** Count of PII hits (any pass) — for metrics/lineage. */

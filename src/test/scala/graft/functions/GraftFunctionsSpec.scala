@@ -44,6 +44,30 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers {
       .collect().head.getInt(0) shouldBe 48
   }
 
+  test("pii_candidate gate equals the rlike alternation it replaces") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Scrub
+    // crafted edges: hex runs of 31 vs 32, runs split by a separator,
+    // literals at string boundaries, uppercase hex, plus real corpus rows
+    val crafted = Seq(
+      "no pii here at all",
+      "a" * 31, "a" * 32, "A" * 32, "0" * 16 + "g" + "0" * 16,
+      "x" + "deadBEEF0123" * 3, // 36 hex chars
+      "AKIA", "xAKIAx", "eyJ", "weyJ", "user@host", "@", "",
+      "ak ia eyj AK IA", "deadbeef" * 3 + "z" + "deadbeef")
+    val corpus = (0L until 300L).map(i =>
+      graft.corpus.CorpusGen.fileAt(graft.corpus.CorpusSpec(nFiles = 300), i).content)
+    val df = (crafted ++ corpus).toDF("s")
+    val gate = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PiiCandidate(org.apache.spark.sql.graft.Bridge.expression(col("s"))))
+    val rows = df.select(gate.as("fast"), col("s").rlike(Scrub.candidatePattern).as("re"),
+        col("s")).collect()
+    rows.foreach { r =>
+      withClue(r.getString(2).take(60)) { r.getBoolean(0) shouldBe r.getBoolean(1) }
+    }
+    rows.count(_.getBoolean(0)) should be > 0 // fixtures include PII carriers
+  }
+
   test("top_k_pairs: bounded heap equals sort-based top-k, merges across partitions") {
     import org.apache.spark.sql.functions._
     // 1000 (score, id) rows over 3 groups, scores engineered with ties
