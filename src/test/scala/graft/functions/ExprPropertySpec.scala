@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Property-based checks of the compiled expressions against straight-line
+  * Scala oracles — randomized inputs from a FIXED seed (reproducible
+  * failures), batched into ONE DataFrame per property so Spark overhead
+  * stays constant. */
+class ExprPropertySpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sampled[T](g: Gen[T]): T =
+    g.apply(Gen.Parameters.default, Seed(42L)).get
+
+  test("pii_candidate == rlike gate on adversarial random strings") {
+    // hex-heavy alphabet so 32-char runs and near-runs actually occur,
+    // plus embedded literals straddling boundaries
+    val alpha = Gen.frequency(
+      (8, Gen.oneOf("0123456789abcdefABCDEF".toSeq)),
+      (2, Gen.oneOf("ghzXY @.".toSeq)),
+      (1, Gen.oneOf(Seq("AKIA", "eyJ", "@", "AKI", "eyK"))))
+    val strGen = Gen.listOf(alpha).map(_.mkString)
+    val cases = sampled(Gen.listOfN(300, strGen))
+    val df = cases.toDF("s")
+    val gate = org.apache.spark.sql.graft.Bridge.column(
+      PiiCandidate(org.apache.spark.sql.graft.Bridge.expression(col("s"))))
+    val rows = df.select(col("s"), gate.as("fast"),
+      col("s").rlike(graft.pipeline.Scrub.candidatePattern).as("re")).collect()
+    rows.foreach { r =>
+      withClue(s"'${r.getString(0).take(80)}'") {
+        r.getBoolean(1) shouldBe r.getBoolean(2)
+      }
+    }
+  }
+
+  test("normalize_vec equals the straight-line L2 normalization") {
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-1e3f, 1e3f))
+    val cases = sampled(Gen.listOfN(200, vecGen)).map(_.toArray)
+    val got = cases.toSeq.toDF("v")
+      .select(VectorTextExprs.normalize_vec(col("v")).as("nv"))
+      .collect().map(_.getSeq[Double](0))
+    cases.zip(got).foreach { case (v, nv) =>
+      val d = v.map(_.toDouble)
+      var acc = 0.0
+      d.foreach(x => acc += x * x)
+      val norm = math.sqrt(acc)
+      val expect = d.map(_ / norm)
+      // exact: same arithmetic order on both sides
+      nv.toArray.toSeq shouldBe expect.toSeq
+    }
+  }
+
+  test("sorted_intersect_count equals Set intersection size") {
+    val setGen = Gen.listOf(Gen.chooseNum(0L, 200L)).map(_.distinct.sorted)
+    val pairs = sampled(Gen.listOfN(200, Gen.zip(setGen, setGen)))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        VectorTextExprs.sorted_intersect_count(col("a"), col("b")).as("c"))
+      .collect()
+    got.foreach { r =>
+      val (a, b) = (r.getSeq[Long](0), r.getSeq[Long](1))
+      withClue(s"$a vs $b") {
+        r.getInt(2) shouldBe a.toSet.intersect(b.toSet).size
+      }
+    }
+  }
+
+  test("dot_product is the left-to-right accumulation (bit-exact)") {
+    val dims = 16
+    val vecGen = Gen.listOfN(dims, Gen.chooseNum(-10.0, 10.0))
+    val pairs = sampled(Gen.listOfN(200, Gen.zip(vecGen, vecGen)))
+    val got = pairs.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+      .select(col("a"), col("b"),
+        VectorTextExprs.dot_product(col("a"), col("b")).as("d"))
+      .collect()
+    got.foreach { r =>
+      val (a, b) = (r.getSeq[Double](0), r.getSeq[Double](1))
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      r.getDouble(2) shouldBe acc // exact equality: fixed order both sides
+    }
+  }
+}

@@ -205,6 +205,29 @@ class MetricProcessorSpec extends AnyFunSuite with Matchers {
     r.errors should have size 7
   }
 
+  test("ANSI mode: dirty strings through the numeric/date surface never throw") {
+    // Spark 4 ANSI casts THROW on malformed input — every metric that
+    // touches user data must ride try_cast/try_* paths. One fused pass over
+    // garbage-laden columns must complete and count the dirt, not crash.
+    val dirty = Seq(
+      ("12.5", "2024-01-01", "AKIA"),
+      ("not-a-number", "99/99/9999", "x"),
+      ("1e309", "", "y"),        // overflows to Infinity (still castable) + empty
+      (null, null, null),
+      ("  7 ", "2024-13-45", "z")
+    ).toDF("raw", "d", "s")
+    val ms: Seq[RowMetric] = Seq(
+      CastedNumberMetric("casted", Seq("raw")),
+      FormattedDateMetric("fdate", Seq("d"), "yyyy-MM-dd"),
+      FormattedNumberMetric("fnum", Seq("raw"), 8, 2),
+      NumberCompareMetric("ncmp", Seq("raw"), 10.0, greater = false),
+      RegexMatchMetric("re", Seq("s"), "^[a-z]$"))
+    val rs = MetricProcessor.processRowMetrics(dirty, ms)
+    rs.find(_.metricId == "casted").get.value shouldBe 3.0  // 12.5, 1e309→Inf, "  7 "
+    rs.find(_.metricId == "fdate").get.value shouldBe 1.0
+    rs.find(_.metricId == "re").get.value shouldBe 3.0      // x, y, z
+  }
+
   test("fused plan has a single aggregate over one scan") {
     val metrics: Seq[RowMetric] = Seq(
       RowCountMetric("a"), NullValuesMetric("b", Seq("s1")),
