@@ -28,7 +28,11 @@ object SourceReaders {
   final case class ReadOpts(
       schema: Option[StructType] = None,
       options: Map[String, String] = Map.empty,
-      streaming: Boolean = false)
+      streaming: Boolean = false,
+      /** optional persist at a configured StorageLevel (ref
+        * SourceReaders.scala:48) — for sources consumed by many metric
+        * suites; at scale cache only genuinely re-read frames. */
+      persistLevel: Option[String] = None)
 
   private def reader(spark: SparkSession, opts: ReadOpts, fmt: String) =
     if (opts.streaming) {
@@ -40,8 +44,11 @@ object SourceReaders {
       Right(opts.schema.fold(r)(r.schema))
     }
 
-  private def load(spark: SparkSession, fmt: String, path: String, opts: ReadOpts): DataFrame =
-    reader(spark, opts, fmt).fold(_.load(path), _.load(path))
+  private def load(spark: SparkSession, fmt: String, path: String, opts: ReadOpts): DataFrame = {
+    val df = reader(spark, opts, fmt).fold(_.load(path), _.load(path))
+    opts.persistLevel.fold(df)(lvl =>
+      df.persist(org.apache.spark.storage.StorageLevel.fromString(lvl)))
+  }
 
   /** Parquet (ref: SourceReaders.scala:559-588). */
   def parquet(spark: SparkSession, id: String, path: String,

@@ -15,17 +15,24 @@ sealed trait VirtualSource {
   def id: String
   def parents: Seq[String]
   def keyFields: Seq[String] = Nil
+  /** Optional persist at a configured StorageLevel (ref
+    * VirtualSourceReaders.scala:72) — for virtual sources consumed by many
+    * downstream metrics/sources. At scale, cache only genuinely re-read
+    * small/mid frames; big fact scans stream better than they cache. */
+  def persistLevel: Option[String] = None
 }
 
 /** Register parents as temp views, run arbitrary SQL (ref: :82-108). */
 final case class SqlVS(id: String, parents: Seq[String], query: String,
-    override val keyFields: Seq[String] = Nil) extends VirtualSource
+    override val keyFields: Seq[String] = Nil,
+    override val persistLevel: Option[String] = None) extends VirtualSource
 
 /** Equi-join of exactly two parents on a column list; join types as the
   * reference's enum (ref: :111-138; Enums.scala:127-143). */
 final case class JoinVS(id: String, left: String, right: String,
     joinColumns: Seq[String], joinType: String = "inner",
-    override val keyFields: Seq[String] = Nil) extends VirtualSource {
+    override val keyFields: Seq[String] = Nil,
+    override val persistLevel: Option[String] = None) extends VirtualSource {
   val parents = Seq(left, right)
   require(Set("inner", "outer", "cross", "full", "left", "right", "semi",
     "anti", "left_semi", "left_anti").contains(joinType), s"bad joinType $joinType")
@@ -33,20 +40,23 @@ final case class JoinVS(id: String, left: String, right: String,
 
 /** Conjunction of SQL boolean expressions (ref: :141-173). */
 final case class FilterVS(id: String, parent: String, conditions: Seq[String],
-    override val keyFields: Seq[String] = Nil) extends VirtualSource {
+    override val keyFields: Seq[String] = Nil,
+    override val persistLevel: Option[String] = None) extends VirtualSource {
   val parents = Seq(parent)
 }
 
 /** Projection by expression list (ref: :176-213). */
 final case class SelectVS(id: String, parent: String, exprs: Seq[String],
-    override val keyFields: Seq[String] = Nil) extends VirtualSource {
+    override val keyFields: Seq[String] = Nil,
+    override val persistLevel: Option[String] = None) extends VirtualSource {
   val parents = Seq(parent)
 }
 
 /** Group-by columns + aggregate expression list (ref: :216-244). */
 final case class AggregateVS(id: String, parent: String,
     groupBy: Seq[String], aggExprs: Seq[String],
-    override val keyFields: Seq[String] = Nil) extends VirtualSource {
+    override val keyFields: Seq[String] = Nil,
+    override val persistLevel: Option[String] = None) extends VirtualSource {
   val parents = Seq(parent)
 }
 
@@ -66,7 +76,12 @@ object VirtualSources {
       if (ready.isEmpty)
         throw new IllegalArgumentException(
           s"unresolvable virtual sources (cycle or missing parent): ${blocked.map(_.id).mkString(",")}")
-      ready.foreach { vs => result(vs.id) = materialize(spark, result.toMap, vs, allowSql) }
+      ready.foreach { vs =>
+        val src = materialize(spark, result.toMap, vs, allowSql)
+        val persisted = vs.persistLevel.fold(src)(lvl => src.copy(df =
+          src.df.persist(org.apache.spark.storage.StorageLevel.fromString(lvl))))
+        result(vs.id) = persisted
+      }
       loop(blocked)
     }
     loop(virtuals)
@@ -75,17 +90,17 @@ object VirtualSources {
 
   private def materialize(spark: SparkSession, sources: Map[String, Source],
       vs: VirtualSource, allowSql: Boolean): Source = vs match {
-    case SqlVS(id, parents, query, kf) =>
+    case SqlVS(id, parents, query, kf, _) =>
       require(allowSql, "SQL virtual sources are disabled (allowSqlQueries=false)")
       parents.foreach(p => sources(p).df.createOrReplaceTempView(p))
       Source(id, spark.sql(query), kf, parents)
-    case JoinVS(id, l, r, cols, jt, kf) =>
+    case JoinVS(id, l, r, cols, jt, kf, _) =>
       Source(id, sources(l).df.join(sources(r).df, cols, jt), kf, Seq(l, r))
-    case FilterVS(id, p, conds, kf) =>
+    case FilterVS(id, p, conds, kf, _) =>
       Source(id, sources(p).df.filter(conds.map(expr).reduce(_ && _)), kf, Seq(p))
-    case SelectVS(id, p, exprs, kf) =>
+    case SelectVS(id, p, exprs, kf, _) =>
       Source(id, sources(p).df.selectExpr(exprs: _*), kf, Seq(p))
-    case AggregateVS(id, p, groupBy, aggs, kf) =>
+    case AggregateVS(id, p, groupBy, aggs, kf, _) =>
       val df = sources(p).df
       val grouped =
         if (groupBy.isEmpty) df.agg(expr(aggs.head), aggs.tail.map(expr): _*)

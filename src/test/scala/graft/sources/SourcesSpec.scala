@@ -177,6 +177,27 @@ class SourcesSpec extends AnyFunSuite with Matchers {
         FilterVS("a", "b", Seq("1=1")), FilterVS("b", "a", Seq("1=1"))))
   }
 
+  test("virtual source persistLevel caches at the declared StorageLevel (ref :72)") {
+    val li = SourceReaders.parquet(spark, "li_p", "/root/testdata/sf0.001/lineitem.parquet")
+    val resolved = VirtualSources.resolve(spark, Seq(li), Seq(
+      FilterVS("hot", "li_p", Seq("l_quantity > 10"),
+        persistLevel = Some("MEMORY_ONLY"))))
+    val basePersisted = SourceReaders.parquet(spark, "li_pp",
+      "/root/testdata/sf0.001/lineitem.parquet",
+      SourceReaders.ReadOpts(persistLevel = Some("MEMORY_AND_DISK")))
+    try {
+      resolved("hot").df.storageLevel.useMemory shouldBe true
+      resolved("hot").df.storageLevel.useDisk shouldBe false
+      basePersisted.df.storageLevel.useDisk shouldBe true
+      an[IllegalArgumentException] should be thrownBy VirtualSources.resolve(
+        spark, Seq(li), Seq(FilterVS("bad", "li_p", Seq("1=1"),
+          persistLevel = Some("NO_SUCH_LEVEL"))))
+    } finally {
+      resolved("hot").df.unpersist()
+      basePersisted.df.unpersist()
+    }
+  }
+
   test("sql virtual sources can be disabled") {
     val li = SourceReaders.parquet(spark, "li2", "/root/testdata/sf0.001/lineitem.parquet")
     an[IllegalArgumentException] should be thrownBy VirtualSources.resolve(
