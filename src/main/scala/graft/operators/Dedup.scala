@@ -104,8 +104,9 @@ object Dedup {
     out
   }
 
-  /** All pairs (a < b) with n-gram Jaccard ≥ tau — inverted-index self-join
-    * for candidates (pairs sharing ≥1 shingle), then two-phase verification
+  /** All pairs (a < b) with n-gram Jaccard ≥ tau — prefix-filtered
+    * inverted-index self-join for candidates (pairs sharing ≥1 shingle
+    * within their tau-prefixes; lossless, see inline), then two-phase verification
     * (estimate pre-filter + exact intersection; see [[verify]] — with the
     * default estimateFilter a borderline pair at exactly tau is dropped with
     * p ≈ 3e-4; pass estimateFilter = false for exact-given-candidates
@@ -122,7 +123,17 @@ object Dedup {
       n: Int = 3, tau: Double = 0.7, maxShingleDf: Int = 10000,
       estimateFilter: Boolean = true): DataFrame = {
     val sh = shingled(df, idCol, textCol, n)
-    val inv = sh.select(col("id"), explode(col("sh")).as("k"))
+    // AllPairs/PPJoin PREFIX FILTER (Bayardo et al., WWW'07): shingle
+    // arrays share one global (sorted-hash) order, and any pair with
+    // jaccard >= tau must share an element within the first
+    // |d| - ceil(tau*|d|) + 1 elements of EACH side's sorted array — so
+    // only that prefix is indexed. Index size shrinks ~(1-tau), candidate
+    // pairs ~(1-tau)^2 (~11x fewer at tau=0.7), and recall stays EXACTLY 1
+    // (verification unchanged). +2 instead of +1 absorbs float slop in
+    // (1-tau)*|d| so rounding can never shorten the prefix below the bound.
+    val prefixLen = (floor(size(col("sh")) * lit(1.0 - tau)) + lit(2)).cast("int")
+    val inv = sh.select(col("id"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("k"))
     val rare = inv.groupBy("k").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
     val invR = inv.join(rare, Seq("k"))

@@ -47,6 +47,13 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     val found = Dedup.minHashLshPairs(df, "doc_id", "text", n = 3, tau = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     found shouldBe Array((1L, 2L))
+    // the prefix-filtered exact join must also find the borderline pair
+    // (its recall contract is EXACTLY 1 — no banding/estimate caveat when
+    // estimateFilter is off)
+    val exactFound = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+      tau = 0.7, estimateFilter = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    exactFound shouldBe Array((1L, 2L))
   }
 
   test("connected components: driver union-find path equals distributed label propagation") {
