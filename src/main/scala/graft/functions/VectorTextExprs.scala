@@ -442,6 +442,70 @@ case class CentroidArgMax(child: Expression, centroids: Seq[Seq[Double]])
   override def prettyName: String = "centroid_arg_max"
 }
 
+/** 64-bit SimHash of a text column in ONE per-row pass: split on the space
+  * byte, xxhash64 each word (seed 42 — identical to Spark's `xxhash64`
+  * function, so signatures are stable across engine versions), accumulate
+  * per-bit +1/-1 counts, take the sign.
+  *
+  * SimHash of a document is a pure function of that document — the previous
+  * implementation `explode`d words and ran a 64-aggregate `groupBy(id)`,
+  * shuffling every token of the corpus (at 10^12 files, ~10^15 token rows
+  * through an exchange) to compute a per-row value. This expression is the
+  * map-only shape the rest of the codebase already uses (DocStatsExpr,
+  * ShingleHashes): zero exchange before pair generation, plan-gated in
+  * PlanQualitySpec. Token slices are scanned directly over the UTF-8 bytes
+  * (0x20 never occurs inside a multi-byte sequence), so the hot loop
+  * allocates nothing beyond the 64-int counter array.
+  *
+  * Word-boundary semantics match `split(text, ' ')` with limit -1 (empty
+  * tokens between/after separators included), which both the previous
+  * aggregate and the straight-line oracle (corpus/Fixtures.simHash64) use.
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sim_hash64 requires a string column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val n = s.numBytes()
+    val counts = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || org.apache.spark.unsafe.Platform.getByte(base, offset + i) == 0x20) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, offset + start, i - start, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "sim_hash64"
+}
+
 object VectorTextExprs {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
@@ -451,6 +515,8 @@ object VectorTextExprs {
     Bridge.column(CentroidArgMax(Bridge.expression(v), centroids))
   def shingle_hashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
+  def sim_hash64(text: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(text)))
   def hyperplane_sigs(v: Column, planes: Int, tables: Int, seed: Long = 7L): Column =
     Bridge.column(HyperplaneSigs(Bridge.expression(v), planes, tables, seed))
   def min_hash_bands(sh: Column, bands: Int, rows: Int, seed: Long = 11L): Column =

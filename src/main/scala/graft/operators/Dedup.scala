@@ -97,11 +97,18 @@ object Dedup {
     * shrinks from the whole shingled corpus to the output pair set — which
     * the caller holds anyway. localCheckpoint also cuts the LSH lineage, so
     * downstream iterative consumers (connected components) never re-trigger
-    * candidate generation. */
-  private def materializeAndRelease(result: DataFrame, sh: DataFrame): DataFrame = {
-    val out = result.localCheckpoint()
+    * candidate generation.
+    *
+    * Returns the pair count too: the checkpoint is marked lazily and
+    * `count()` is the materializing action, so the count that every
+    * downstream consumer needs anyway (connected-components size gate, spec
+    * assertions) costs ZERO extra jobs — round 3 ran a separate count()
+    * barrier over the already-checkpointed frame. */
+  private def materializeAndRelease(result: DataFrame, sh: DataFrame): (DataFrame, Long) = {
+    val out = result.localCheckpoint(eager = false)
+    val n = out.count()
     sh.unpersist(blocking = false)
-    out
+    (out, n)
   }
 
   /** All pairs (a < b) with n-gram Jaccard ≥ tau — prefix-filtered
@@ -121,7 +128,15 @@ object Dedup {
     * cache released before returning. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.7, maxShingleDf: Int = 10000,
-      estimateFilter: Boolean = true): DataFrame = {
+      estimateFilter: Boolean = true): DataFrame =
+    ngramJaccardPairsCounted(df, idCol, textCol, n, tau, maxShingleDf,
+      estimateFilter)._1
+
+  /** [[ngramJaccardPairs]] plus the pair count the materializing job already
+    * produced (no extra job — see [[materializeAndRelease]]). */
+  def ngramJaccardPairsCounted(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.7, maxShingleDf: Int = 10000,
+      estimateFilter: Boolean = true): (DataFrame, Long) = {
     val sh = shingled(df, idCol, textCol, n)
     // AllPairs/PPJoin PREFIX FILTER (Bayardo et al., WWW'07): shingle
     // arrays share one global (sorted-hash) order, and any pair with
@@ -170,39 +185,52 @@ object Dedup {
     * groupBy just to build signatures. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.7, bands: Int = 32, rows: Int = 5,
-      maxBucket: Int = 500, estimateFilter: Boolean = true): DataFrame = {
+      maxBucket: Int = 500, estimateFilter: Boolean = true): DataFrame =
+    minHashLshPairsCounted(df, idCol, textCol, n, tau, bands, rows,
+      maxBucket, estimateFilter)._1
+
+  /** [[minHashLshPairs]] plus the pair count the materializing job already
+    * produced (no extra job — see [[materializeAndRelease]]). */
+  def minHashLshPairsCounted(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.7, bands: Int = 32, rows: Int = 5,
+      maxBucket: Int = 500, estimateFilter: Boolean = true): (DataFrame, Long) = {
     val sh = shingled(df, idCol, textCol, n)
     val banded = sh.select(col("id"),
       explode(graft.functions.VectorTextExprs
         .min_hash_bands(col("sh"), bands, rows)).as("band"))
-    val smallBuckets = banded.groupBy(col("band"))
-      .agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") >= 2 && col("__bc") <= maxBucket)
-      .select(col("band"))
-    val bandedF = banded.join(smallBuckets, Seq("band"))
-    val candidates = bandedF.select(col("band"), col("id").as("a"))
-      .join(bandedF.select(col("band"), col("id").as("b")), Seq("band"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // ONE shuffle of the (id, band) rows: each band bucket's members are
+    // collected (capped at maxBucket+1, so an overflowing boilerplate bucket
+    // is detected and dropped exactly as the old __bc > maxBucket filter
+    // did) and its candidate pairs exploded in place. Round 3 shuffled
+    // `banded` TWICE more here — once through a groupBy(count) to find small
+    // buckets and once through the join back — pure barrier latency at small
+    // scale and 2 extra O(corpus·bands) exchanges at large. Per-group state
+    // is bounded by maxBucket ids, the same explosion backstop as before.
+    val ids = col("ids")
+    val pairsOfBucket = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)), y =>
+        struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+    val candidates = banded.groupBy(col("band"))
+      .agg(graft.functions.api.collect_list_limit(col("id"), maxBucket + 1).as("ids"))
+      .filter(size(ids).between(2, maxBucket))
+      .select(explode(pairsOfBucket).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
     materializeAndRelease(verify(candidates, sh, tau, estimateFilter), sh)
   }
 
-  /** 64-bit SimHash over word hashes: sign of the per-bit weighted sum,
-    * computed as one fused aggregate of 64 signed bit-counters. */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.select(col(idCol).as("id"),
-      explode(split(col(textCol), " ")).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
-    val bitSums = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        .as(s"b$bit")
-    }
-    words.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(bit =>
-          when(col(s"b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-  }
+  /** 64-bit SimHash signatures: ONE map-only projection through the
+    * single-pass [[graft.functions.SimHash64]] expression (sign of per-bit
+    * +1/-1 counts over xxhash64(word)). The round-1..3 implementation
+    * exploded words and ran a 64-aggregate groupBy — a full shuffle of every
+    * corpus token to compute a per-row value; signature build is now
+    * exchange-free (plan-gated in PlanQualitySpec), so at any corpus size
+    * the only shuffle in simhash dedup is the (id, block-key) candidate
+    * join downstream. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.VectorTextExprs.sim_hash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs: block-LSH candidates verified by exact hamming
     * distance. The 64-bit signature splits into 64/blockBits blocks; by
@@ -250,12 +278,13 @@ object Dedup {
     * driver union-find state in the low hundreds of MB even for struct
     * node ids (~4 map entries per edge, ~100 B each). */
   def connectedComponentsAuto(edges: DataFrame,
-      driverEdgeLimit: Long = 500000L, maxIter: Int = 30): DataFrame = {
-    // a full parallel count — cheap when the caller hands a
-    // checkpointed/cached frame (the dedup pipeline always does: pairs are
-    // eagerly materialized); a limit()-based probe would funnel rows
-    // through a single partition
-    val n = edges.count()
+      driverEdgeLimit: Long = 500000L, maxIter: Int = 30,
+      knownEdgeCount: Option[Long] = None): DataFrame = {
+    // gate on the edge count — passed in when the caller already knows it
+    // (the dedup pipeline does: pair materialization counts for free), else
+    // a full parallel count over the checkpointed/cached frame (a
+    // limit()-based probe would funnel rows through a single partition)
+    val n = knownEdgeCount.getOrElse(edges.count())
     if (n > driverEdgeLimit) connectedComponents(edges, maxIter)
     else {
       val spark = edges.sparkSession
@@ -270,7 +299,12 @@ object Dedup {
         case org.apache.spark.sql.types.IntegerType =>
           java.lang.Integer.compare(x.asInstanceOf[Int], y.asInstanceOf[Int])
         case org.apache.spark.sql.types.StringType =>
-          x.asInstanceOf[String].compareTo(y.asInstanceOf[String])
+          // UTF8String BINARY order, not Java UTF-16 code-unit order: the
+          // distributed path's min() compares UTF-8 bytes, and the two
+          // orders diverge for supplementary characters — the driver path
+          // must pick the same component labels (ADVICE r3)
+          org.apache.spark.unsafe.types.UTF8String.fromString(x.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y.asInstanceOf[String]))
         case st: org.apache.spark.sql.types.StructType =>
           val (rx, ry) = (x.asInstanceOf[org.apache.spark.sql.Row],
             y.asInstanceOf[org.apache.spark.sql.Row])

@@ -115,6 +115,17 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     tree should include("ObjectHashAggregate")
   }
 
+  test("simhash signature build is map-only (no exchange, no aggregate)") {
+    // SimHash of a document is a pure function of that document: the
+    // signature stage must never shuffle corpus tokens (the round-3
+    // explode+groupBy shape shuffled every token of every file). Pair
+    // generation downstream is the ONLY exchange in simhash dedup.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (tree, _) = planText(graft.operators.Dedup.simHash(docs, "doc_id", "text"))
+    tree should not include "Exchange"
+    tree should not include "Aggregate"
+  }
+
   test("q_dedup_minhash_lsh runs no cartesian/nested-loop join in ANY job") {
     val plans = executedPlans {
       SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf).collect()

@@ -80,6 +80,22 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     sDrv shouldBe sDist
   }
 
+  test("SimHash64 expression matches the straight-line oracle, incl. edge cases") {
+    // the expression scans UTF-8 bytes; the oracle splits UTF-16 strings —
+    // agreement across multi-byte text proves the byte-level tokenization is
+    // the same function
+    val samples = Seq(
+      "the quick brown fox", "a", "", " ", "a  b", " leading", "trailing ",
+      "ünïcödé wörds ß", "汉字 文本 混合 with ascii", "tab\tis not a separator",
+      "repeat repeat repeat repeat")
+    val viaExpr = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.simHash(viaExpr, "doc_id", "text")
+      .orderBy("id").collect().map(_.getLong(1))
+    val want = samples.map(graft.corpus.Fixtures.simHash64).toArray
+    got shouldBe want
+  }
+
   test("simhash recall: every near-identical pair (jaccard >= 0.95) is found") {
     // SimHash sketches word-multiset cosine: expected hamming for jaccard j
     // is ~64*acos(2j/(1+j))/pi — j=0.95 ⇒ ~5 bits, j=0.8 ⇒ ~10 bits. So the
