@@ -75,14 +75,21 @@ final class DqApiServer(storage: Option[DqStorage], port: Int = 0) {
       case (_, _, None) =>
         respond(ex, 503, """{"error":"no storage configured"}""")
       case (Some(jobId), Some(metricId), Some(st)) =>
-        val before = p.get("before").map(java.time.Instant.parse)
-          .getOrElse(java.time.Instant.parse("9999-12-31T00:00:00Z"))
+        // Instant.parse stays INSIDE the try: a malformed ?before= must get
+        // the same JSON error contract as every other failure path — thrown
+        // out of the handler the JDK server just drops the connection
+        // (ADVICE r3). Malformed input is a 400, storage faults stay 500.
         try {
+          val before = p.get("before").map(java.time.Instant.parse)
+            .getOrElse(java.time.Instant.parse("9999-12-31T00:00:00Z"))
           val pts = st.metricHistory(jobId, metricId, before)
             .map(h => s"""{"ts":"${h.ts}","value":${h.value}}""")
             .mkString("[", ",", "]")
           respond(ex, 200, s"""{"points":$pts}""")
         } catch {
+          case e: java.time.format.DateTimeParseException =>
+            respond(ex, 400,
+              s"""{"error":"invalid 'before' timestamp: ${jsonEscape(e.getMessage)}"}""")
           case e: Exception =>
             val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
             respond(ex, 500, s"""{"error":"${jsonEscape(msg)}"}""")

@@ -21,7 +21,14 @@ import graft.pipeline.FilterConfig
   */
 object Fixtures {
 
-  val dir = "/root/repo/target/fixtures"
+  /** Overridable (env GRAFT_FIXTURE_DIR / -Dgraft.fixture.dir), defaulting
+    * to the checkout's own target/fixtures — resolved to an ABSOLUTE path
+    * because the driver's DuckDB process embeds it in oracle SQL and runs
+    * with its own cwd. Round 3 hardcoded /root/repo, silently breaking any
+    * other checkout location (ADVICE r3). */
+  val dir: String = sys.env.get("GRAFT_FIXTURE_DIR")
+    .orElse(sys.props.get("graft.fixture.dir"))
+    .getOrElse(new java.io.File("target/fixtures").getAbsolutePath)
 
   val verdictsPath = s"$dir/expected_verdicts"
   val verdictsDedupPath = s"$dir/expected_verdicts_dedup"

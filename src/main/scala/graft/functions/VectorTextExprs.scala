@@ -354,6 +354,8 @@ case class NormalizeVec(child: Expression)
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // null ELEMENTS produce a null result even for a non-nullable child column
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -370,6 +372,10 @@ case class NormalizeVec(child: Expression)
     val d = new Array[Double](n)
     var i = 0
     while (i < n) {
+      // a null ELEMENT (containsNull inputs, e.g. parquet-read arrays) makes
+      // the whole result null — the primitive getters would otherwise NPE on
+      // GenericArrayData or silently read 0 on UnsafeArrayData (ADVICE r3)
+      if (v.isNullAt(i)) return null
       d(i) = et match {
         case DoubleType => v.getDouble(i)
         case FloatType => v.getFloat(i).toDouble
@@ -409,6 +415,8 @@ case class CentroidArgMax(child: Expression, centroids: Seq[Seq[Double]])
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+  // null ELEMENTS produce a null result even for a non-nullable child column
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -421,6 +429,9 @@ case class CentroidArgMax(child: Expression, centroids: Seq[Seq[Double]])
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dims = v.numElements()
+    // null elements → null result (see NormalizeVec; same ADVICE r3 fix)
+    var chk = 0
+    while (chk < dims) { if (v.isNullAt(chk)) return null; chk += 1 }
     var best = 0
     var bestScore = Double.NegativeInfinity
     var c = 0

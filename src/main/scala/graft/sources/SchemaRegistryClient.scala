@@ -37,9 +37,12 @@ final class SchemaRegistryClient(
     conn.setReadTimeout(readTimeoutMs)
     conn.setRequestProperty("Accept", "application/vnd.schemaregistry.v1+json, application/json")
     val code = conn.getResponseCode
+    // getErrorStream is null when the error response has no body — the
+    // thrown message must still carry the real HTTP status (ADVICE r3)
     val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
     val body =
-      try new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      if (stream == null) ""
+      else try new String(stream.readAllBytes(), StandardCharsets.UTF_8)
       finally stream.close()
     if (code >= 400)
       throw new java.io.IOException(s"schema registry GET $path -> HTTP $code: $body")

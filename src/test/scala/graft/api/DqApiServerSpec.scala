@@ -78,6 +78,13 @@ class DqApiServerSpec extends AnyFunSuite with Matchers {
       hBefore should not include "120.0"
 
       get(s"$base/api/storage/metrics/history?jobId=job1")._1 shouldBe 400
+
+      // malformed `before` must get the JSON error contract (a 400), not a
+      // dropped connection from an exception escaping the handler
+      val (badTsCode, badTsBody) = get(s"$base/api/storage/metrics/history" +
+        "?jobId=job1&metricId=m1&before=garbage")
+      badTsCode shouldBe 400
+      badTsBody should include("invalid 'before' timestamp")
     } finally srv.stop()
   }
 }

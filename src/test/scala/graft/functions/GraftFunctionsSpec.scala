@@ -9,6 +9,28 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("null array ELEMENTS yield null results (no NPE / silent zero)") {
+    // containsNull inputs (any parquet-read array) must not NPE the
+    // primitive getters nor silently read 0 (ADVICE r3)
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT normalize_vec(array(3.0d, CAST(NULL AS DOUBLE), 4.0d)) AS nv, " +
+        "normalize_vec(array(3.0d, 4.0d)) AS ok").collect().head
+    r.isNullAt(0) shouldBe true
+    r.getSeq[Double](1).head shouldBe 0.6 +- 1e-12
+    import org.apache.spark.sql.functions._
+    val c = graft.functions.VectorTextExprs.centroid_arg_max(
+      array(lit(1.0), lit(null).cast("double")), Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    spark.range(1).select(c.as("i")).collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("sim_hash64 is callable from SQL and matches the oracle") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT sim_hash64('the quick brown fox') AS h")
+      .collect().head.getLong(0)
+    got shouldBe graft.corpus.Fixtures.simHash64("the quick brown fox")
+  }
+
   test("custom expressions are callable from SQL") {
     GraftFunctions.register(spark)
     Seq("a", "a", "b", "c", "c", "c").toDF("v").createOrReplaceTempView("t")
