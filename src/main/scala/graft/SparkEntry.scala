@@ -502,21 +502,57 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // ---- approximate sketches (no exact SQL oracle; rows-only check;
-    //      accuracy asserted in ScalaTest specs) ----
+    // ---- approximate sketches, SELF-VALIDATING: the sketch estimate is
+    //      checked against the exact term within the sketch's error bound,
+    //      and the exact term + constant-true bound booleans enter the hash
+    //      compare (the exact term is computed INDEPENDENTLY by DuckDB, so
+    //      a lockstep Spark bug cannot hide). Estimates themselves are
+    //      merge-order-dependent and deliberately NOT hashed; accuracy
+    //      remains spec-asserted too. ----
 
     "q_approx_distinct" -> ((s, dir) => {
+      // HLL++ at rsd=0.01 through the REAL metric engine; 0.04 = 4 standard
+      // errors, pass-deterministic because HLL is deterministic per dataset
+      val li = t(s, dir, "lineitem")
       val ms: Seq[RowMetric] = Seq(
         ApproxDistinctMetric("approx_distinct", "l_orderkey"),
         ApproxSeqCompletenessMetric("approx_seq_completeness", "l_orderkey"))
-      MetricProcessor.rowMetricsFrame(t(s, dir, "lineitem"), ms)
+      val approx = MetricProcessor.rowMetricsFrame(li, ms)
+      val exact = li.agg(
+        countDistinct(col("l_orderkey")).cast("double").as("exact_distinct"),
+        round(countDistinct(col("l_orderkey")).cast("double") /
+          ((max(col("l_orderkey")) - min(col("l_orderkey"))).cast("double") + 1.0), 6)
+          .as("exact_seq_completeness"))
+      approx.crossJoin(exact).select(
+        col("exact_distinct"),
+        col("exact_seq_completeness"),
+        (abs(col("approx_distinct") - col("exact_distinct")) / col("exact_distinct")
+          <= lit(0.04)).as("approx_distinct_ok"),
+        (abs(col("approx_seq_completeness") - col("exact_seq_completeness"))
+          / col("exact_seq_completeness") <= lit(0.04)).as("approx_seq_ok"))
     }),
 
     "q_top_n_sketch" -> ((s, dir) => {
-      val f = MetricProcessor.rowMetricsFrame(t(s, dir, "lineitem"),
-        Seq(TopNMetric("top_n", "l_returnflag", n = 3)))
-      f.select(explode(col("top_n")).as("e"))
-        .select(col("e.value").as("value"), round(col("e.frequency"), 6).as("freq"))
+      // SKETCH regime: o_custkey cardinality >> maxCapacity=256, so purges
+      // genuinely happen. DataSketches frequent-items guarantees
+      // |est - exact| <= 3.5·N/maxMapSize for ANY stream/merge order, so the
+      // bound booleans are deterministic even though the estimates (and at
+      // the margin the item set) depend on partition merge order.
+      val orders = t(s, dir, "orders")
+      val f = MetricProcessor.rowMetricsFrame(orders,
+        Seq(TopNMetric("top_n", "o_custkey", n = 5, maxCapacity = 256)))
+      val est = f.select(explode(col("top_n")).as("e"))
+        .select(col("e.value").as("value"), col("e.frequency").as("est_freq"))
+      val exact = orders
+        .groupBy(col("o_custkey").cast("string").as("value"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(orders.agg(count(lit(1)).as("__total")))
+        .select(col("value"),
+          (col("exact_cnt").cast("double") / col("__total")).as("exact_freq"))
+      est.join(exact, Seq("value"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          (max(abs(col("est_freq") - col("exact_freq"))) <= lit(3.5 / 256.0))
+            .as("all_within_bound"))
     }),
 
     // ---- windowed aggregation (streaming-shaped tumbling window) ----
@@ -874,6 +910,19 @@ object SparkEntry {
       """SELECT round(count(DISTINCT o_orderkey) /
            (CAST(max(o_orderkey) - min(o_orderkey) AS DOUBLE) + 1.0), 6)
          AS seq_completeness FROM orders""",
+    // self-validating sketches: DuckDB computes the exact terms
+    // INDEPENDENTLY; the bound booleans are constant-true because the
+    // sketch guarantees hold for any merge order (see the queries)
+    "q_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS exact_distinct,
+           round(count(DISTINCT l_orderkey) /
+             (CAST(max(l_orderkey) - min(l_orderkey) AS DOUBLE) + 1.0), 6)
+             AS exact_seq_completeness,
+           true AS approx_distinct_ok,
+           true AS approx_seq_ok
+         FROM lineitem""",
+    "q_top_n_sketch" ->
+      "SELECT CAST(5 AS BIGINT) AS n_items, true AS all_within_bound",
     "q_top_n" ->
       """SELECT o_orderpriority AS value,
            count(*) / CAST((SELECT count(*) FROM orders) AS DOUBLE) AS freq

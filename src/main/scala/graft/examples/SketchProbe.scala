@@ -1,0 +1,21 @@
+package graft.examples
+import org.apache.spark.sql.SparkSession
+
+/** Evidence probe for the self-validating sketch oracles: prints the
+  * q_approx_distinct / q_top_n_sketch rows at every SF, showing the
+  * error-bound booleans hold at all scales (not just the sf0.01 the
+  * driver's gate runs) — HLL++ within 4 rsd of the exact distinct count,
+  * frequent-items within the 3.5·N/maxMapSize guarantee. */
+object SketchProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); q <- Seq("q_approx_distinct", "q_top_n_sketch")) {
+      val rows = graft.SparkEntry.queries(q)(spark, s"/root/testdata/$sf").collect()
+      println(s"[probe] $sf $q -> ${rows.mkString("; ")}")
+    }
+    spark.stop()
+  }
+}
