@@ -3,6 +3,8 @@ package graft.api
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import graft.config.JobConfig
@@ -19,6 +21,11 @@ import graft.storage.DqStorage
   * Routes:
   *  - `POST /api/jobs/validate`  body = job-config JSON →
   *    `{"valid":bool,"errors":[...]}` (parse errors are reported the same way)
+  *  - `POST /api/jobs/template`  body = `{"jobId":..,"source":{id,kind,path},
+  *    "columns":[{"name":..,"type":..},..]}` → a complete skeleton job
+  *    config (per-column metrics by type, load checks, a row-count check),
+  *    self-validated before it is returned — mirroring checkita-api's
+  *    config-GENERATION capability alongside validation
   *  - `GET  /api/storage/metrics/history?jobId=..&metricId=..[&before=ISO]` →
   *    `{"points":[{"ts":"...","value":...},...]}`
   *  - `GET  /api/health` → `{"status":"ok"}`
@@ -26,6 +33,8 @@ import graft.storage.DqStorage
 final class DqApiServer(storage: Option[DqStorage], port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  private val mapper = new ObjectMapper()
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -66,6 +75,90 @@ final class DqApiServer(storage: Option[DqStorage], port: Int = 0) {
         catch { case e: Exception => Seq(s"parse error: ${e.getMessage}") }
       val errJson = errors.map(e => "\"" + jsonEscape(e) + "\"").mkString("[", ",", "]")
       respond(ex, 200, s"""{"valid":${errors.isEmpty},"errors":$errJson}""")
+    }
+  })
+
+  server.createContext("/api/jobs/template", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
+    else {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      try {
+        val req = mapper.readTree(body)
+        def reqStr(n: com.fasterxml.jackson.databind.JsonNode, f: String): String =
+          Option(n.get(f)).map(_.asText).getOrElse(
+            throw new IllegalArgumentException(s"missing field '$f'"))
+        val src = Option(req.get("source")).getOrElse(
+          throw new IllegalArgumentException("missing field 'source'"))
+        val cols = Option(req.get("columns")).map { a =>
+          (0 until a.size()).map(i => (reqStr(a.get(i), "name"),
+            reqStr(a.get(i), "type").toLowerCase))
+        }.getOrElse(Seq.empty)
+
+        val cfg = mapper.createObjectNode()
+        cfg.put("jobId", reqStr(req, "jobId"))
+        val srcId = reqStr(src, "id")
+        val sources = cfg.putArray("sources")
+        val s0 = sources.addObject()
+        s0.put("id", srcId)
+        s0.put("kind", reqStr(src, "kind"))
+        s0.put("path", reqStr(src, "path"))
+
+        val loadChecks = cfg.putArray("loadChecks")
+        if (cols.nonEmpty) {
+          val lc = loadChecks.addObject()
+          lc.put("id", "lc_columns_exist"); lc.put("kind", "COLUMNS_EXIST")
+          val lcCols = lc.putArray("columns"); cols.foreach(c => lcCols.add(c._1))
+          val ln = loadChecks.addObject()
+          ln.put("id", "lc_column_num"); ln.put("kind", "MIN_COLUMN_NUM")
+          ln.put("count", cols.size)
+        }
+
+        val metrics = cfg.putArray("metrics")
+        def metric(id: String, name: String, columns: Seq[String],
+            params: Map[String, String] = Map.empty): Unit = {
+          val m = metrics.addObject()
+          m.put("id", id); m.put("name", name); m.put("source", srcId)
+          if (columns.nonEmpty) {
+            val mc = m.putArray("columns"); columns.foreach(mc.add)
+          }
+          if (params.nonEmpty) {
+            val mp = m.putObject("params"); params.foreach { case (k, v) => mp.put(k, v) }
+          }
+        }
+        metric("row_count", "ROW_COUNT", Nil)
+        if (cols.nonEmpty)
+          metric("null_values", "NULL_VALUES", cols.map(_._1))
+        val numericTypes = Set("int", "integer", "bigint", "long", "float",
+          "double", "decimal", "smallint", "tinyint")
+        cols.foreach { case (name, tpe) =>
+          if (numericTypes(tpe)) {
+            metric(s"${name}_min", "MIN_NUMBER", Seq(name))
+            metric(s"${name}_max", "MAX_NUMBER", Seq(name))
+            metric(s"${name}_avg", "AVG_NUMBER", Seq(name))
+          } else if (tpe == "date" || tpe == "timestamp") {
+            metric(s"${name}_formatted", "FORMATTED_DATE", Seq(name))
+          } else {
+            metric(s"${name}_completeness", "COMPLETENESS", Seq(name))
+          }
+        }
+
+        val checks = cfg.putArray("checks")
+        val ck = checks.addObject()
+        ck.put("id", "ck_not_empty"); ck.put("kind", "GREATER_THAN")
+        ck.put("base", "row_count"); ck.put("threshold", 0); ck.put("critical", true)
+
+        // self-check: a generated template must round-trip the validator —
+        // template generation and validation share ONE model by construction
+        val errs = JobConfig.validate(JobConfig.parse(cfg.toString))
+        if (errs.nonEmpty)
+          throw new IllegalStateException(
+            s"generated template failed validation: ${errs.mkString("; ")}")
+        respond(ex, 200, cfg.toString)
+      } catch {
+        case e: Exception =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          respond(ex, 400, s"""{"error":"${jsonEscape(msg)}"}""")
+      }
     }
   })
 

@@ -56,8 +56,15 @@ object JobConfig {
 
   /** Phase 1: parse the JSON shape. Throws IllegalArgumentException with a
     * precise message on malformed input (ref: PreValidation). */
-  def parse(json: String): Conf = {
-    val root = mapper.readTree(json)
+  def parse(json: String): Conf = parseTree(mapper.readTree(json))
+
+  /** HOCON front-end — the reference's primary config UX (HOCON jobconfs,
+    * config/IO.scala + config/jobconf/). The [[Hocon]] subset parser
+    * produces the same Jackson tree, so HOCON and JSON configs hit ONE
+    * model, one validator, one builder and can never drift. */
+  def parseHocon(text: String): Conf = parseTree(Hocon.parse(text))
+
+  private def parseTree(root: JsonNode): Conf = {
     def arr(f: String): Seq[JsonNode] =
       Option(root.get(f)).map(_.elements().asScala.toSeq).getOrElse(Nil)
     Conf(
@@ -286,7 +293,13 @@ object JobConfig {
       errorDumpSize = c.errorDumpSize)
   }
 
-  /** One-call entry: JSON file path → job. */
-  def fromFile(spark: SparkSession, path: String): DqBatchJob =
-    build(spark, parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path))))
+  /** One-call entry: config file path → job. `.conf`/`.hocon` files go
+    * through the HOCON front-end, anything else is read as JSON. */
+  def fromFile(spark: SparkSession, path: String): DqBatchJob = {
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val conf =
+      if (path.endsWith(".conf") || path.endsWith(".hocon")) parseHocon(text)
+      else parse(text)
+    build(spark, conf)
+  }
 }

@@ -87,4 +87,39 @@ class DqApiServerSpec extends AnyFunSuite with Matchers {
       badTsBody should include("invalid 'before' timestamp")
     } finally srv.stop()
   }
+
+  test("template endpoint generates a config that validates AND runs") {
+    val srv = new DqApiServer(None).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      val req =
+        """{"jobId":"gen_job",
+          |"source":{"id":"lineitem","kind":"parquet",
+          |          "path":"/root/testdata/sf0.001/lineitem.parquet"},
+          |"columns":[{"name":"l_quantity","type":"double"},
+          |           {"name":"l_returnflag","type":"string"},
+          |           {"name":"l_shipdate","type":"date"}]}""".stripMargin
+      val (code, template) = post(s"$base/api/jobs/template", req)
+      code shouldBe 200
+      template should include("MIN_NUMBER")
+      template should include("l_returnflag_completeness")
+      template should include("FORMATTED_DATE")
+
+      // round-trip: generated config -> validate route -> valid
+      val (vCode, vBody) = post(s"$base/api/jobs/validate", template)
+      vCode shouldBe 200
+      vBody should include(""""valid":true""")
+
+      // and it is genuinely runnable, not just well-formed
+      val result = graft.config.JobConfig
+        .build(spark, graft.config.JobConfig.parse(template))
+        .run(java.time.Instant.parse("2026-08-01T00:00:00Z"))
+      result.passed shouldBe true
+      result.metrics.find(_.metricId == "row_count").get.value shouldBe 6000.0
+
+      val (badCode, badBody) = post(s"$base/api/jobs/template", """{"nope":1}""")
+      badCode shouldBe 400
+      badBody should include("missing field")
+    } finally srv.stop()
+  }
 }

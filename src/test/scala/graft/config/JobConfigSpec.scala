@@ -62,6 +62,84 @@ class JobConfigSpec extends AnyFunSuite with Matchers {
     result.checks.foreach { case (r, _) => r.status shouldBe true }
   }
 
+  /** The same job as [[goodJson]], written as an idiomatic HOCON jobconf
+    * (the reference's primary config UX): comments, unquoted strings,
+    * `key { }` objects, newline-separated entries, a substitution for the
+    * shared base path. */
+  private val goodHocon =
+    """// graft DQ job — HOCON front-end
+      |basePath = "/root/testdata/sf0.001"
+      |jobId = cfg_job
+      |sources = [
+      |  {id = lineitem, kind = parquet,
+      |   path = ${basePath}/lineitem.parquet
+      |   keyFields = [l_orderkey, l_linenumber]}
+      |]
+      |loadChecks = [
+      |  {id = lc_cols, kind = MIN_COLUMN_NUM, count = 5}
+      |  {id = lc_exist, kind = COLUMNS_EXIST, columns = [l_quantity]}
+      |]
+      |metrics = [
+      |  {id = rows, name = ROW_COUNT, source = lineitem}
+      |  {id = avg_qty, name = AVG_NUMBER, source = lineitem, columns = [l_quantity]}
+      |  {id = qty_p50, name = MEDIAN_VALUE, source = lineitem, columns = [l_quantity]}
+      |  {id = flag_re, name = REGEX_MATCH, source = lineitem,
+      |   columns = [l_returnflag], params { regex = "^[ANR]$" }}
+      |  {id = flags, name = DISTINCT_VALUES, source = lineitem, columns = [l_returnflag]}
+      |]
+      |composedMetrics = [
+      |  {id = qty_x2, formula = "{{ avg_qty }} * 2"}
+      |]
+      |checks = [
+      |  {id = ck_rows, kind = GREATER_THAN, base = rows, threshold = 100, critical = true}
+      |  {id = ck_flags, kind = EQUAL_TO, base = flags, threshold = 3}
+      |  {id = ck_expr, kind = EXPRESSION,
+      |   formula = "{{ qty_x2 }} > {{ avg_qty }} && {{ flag_re }} == {{ rows }}"}
+      |]
+      |tolerance = critical # same enum as JSON
+      |errorDumpSize = 50
+      |""".stripMargin
+
+  test("HOCON jobconf parses to the IDENTICAL Conf as its JSON twin and runs E2E") {
+    JobConfig.parseHocon(goodHocon) shouldBe JobConfig.parse(goodJson)
+
+    // fromFile dispatches .conf through the HOCON front-end
+    val f = java.nio.file.Files.createTempFile("graft-job", ".conf")
+    java.nio.file.Files.writeString(f, goodHocon)
+    val result = JobConfig.fromFile(spark, f.toString)
+      .run(java.time.Instant.parse("2026-08-01T00:00:00Z"))
+    result.passed shouldBe true
+    result.metrics.find(_.metricId == "rows").get.value shouldBe 6000.0
+  }
+
+  test("HOCON subset semantics: dotted keys, object merge, substitutions, multiline") {
+    val n = graft.config.Hocon.parse(
+      "a.b.c = 1\n" +
+      "a { b { d = two } }\n" +
+      "a.b.c = 3 // later wins\n" +
+      "list = [1, 2.5, three, \"fo ur\"]\n" +
+      "ref = ${a.b.d}\n" +
+      "inline = prefix-${a.b.c}-suffix\n" +
+      "gone = ${?missing}\n" +
+      "text = \"\"\"multi\nline\"\"\"\n")
+    n.at("/a/b/c").asInt shouldBe 3
+    n.at("/a/b/d").asText shouldBe "two"
+    n.at("/list/0").asInt shouldBe 1
+    n.at("/list/1").asDouble shouldBe 2.5
+    n.at("/list/2").asText shouldBe "three"
+    n.at("/list/3").asText shouldBe "fo ur"
+    n.at("/ref").asText shouldBe "two" // substitution preserves the target
+    n.at("/inline").asText shouldBe "prefix-3-suffix"
+    n.has("gone") shouldBe false // missing OPTIONAL substitution drops the field
+    n.at("/text").asText shouldBe "multi\nline"
+
+    // fail-fast on the documented non-features / real errors
+    an[IllegalArgumentException] should be thrownBy
+      graft.config.Hocon.parse("x = ${nowhere}\n")
+    an[IllegalArgumentException] should be thrownBy
+      graft.config.Hocon.parse("include \"other.conf\"\ny = 1\n")
+  }
+
   test("cross-reference validation collects every violation at once") {
     val bad =
       """{
