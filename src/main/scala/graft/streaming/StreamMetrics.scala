@@ -124,21 +124,49 @@ object StreamMetrics {
   /** Per-key running state via typed arbitrary stateful processing — the
     * `mapGroupsWithState` path for metrics that need custom state beyond
     * windowed aggregation (ref capability: calculator state merge,
-    * RDDMetricStreamProcessor.scala:103-196). */
+    * RDDMetricStreamProcessor.scala:103-196).
+    *
+    * `idleTimeout` (e.g. "30 minutes") bounds state under high-cardinality
+    * key streams: a key unseen for that long is evicted on the next
+    * micro-batch — the running-state analogue of the reference buffer's
+    * finalized-window eviction (ProcessorBuffer). Without it (None) per-key
+    * state never expires, which at web-scale key cardinality grows the
+    * state store without bound; pass a timeout for any unbounded key
+    * domain. Eviction resets the key: if it reappears, counting restarts
+    * from zero (the semantics of dropping idle state). */
   final case class KeyedCount(key: String, count: Long, sum: Double)
 
-  def runningCounts[T](ds: Dataset[(String, Double)]): Dataset[KeyedCount] = {
+  def runningCounts[T](ds: Dataset[(String, Double)],
+      idleTimeout: Option[String] = None): Dataset[KeyedCount] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[(String, Double)], state: GroupState[KeyedCount]) =>
-          val prev = state.getOption.getOrElse(KeyedCount(key, 0L, 0.0))
-          val (n, s) = rows.foldLeft((prev.count, prev.sum)) {
-            case ((c, acc), (_, v)) => (c + 1, acc + v)
-          }
-          val next = KeyedCount(key, n, s)
-          state.update(next)
-          next
+    val grouped = ds.groupByKey(_._1)
+    def step(key: String, rows: Iterator[(String, Double)],
+        state: GroupState[KeyedCount]): KeyedCount = {
+      val prev = state.getOption.getOrElse(KeyedCount(key, 0L, 0.0))
+      val (n, s) = rows.foldLeft((prev.count, prev.sum)) {
+        case ((c, acc), (_, v)) => (c + 1, acc + v)
       }
+      val next = KeyedCount(key, n, s)
+      state.update(next)
+      next
+    }
+    idleTimeout match {
+      case None =>
+        grouped.mapGroupsWithState(GroupStateTimeout.NoTimeout())(step)
+      case Some(timeout) =>
+        grouped.flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.ProcessingTimeTimeout()) {
+          (key: String, rows: Iterator[(String, Double)], state: GroupState[KeyedCount]) =>
+            if (state.hasTimedOut) {
+              // idle key: drop the state row, emit nothing
+              state.remove()
+              Iterator.empty
+            } else {
+              val next = step(key, rows, state)
+              state.setTimeoutDuration(timeout)
+              Iterator.single(next)
+            }
+        }
+    }
   }
 }
