@@ -58,4 +58,48 @@ class BucketedJoinSpec extends AnyFunSuite with Matchers {
       spark.sql("DROP TABLE IF EXISTS o_bkt")
     }
   }
+
+  test("REAL verdict tables bucketed on repo: resume reconciliation joins with zero shuffle") {
+    // the production layout (CorpusStore scaladoc: Iceberg bucket(N, repo));
+    // resume reconciliation — compare a prior run's per-repo digests with
+    // the current run's to find repos needing reprocessing — is the join a
+    // 100 TB deployment replays most. Bucketing both verdict tables on repo
+    // makes the per-repo aggregation AND the digest join exchange-free:
+    // daily reconciliation never reshuffles the corpus.
+    import graft.corpus.{CorpusGen, CorpusSpec}
+    import graft.pipeline.{FilterConfig, QualityFilter}
+    spark.sql("DROP TABLE IF EXISTS verdicts_prior_bkt")
+    spark.sql("DROP TABLE IF EXISTS verdicts_current_bkt")
+    try {
+      val corpus = CorpusGen.corpus(spark, CorpusSpec(nFiles = 500)).toDF
+      val v = QualityFilter.verdicts(corpus, FilterConfig())
+      v.write.bucketBy(8, "repo").sortBy("repo")
+        .format("parquet").saveAsTable("verdicts_prior_bkt")
+      v.write.bucketBy(8, "repo").sortBy("repo")
+        .format("parquet").saveAsTable("verdicts_current_bkt")
+
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def digests(table: String) = spark.table(table)
+          .groupBy(col("repo"))
+          .agg(bit_xor(xxhash64(col("content_sha256"))).as("digest"),
+            count(lit(1)).as("files"))
+        val changed = digests("verdicts_prior_bkt")
+          .join(digests("verdicts_current_bkt")
+            .withColumnRenamed("digest", "digest2")
+            .withColumnRenamed("files", "files2"), Seq("repo"))
+          .filter(col("digest") =!= col("digest2") || col("files") =!= col("files2"))
+        changed.collect().length shouldBe 0 // identical runs -> nothing to redo
+        val plan = changed.queryExecution.executedPlan.toString
+        plan should include("SortMergeJoin")
+        // per-repo aggregation on both bucketed scans AND the digest join:
+        // the whole reconciliation is shuffle-free
+        "Exchange".r.findAllIn(plan).size shouldBe 0
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS verdicts_prior_bkt")
+      spark.sql("DROP TABLE IF EXISTS verdicts_current_bkt")
+    }
+  }
 }
