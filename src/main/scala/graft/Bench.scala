@@ -32,6 +32,47 @@ object Bench {
     s
   }
 
+  /** Pure-JVM 8→32-thread scaling of the pipeline kernel (analyze + scrub,
+    * no Spark): this box's hardware/GC ceiling. Embedded in the bench JSON
+    * so the pipeline's own 8→32 efficiency reads against the ceiling it
+    * cannot exceed — a single-box artifact of memory bandwidth/clock, not
+    * Spark overhead (ThreadScaling probe, BASELINE.md). */
+  private def threadScalingCeiling(): Double = {
+    import java.util.concurrent.{Executors, TimeUnit}
+    val spec = CorpusSpec(nFiles = 4000)
+    val rows = (0L until spec.nFiles).map(i => CorpusGen.fileAt(spec, i)).toArray
+    def work(r: graft.corpus.FileRow): Int = {
+      val s = graft.textmodel.DocAnalyzer.analyze(r.content)
+      val scrubbed =
+        if (s.maxLineLen <= 500) graft.pipeline.Scrub.scrubString(r.content) else r.content
+      scrubbed.length
+    }
+    rows.foreach(work) // JIT warmup
+    def fps(threads: Int): Double = {
+      val pool = Executors.newFixedThreadPool(threads)
+      val reps = 4
+      val t0 = System.nanoTime()
+      (0 until threads).foreach { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var rep = 0
+            while (rep < reps) {
+              var i = t
+              while (i < rows.length) { work(rows(i)); i += threads }
+              rep += 1
+            }
+          }
+        })
+      }
+      pool.shutdown(); pool.awaitTermination(600, TimeUnit.SECONDS)
+      rows.length.toLong * reps / ((System.nanoTime() - t0) / 1e9)
+    }
+    // interleave and take best-of-2 per leg, same policy as the Spark legs
+    val legs = (1 to 2).flatMap(_ => Seq(8 -> fps(8), 32 -> fps(32)))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).max }
+    (legs(32) / legs(8)) / 4.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -110,12 +151,15 @@ object Bench {
     val eff28 = fps8 / (4.0 * fps2)
     val eff832 = fps32 / (4.0 * fps8)
     val mbps32 = bytes / 1e6 / sec32
+    // the host's pure-JVM 8->32 ceiling, measured in the SAME run so the
+    // artifact carries its own context (round-3 verdict: bench hygiene)
+    val ceiling832 = threadScalingCeiling()
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"files":$benchFiles,"bytes":$bytes,"files_per_sec_c2":$fps2%.1f,"files_per_sec_c8":$fps8%.1f,"files_per_sec_c32":$fps32%.1f,"mb_per_sec_c32":$mbps32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"files":$benchFiles,"bytes":$bytes,"files_per_sec_c2":$fps2%.1f,"files_per_sec_c8":$fps8%.1f,"files_per_sec_c32":$fps32%.1f,"mb_per_sec_c32":$mbps32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"thread_scaling_ceiling_8_32":$ceiling832%.3f}}"""
     // machine-readable copy: BENCH_r01's JSON line drowned in sbt log noise
     // and the driver recorded parsed:null — the file survives regardless
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LAST.json")

@@ -250,7 +250,15 @@ object Dedup {
     require(maxHamming <= numBlocks - 1,
       s"$numBlocks-block LSH guarantees recall only for hamming <= ${numBlocks - 1}")
     val mask = (1L << blockBits) - 1
+    // persisted: both legs of the block-key self-join consume the signature
+    // frame. When signatures came from a groupBy, ReuseExchange deduplicated
+    // the corpus scan for free; the (better) map-only plan has no exchange
+    // to reuse, so without the persist each leg would rescan + re-hash the
+    // whole corpus. 16 bytes/doc — trivially cacheable at any scale. The
+    // pair result is materialized eagerly and the cache released, same
+    // discipline as the minhash/ngram paths.
     val sig = simHash(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = sig.select(col("id"), col("simhash"),
       explode(array((0 until numBlocks).map(blk =>
         struct(lit(blk).as("blk"),
@@ -258,11 +266,12 @@ object Dedup {
         .as("b"))
     val x = blocked.select(col("b"), col("id").as("a"), col("simhash").as("ha"))
     val y = blocked.select(col("b"), col("id").as("b2"), col("simhash").as("hb"))
-    x.join(y, Seq("b")).filter(col("a") < col("b2"))
+    val result = x.join(y, Seq("b")).filter(col("a") < col("b2"))
       .select(col("a"), col("b2").as("b"), col("ha"), col("hb")).distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+    materializeAndRelease(result, sig)._1
   }
 
   /** Connected components, size-adaptive (the AQE philosophy applied to the
