@@ -490,6 +490,19 @@ object SparkEntry {
         .orderBy(col("lang_pred"))
     }),
 
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark = a deterministic subset of the documents table (doc_id
+      // stride), so contamination is non-trivially distributed: benchmark
+      // members score 1.0, near-dups of them score high, the rest ~0.
+      // Plan: bench n-grams broadcast; corpus n-grams never shuffle
+      // (PlanQualitySpec gates the broadcast semi-join).
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contamination(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 37 === 0), "text", n = 5)
+        .orderBy(col("id"))
+    }),
+
     "q_multimodal_features" -> ((s, _) => {
       // real pure-JVM codecs (BMP/WAV/frame container): width/height/rate
       // are decoded from the binary payload, not echoed metadata — the
@@ -782,6 +795,24 @@ object SparkEntry {
                         t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on'], lower(t))))
                         / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) * 5.0, 1.0)) / 3.0, 6) AS quality
          FROM documents ORDER BY doc_id""",
+    "q_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+                  string_split(text, ' ')[i+4])) AS s
+           FROM documents),
+         bench AS (SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0)),
+         hits AS (SELECT doc_id, count(*) AS cnt
+                  FROM (SELECT doc_id, unnest(s) AS g FROM sh) x JOIN bench USING (g)
+                  GROUP BY doc_id)
+         SELECT d.doc_id AS id,
+           CAST(coalesce(h.cnt, 0) AS BIGINT) AS contaminated_ngrams,
+           CAST(len(d.s) AS BIGINT) AS total_ngrams,
+           round(CAST(coalesce(h.cnt, 0) AS DOUBLE) / len(d.s), 6) AS contamination
+         FROM sh d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         ORDER BY id""",
     "q_doc_fingerprint" ->
       """SELECT CAST(count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS fp_groups,
                 count(*) AS docs FROM documents""",

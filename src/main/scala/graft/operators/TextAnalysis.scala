@@ -54,6 +54,40 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct word n-grams appear in ANY benchmark document (the standard
+    * train/test-overlap check an LLM data pipeline runs before training —
+    * cf. the n-gram-overlap decontamination in GPT-3/The Pile/Dolma
+    * reports). Returns (id, contaminated_ngrams, total_ngrams,
+    * contamination ∈ [0,1]).
+    *
+    * Scale shape: the BENCHMARK side is small by definition (benchmarks are
+    * MBs; the corpus is TBs), so its distinct hashed n-grams broadcast and
+    * the semi-join against the exploded corpus n-grams stays MAP-SIDE —
+    * the corpus never shuffles its tokens; the only exchange is the
+    * per-doc partial-aggregated count (plan-gated: BroadcastHashJoin, no
+    * sort-merge, in PlanQualitySpec). N-grams are 64-bit hashes from the
+    * single-pass [[graft.functions.ShingleHashes]] expression, distinct
+    * per doc, so "contaminated" counts each overlapping n-gram once. */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 5): DataFrame = {
+    import graft.functions.VectorTextExprs.shingle_hashes
+    val benchGrams = bench
+      .select(explode(shingle_hashes(col(benchTextCol), n)).as("h")).distinct()
+    val grams = corpus.select(col(idCol).as("id"),
+        explode(shingle_hashes(col(textCol), n)).as("h"))
+    val hits = grams.join(benchGrams, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("contaminated_ngrams"))
+    corpus.select(col(idCol).as("id"),
+        size(shingle_hashes(col(textCol), n)).as("total_ngrams"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("contaminated_ngrams"), lit(0L)).as("contaminated_ngrams"),
+        col("total_ngrams").cast("long").as("total_ngrams"),
+        round(coalesce(col("contaminated_ngrams"), lit(0L)).cast("double") /
+          col("total_ngrams").cast("double"), 6).as("contamination"))
+  }
+
   /** N-gram-heuristic language id for natural-language text: per-language
     * stopword-hit scoring, argmax with deterministic tie-break. Pure Column
     * expressions so the whole classifier is codegen'd. */

@@ -115,6 +115,14 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     tree should include("ObjectHashAggregate")
   }
 
+  test("decontamination semi-joins the corpus against BROADCAST benchmark n-grams") {
+    // the benchmark side is small by definition; the corpus side must never
+    // shuffle its exploded n-grams — a sort-merge semi join here would
+    // shuffle |corpus tokens| rows at 100 TB
+    val (tree, _) = planText(SparkEntry.queries("q_decontaminate")(spark, sf))
+    "BroadcastHashJoin .*LeftSemi".r.findFirstIn(tree) should not be empty
+  }
+
   test("simhash signature build is map-only (no exchange, no aggregate)") {
     // SimHash of a document is a pure function of that document: the
     // signature stage must never shuffle corpus tokens (the round-3
