@@ -72,7 +72,7 @@ class JobConfigSpec extends AnyFunSuite with Matchers {
       |jobId = cfg_job
       |sources = [
       |  {id = lineitem, kind = parquet,
-      |   path = ${basePath}/lineitem.parquet
+      |   path = ${basePath}"/lineitem.parquet"  // quoted concat, the idiomatic form
       |   keyFields = [l_orderkey, l_linenumber]}
       |]
       |loadChecks = [
@@ -132,6 +132,16 @@ class JobConfigSpec extends AnyFunSuite with Matchers {
     n.at("/inline").asText shouldBe "prefix-3-suffix"
     n.has("gone") shouldBe false // missing OPTIONAL substitution drops the field
     n.at("/text").asText shouldBe "multi\nline"
+
+    // value concatenation: quoted + substitution + unquoted segments
+    val cc = graft.config.Hocon.parse(
+      "base = \"/data\"\n" +
+      "p1 = ${base}\"/file.parquet\"\n" +
+      "p2 = \"pre-\"${base}\n" +
+      "p3 = \"a\" \"b\"\n")
+    cc.at("/p1").asText shouldBe "/data/file.parquet"
+    cc.at("/p2").asText shouldBe "pre-/data"
+    cc.at("/p3").asText shouldBe "ab" // documented subset: inter-segment ws collapsed
 
     // fail-fast on the documented non-features / real errors
     an[IllegalArgumentException] should be thrownBy
