@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, id-keyed sampling and splitting — the reproducibility
+  * primitives a training-data pipeline needs around the corpus:
+  * `df.sample()`/`randomSplit()` draw per-TASK randomness, so membership
+  * changes with partitioning, retries, and cluster size; these operators key
+  * every decision on a hash of the document id alone, which makes them
+  *
+  *  - reproducible: same ids → same membership, on any cluster, any day;
+  *  - stable under corpus growth: adding or removing OTHER documents never
+  *    flips a document's split (critical when a train/test split must stay
+  *    frozen across monthly corpus refreshes);
+  *  - embarrassingly parallel: one map-only projection, no shuffle, no rng
+  *    state (plan shape identical to the scoring path).
+  *
+  * The hash is Spark's `xxhash64` (64-bit, seed 42) salted with a caller
+  * key so independent experiments draw independent splits.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform bucket in [0, 1e6) from the id column + experiment salt. */
+  def bucket(id: Column, salt: Long): Column =
+    pmod(xxhash64(id, lit(salt)), lit(Buckets))
+
+  /** Adds a `split` column: "train" / "val" / "test" with the given
+    * fractions (test = remainder). Fractions resolve at 1e-6 granularity. */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainFrac: Double, valFrac: Double, salt: Long = 0L): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"fractions must be non-negative and sum to <= 1, got $trainFrac + $valFrac")
+    val b = bucket(col(idCol), salt)
+    df.withColumn("split",
+      when(b < (trainFrac * Buckets).toLong, "train")
+        .when(b < ((trainFrac + valFrac) * Buckets).toLong, "val")
+        .otherwise("test"))
+  }
+
+  /** Keeps a deterministic `frac` of rows, keyed on the id hash. */
+  def hashSample(df: DataFrame, idCol: String, frac: Double,
+      salt: Long = 0L): DataFrame = {
+    require(frac >= 0 && frac <= 1.0, s"fraction must be in [0,1], got $frac")
+    df.filter(bucket(col(idCol), salt) < (frac * Buckets).toLong)
+  }
+}

@@ -124,6 +124,41 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     banded shouldBe brute
   }
 
+  test("hash split/sample: deterministic, partition-invariant, growth-stable") {
+    val full = docs
+    val split = Sampling.hashSplit(full, "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // disjoint + complete by construction; fractions near nominal
+    val n = split.size.toDouble
+    (split.values.count(_ == "train") / n) shouldBe 0.8 +- 0.06
+    (split.values.count(_ == "val") / n) shouldBe 0.1 +- 0.05
+    // partition-invariant: same assignment at any parallelism
+    val repart = Sampling.hashSplit(full.repartition(13), "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    repart shouldBe split
+    // growth-stable: membership computed on HALF the corpus is identical —
+    // adding/removing other docs never flips a doc's split (random() or
+    // df.sample() splits lack exactly this)
+    val half = Sampling.hashSplit(full.filter(col("doc_id") % 2 === 0), "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    half.foreach { case (id, s) => split(id) shouldBe s }
+    // independent salts draw independent splits
+    val salted = Sampling.hashSplit(full, "doc_id", 0.8, 0.1, salt = 7L)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    salted should not equal split
+    // hashSample(f) is the train side of a (f, 0) split
+    Sampling.hashSample(full, "doc_id", 0.8).collect().map(_.getLong(0)).toSet shouldBe
+      split.filter(_._2 == "train").keySet
+    // map-only: no exchange anywhere in the split projection
+    val plan = Sampling.hashSplit(full, "doc_id", 0.8, 0.1)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
   test("embedding cosine pairs and brute-force top-k agree with each other") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.5).collect()
