@@ -46,4 +46,61 @@ object Sampling {
     require(frac >= 0 && frac <= 1.0, s"fraction must be in [0,1], got $frac")
     df.filter(bucket(col(idCol), salt) < (frac * Buckets).toLong)
   }
+
+  /** Sequence packing (LLM "sample packing"): assign documents to training
+    * bins of at most `budget` tokens, minimizing wasted budget — the step
+    * between a filtered corpus and fixed-length training sequences.
+    *
+    * Distributed shape: documents hash-route to `numPartitions` partitions
+    * (an EXPLICIT parameter, so assignment is independent of cluster size
+    * and spark.sql.shuffle.partitions), are sorted (tokens desc, id) within
+    * each, and a first-fit-decreasing pass over a bounded shelf of `shelf`
+    * open bins packs each partition independently — O(shelf) state per
+    * task, one shuffle of (id, tokens) pairs total, any corpus size.
+    * First-fit-decreasing packs within 11/9·OPT + 1 bins per partition;
+    * the bounded shelf only degrades that when more than `shelf` bins are
+    * simultaneously near-full, which the desc sort makes rare.
+    *
+    * Documents larger than `budget` get a singleton bin (flag downstream
+    * via bin_tokens > budget). Deterministic: same inputs + same
+    * numPartitions → identical bins, any cluster, any parallelism
+    * (spec-asserted). Returns (id, tokens, bin_id) — bin_id unique across
+    * partitions (partitionId << 32 | seq). */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Int, numPartitions: Int, shelf: Int = 64): DataFrame = {
+    require(budget > 0 && numPartitions > 0 && shelf > 0,
+      "budget, numPartitions and shelf must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val routed = df
+      .select(col(idCol).cast("long").as("id"), col(tokensCol).cast("int").as("tokens"))
+      .repartition(numPartitions, pmod(xxhash64(col("id")), lit(numPartitions.toLong)))
+      .sortWithinPartitions(col("tokens").desc, col("id"))
+      .as[(Long, Int)]
+    routed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var nextSeq = 0L
+      def newBin(): Long = { val b = (pid << 32) | nextSeq; nextSeq += 1; b }
+      // open shelf: (binId, tokensUsed); closed bins never reopen
+      val open = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      it.map { case (id, tokens) =>
+        val bin =
+          if (tokens >= budget) newBin() // singleton, never opened
+          else {
+            val fit = open.indexWhere { case (_, used) => used + tokens <= budget }
+            if (fit >= 0) {
+              val (b, used) = open(fit)
+              open(fit) = (b, used + tokens)
+              b
+            } else {
+              if (open.size >= shelf) open.remove(0) // close the oldest
+              val b = newBin()
+              open += ((b, tokens))
+              b
+            }
+          }
+        (id, tokens, bin)
+      }
+    }.toDF("id", "tokens", "bin_id")
+  }
 }

@@ -41,6 +41,26 @@ class ExprPropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("sim_hash64 equals the straight-line oracle on random unicode-ish text") {
+    // mixed alphabet incl. multi-byte chars and runs of spaces — the
+    // expression tokenizes UTF-8 BYTES, the oracle splits UTF-16 strings;
+    // equality over adversarial inputs proves they are the same function
+    val alpha = Gen.frequency(
+      (8, Gen.alphaNumChar.map(_.toString)),
+      (3, Gen.const(" ")),
+      (1, Gen.oneOf(Seq("ü", "汉", "ß", "  ", "é"))))
+    val strGen = Gen.listOf(alpha).map(_.mkString)
+    val cases = sampled(Gen.listOfN(300, strGen))
+    val got = cases.toDF("s")
+      .select(VectorTextExprs.sim_hash64(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    cases.zip(got).foreach { case (s, h) =>
+      withClue(s"'${s.take(60)}'") {
+        h shouldBe graft.corpus.Fixtures.simHash64(s)
+      }
+    }
+  }
+
   test("normalize_vec equals the straight-line L2 normalization") {
     val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-1e3f, 1e3f))
     val cases = sampled(Gen.listOfN(200, vecGen)).map(_.toArray)

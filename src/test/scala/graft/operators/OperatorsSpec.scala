@@ -159,6 +159,37 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     plan should not include "Exchange"
   }
 
+  test("sequence packing: every doc once, bins within budget, deterministic, near-optimal") {
+    import graft.operators.TextAnalysis
+    val withTokens = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("tokens"))
+    val budget = 256
+    val packed = Sampling.packSequences(withTokens, "doc_id", "tokens",
+      budget, numPartitions = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+    // every document packed exactly once
+    packed.map(_._1).sorted shouldBe
+      withTokens.collect().map(_.getLong(0)).sorted
+    // every non-oversized bin within budget
+    val binSums = packed.groupBy(_._3).map { case (_, ds) => ds.map(_._2).sum }
+    binSums.foreach(_ should be <= budget) // all docs here are < budget
+    // near-optimal: bins used within 1.5x the token-volume lower bound
+    val totalTokens = packed.map(_._2.toLong).sum
+    val lowerBound = math.ceil(totalTokens.toDouble / budget)
+    binSums.size.toDouble should be <= lowerBound * 1.5
+    // deterministic: same inputs + numPartitions -> identical bins, even
+    // from a differently-partitioned input
+    val again = Sampling.packSequences(withTokens.repartition(13), "doc_id",
+      "tokens", budget, numPartitions = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    again shouldBe packed.sortBy(_._1)
+    // oversized docs get singleton bins
+    val tiny = Sampling.packSequences(withTokens, "doc_id", "tokens",
+      budget = 5, numPartitions = 2).collect()
+    tiny.groupBy(_.getLong(2)).values.foreach(_.length shouldBe 1)
+  }
+
   test("embedding cosine pairs and brute-force top-k agree with each other") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.5).collect()
