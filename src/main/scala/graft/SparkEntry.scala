@@ -515,6 +515,36 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- trend metrics (SURVEY §2.5): driver-side forecast over metric
+    //      HISTORY, through the real storage read path; the oracle reads
+    //      the SAME storage parquet the fixture wrote via saveMetrics.
+    //      Median/quartiles use commons-math3's legacy percentile estimator
+    //      (not SQL-expressible) and stay spec-covered. ----
+
+    "q_trend_metrics" -> ((s, _) => {
+      import graft.metrics.TrendMetrics
+      import TrendMetrics._
+      val st = new graft.storage.ParquetDqStorage(s,
+        graft.corpus.Fixtures.trendStoragePath)
+      val ref = java.time.Instant.parse("2026-08-01T12:00:00Z")
+      val hist = st.metricHistory("trend_job", "m_rows", ref)
+      val rule = ByRecords(8)
+      def v(m: TrendMetrics.Model): Double =
+        TrendMetrics.compute("t", m, hist, rule, ref).value
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import Descriptive.Stat._
+      import s.implicits._
+      Seq((
+        r6(v(Descriptive(Avg))), r6(v(Descriptive(Std))),
+        v(Descriptive(Min)), v(Descriptive(Max)), r6(v(Descriptive(Sum))),
+        r4(v(LinReg))))
+        .toDF("trend_avg", "trend_std", "trend_min", "trend_max",
+          "trend_sum", "trend_linreg")
+    }),
+
     // ---- approximate sketches, SELF-VALIDATING: the sketch estimate is
     //      checked against the exact term within the sketch's error bound,
     //      and the exact term + constant-true bound booleans enter the hash
@@ -963,6 +993,26 @@ object SparkEntry {
       """SELECT round(count(DISTINCT o_orderkey) /
            (CAST(max(o_orderkey) - min(o_orderkey) AS DOUBLE) + 1.0), 6)
          AS seq_completeness FROM orders""",
+    // trend metrics: DuckDB recomputes the forecast from the SAME storage
+    // parquet the real ParquetDqStorage wrote (window = last 8 records,
+    // linreg prediction at the fixed reference instant)
+    "q_trend_metrics" ->
+      s"""WITH h AS (SELECT reference_ts, result,
+             row_number() OVER (ORDER BY reference_ts DESC) AS rn
+           FROM '${graft.corpus.Fixtures.trendStoragePath}/results_metrics/*.parquet'
+           WHERE job_id = 'trend_job' AND metric_id = 'm_rows'
+             AND reference_ts < TIMESTAMP '2026-08-01 12:00:00'),
+         w AS (SELECT CAST(epoch_ms(reference_ts) AS DOUBLE) AS x, result AS v
+               FROM h WHERE rn <= 8)
+         SELECT round(avg(v), 6) AS trend_avg,
+           round(stddev_samp(v), 6) AS trend_std,
+           CAST(min(v) AS DOUBLE) AS trend_min,
+           CAST(max(v) AS DOUBLE) AS trend_max,
+           round(sum(v), 6) AS trend_sum,
+           round(regr_intercept(v, x) + regr_slope(v, x) *
+             ${java.time.Instant.parse("2026-08-01T12:00:00Z").toEpochMilli}.0, 4)
+             AS trend_linreg
+         FROM w""",
     // self-validating sketches: DuckDB computes the exact terms
     // INDEPENDENTLY; the bound booleans are constant-true because the
     // sketch guarantees hold for any merge order (see the queries)

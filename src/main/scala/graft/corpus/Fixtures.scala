@@ -34,6 +34,16 @@ object Fixtures {
   val verdictsDedupPath = s"$dir/expected_verdicts_dedup"
   val simhashPath = s"$dir/expected_simhash_pairs"
   val mediaPath = s"$dir/media"
+  /** Deterministic metric-result history written through the REAL
+    * ParquetDqStorage — the trend-metric oracle reads the same parquet. */
+  val trendStoragePath = s"$dir/trend_storage"
+
+  /** 12 hourly observations, exact-binary values (quarters + integers), so
+    * both engines aggregate bit-identical inputs. */
+  val trendHistory: Seq[(java.time.Instant, Double)] = (0 until 12).map { i =>
+    (java.time.Instant.parse("2026-08-01T00:00:00Z").plusSeconds(i * 3600L),
+      100.0 + 3.0 * i + (i % 5) * 0.25)
+  }
 
   /** Mirrors the column names/types of `QualityFilter.verdicts` output (with
     * drop_reasons joined and floats rounded, as the flagship queries emit). */
@@ -135,5 +145,18 @@ object Fixtures {
 
     graft.operators.Multimodal.syntheticMedia(spark, 500L).coalesce(1)
       .write.mode("overwrite").parquet(mediaPath)
+
+    // trend history through the real storage WRITE path (saveMetrics
+    // appends, so wipe first to stay deterministic across Verify runs)
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete()
+    }
+    rmRf(new java.io.File(trendStoragePath))
+    val storage = new graft.storage.ParquetDqStorage(spark, trendStoragePath)
+    trendHistory.foreach { case (ts, v) =>
+      storage.saveMetrics("trend_job", ts,
+        Seq(graft.metrics.MetricResult("m_rows", "ROW_COUNT", "src", Nil, v)))
+    }
   }
 }
