@@ -515,6 +515,43 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- composed metrics + snapshot checks (SURVEY §2.4/§2.7): the REAL
+    //      FormulaParser and check calculators over engine-computed metric
+    //      results; the oracle recomputes formulas/conditions from its own
+    //      aggregates. Check thresholds sit far from the metric values so
+    //      the booleans are robust to last-bit float differences. ----
+
+    "q_composed_checks" -> ((s, dir) => {
+      import graft.metrics._
+      import graft.checks._
+      val base = MetricProcessor.process(t(s, dir, "lineitem"), Seq(
+        RowCountMetric("row_count"),
+        SumNumberMetric("sum_qty", Seq("l_quantity")),
+        AvgNumberMetric("avg_qty", "l_quantity")))
+      val composed = Seq(
+        ComposedMetric("per_row", "{{ sum_qty }} / {{ row_count }}"),
+        ComposedMetric("score",
+          "sqrt(abs({{ avg_qty }} - 30)) + max({{ avg_qty }}, 20) ^ 2"),
+        ComposedMetric("gated",
+          "case when {{ avg_qty }} > 100 then 1 when {{ avg_qty }} > 10 then 0.5 else 0 end"))
+        .map(_.compute(base).fold(e => throw new IllegalStateException(e), identity))
+      val all = base ++ composed
+      def status(c: SnapshotCheck): Boolean = c.run(all).status
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((
+        r6(all.find(_.metricId == "per_row").get.value),
+        r6(all.find(_.metricId == "score").get.value),
+        all.find(_.metricId == "gated").get.value,
+        status(GreaterThanCheck("ck_rows_gt", "row_count", None, Some(100.0))),
+        status(LessThanCheck("ck_avg_lt", "avg_qty", None, Some(10.0))),
+        status(DifferByLtCheck("ck_avg_vs_perrow", "avg_qty", "per_row", 0.001)),
+        status(EqualToCheck("ck_missing", "ghost", None, Some(1.0)))))
+        .toDF("per_row", "score", "gated",
+          "ck_rows_gt", "ck_avg_lt", "ck_avg_vs_perrow", "ck_missing")
+    }),
+
     // ---- trend metrics (SURVEY §2.5): driver-side forecast over metric
     //      HISTORY, through the real storage read path; the oracle reads
     //      the SAME storage parquet the fixture wrote via saveMetrics.
@@ -993,6 +1030,22 @@ object SparkEntry {
       """SELECT round(count(DISTINCT o_orderkey) /
            (CAST(max(o_orderkey) - min(o_orderkey) AS DOUBLE) + 1.0), 6)
          AS seq_completeness FROM orders""",
+    // composed metrics + checks: DuckDB recomputes the formulas and check
+    // conditions from its own aggregates (a missing-metric check is false
+    // by the engine contract)
+    "q_composed_checks" ->
+      """WITH m AS (SELECT count(*) AS row_count, sum(l_quantity) AS sum_qty,
+                      avg(l_quantity) AS avg_qty FROM lineitem)
+         SELECT
+           round(sum_qty / row_count, 6) AS per_row,
+           round(sqrt(abs(avg_qty - 30)) + power(greatest(avg_qty, 20), 2), 6) AS score,
+           (CASE WHEN avg_qty > 100 THEN 1 WHEN avg_qty > 10 THEN 0.5 ELSE 0 END) AS gated,
+           row_count > 100 AS ck_rows_gt,
+           avg_qty < 10 AS ck_avg_lt,
+           abs(avg_qty - sum_qty / row_count) / (sum_qty / row_count) < 0.001
+             AS ck_avg_vs_perrow,
+           false AS ck_missing
+         FROM m""",
     // trend metrics: DuckDB recomputes the forecast from the SAME storage
     // parquet the real ParquetDqStorage wrote (window = last 8 records,
     // linreg prediction at the fixed reference instant)
