@@ -149,9 +149,17 @@ object Dedup {
     val prefixLen = (floor(size(col("sh")) * lit(1.0 - tau)) + lit(2)).cast("int")
     val inv = sh.select(col("id"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("k"))
-    val rare = inv.groupBy("k").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf && col("df") >= 2)
-    val invR = inv.join(rare, Seq("k"))
+    // document-frequency cap as a WINDOW count over the shingle key: ONE
+    // exchange of the prefix inverted index (reused by both self-join legs)
+    // instead of round 3's three (groupBy count + join-back + self-join).
+    // Unlike the minhash path's capped collect, a window never buffers a
+    // whole group, so the unbounded-df regime (maxShingleDf up to 10k)
+    // stays memory-safe.
+    val invR = inv
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))))
+      .filter(col("df").between(2, maxShingleDf))
+      .select(col("k"), col("id"))
     val candidates = invR.select(col("k"), col("id").as("a"))
       .join(invR.select(col("k"), col("id").as("b")), Seq("k"))
       .filter(col("a") < col("b"))
