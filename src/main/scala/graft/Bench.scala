@@ -52,7 +52,7 @@ object Bench {
       val pool = Executors.newFixedThreadPool(threads)
       val reps = 4
       val t0 = System.nanoTime()
-      (0 until threads).foreach { t =>
+      val futures = (0 until threads).map { t =>
         pool.submit(new Runnable {
           def run(): Unit = {
             var rep = 0
@@ -64,7 +64,12 @@ object Bench {
           }
         })
       }
-      pool.shutdown(); pool.awaitTermination(600, TimeUnit.SECONDS)
+      // propagate worker failures and refuse truncated legs: a silently
+      // dead worker or a timed-out pool would emit a bogus ceiling into
+      // the committed bench artifact
+      futures.foreach(_.get(600, TimeUnit.SECONDS))
+      pool.shutdown()
+      require(pool.awaitTermination(60, TimeUnit.SECONDS), "ceiling pool did not terminate")
       rows.length.toLong * reps / ((System.nanoTime() - t0) / 1e9)
     }
     // interleave and take best-of-2 per leg, same policy as the Spark legs

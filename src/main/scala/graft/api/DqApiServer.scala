@@ -155,6 +155,10 @@ final class DqApiServer(storage: Option[DqStorage], port: Int = 0) {
             s"generated template failed validation: ${errs.mkString("; ")}")
         respond(ex, 200, cfg.toString)
       } catch {
+        // a failed self-validation is OUR generation bug, not the client's
+        case e: IllegalStateException =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          respond(ex, 500, s"""{"error":"${jsonEscape(msg)}"}""")
         case e: Exception =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
           respond(ex, 400, s"""{"error":"${jsonEscape(msg)}"}""")

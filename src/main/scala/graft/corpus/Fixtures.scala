@@ -26,9 +26,10 @@ object Fixtures {
     * because the driver's DuckDB process embeds it in oracle SQL and runs
     * with its own cwd. Round 3 hardcoded /root/repo, silently breaking any
     * other checkout location (ADVICE r3). */
-  val dir: String = sys.env.get("GRAFT_FIXTURE_DIR")
-    .orElse(sys.props.get("graft.fixture.dir"))
-    .getOrElse(new java.io.File("target/fixtures").getAbsolutePath)
+  val dir: String = new java.io.File(
+    sys.env.get("GRAFT_FIXTURE_DIR")
+      .orElse(sys.props.get("graft.fixture.dir"))
+      .getOrElse("target/fixtures")).getAbsolutePath
 
   val verdictsPath = s"$dir/expected_verdicts"
   val verdictsDedupPath = s"$dir/expected_verdicts_dedup"

@@ -239,6 +239,12 @@ object Dedup {
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
       graft.functions.VectorTextExprs.sim_hash64(col(textCol)).as("simhash"))
+      // null-text docs have no signature (parity with the round-3
+      // aggregate, which dropped them) — and every such doc would otherwise
+      // share identical (block, NULL) join keys downstream: struct keys
+      // with equal null fields DO match in a hash join, so k null docs
+      // would explode into ~k²·blocks candidate rows in simHashPairs
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs: block-LSH candidates verified by exact hamming
     * distance. The 64-bit signature splits into 64/blockBits blocks; by

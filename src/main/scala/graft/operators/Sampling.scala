@@ -34,9 +34,11 @@ object Sampling {
     require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
       s"fractions must be non-negative and sum to <= 1, got $trainFrac + $valFrac")
     val b = bucket(col(idCol), salt)
+    // math.round, not toLong truncation: 0.7 * 1e6 = 699999.9999... would
+    // silently lose a bucket for any fraction inexact in binary
     df.withColumn("split",
-      when(b < (trainFrac * Buckets).toLong, "train")
-        .when(b < ((trainFrac + valFrac) * Buckets).toLong, "val")
+      when(b < math.round(trainFrac * Buckets), "train")
+        .when(b < math.round((trainFrac + valFrac) * Buckets), "val")
         .otherwise("test"))
   }
 
@@ -44,7 +46,7 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, frac: Double,
       salt: Long = 0L): DataFrame = {
     require(frac >= 0 && frac <= 1.0, s"fraction must be in [0,1], got $frac")
-    df.filter(bucket(col(idCol), salt) < (frac * Buckets).toLong)
+    df.filter(bucket(col(idCol), salt) < math.round(frac * Buckets))
   }
 
   /** Sequence packing (LLM "sample packing"): assign documents to training
@@ -64,26 +66,37 @@ object Sampling {
     * Documents larger than `budget` get a singleton bin (flag downstream
     * via bin_tokens > budget). Deterministic: same inputs + same
     * numPartitions → identical bins, any cluster, any parallelism
-    * (spec-asserted). Returns (id, tokens, bin_id) — bin_id unique across
+    * (spec-asserted). Returns (idCol — original name and type, tokens,
+    * bin_id) — bin_id unique across
     * partitions (partitionId << 32 | seq). */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       budget: Int, numPartitions: Int, shelf: Int = 64): DataFrame = {
     require(budget > 0 && numPartitions > 0 && shelf > 0,
       "budget, numPartitions and shelf must be positive")
     val spark = df.sparkSession
-    import spark.implicits._
+    // the id column keeps its OWN type (long doc ids, string repo|path
+    // keys, …): routing hashes it, sorting orders it natively — a silent
+    // cast("long") would null out string ids, funnel every row into one
+    // partition, and return unjoinable output (review r4)
     val routed = df
-      .select(col(idCol).cast("long").as("id"), col(tokensCol).cast("int").as("tokens"))
+      .select(col(idCol).as("id"), col(tokensCol).cast("int").as("tokens"))
       .repartition(numPartitions, pmod(xxhash64(col("id")), lit(numPartitions.toLong)))
       .sortWithinPartitions(col("tokens").desc, col("id"))
-      .as[(Long, Int)]
-    routed.mapPartitions { it =>
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        routed.schema("id").dataType, routed.schema("id").nullable),
+      org.apache.spark.sql.types.StructField("tokens",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bin_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val packedRdd = routed.rdd.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       var nextSeq = 0L
       def newBin(): Long = { val b = (pid << 32) | nextSeq; nextSeq += 1; b }
       // open shelf: (binId, tokensUsed); closed bins never reopen
       val open = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-      it.map { case (id, tokens) =>
+      it.map { row =>
+        val tokens = row.getInt(1)
         val bin =
           if (tokens >= budget) newBin() // singleton, never opened
           else {
@@ -99,8 +112,9 @@ object Sampling {
               b
             }
           }
-        (id, tokens, bin)
+        org.apache.spark.sql.Row(row.get(0), tokens, bin)
       }
-    }.toDF("id", "tokens", "bin_id")
+    }
+    spark.createDataFrame(packedRdd, outSchema)
   }
 }

@@ -63,10 +63,10 @@ object TextAnalysis {
     *
     * Scale shape: the BENCHMARK side is small by definition (benchmarks are
     * MBs; the corpus is TBs), so its distinct hashed n-grams broadcast and
-    * the semi-join against the exploded corpus n-grams stays MAP-SIDE —
-    * the corpus never shuffles its tokens; the only exchange is the
-    * per-doc partial-aggregated count (plan-gated: BroadcastHashJoin, no
-    * sort-merge, in PlanQualitySpec). N-grams are 64-bit hashes from the
+    * the hit-marking join against the exploded corpus n-grams stays
+    * MAP-SIDE — the corpus never shuffles its tokens; the only exchange is
+    * the per-doc partial-aggregated count (plan-gated: BroadcastHashJoin,
+    * no sort-merge, in PlanQualitySpec). N-grams are 64-bit hashes from the
     * single-pass [[graft.functions.ShingleHashes]] expression, distinct
     * per doc, so "contaminated" counts each overlapping n-gram once. */
   def contamination(corpus: DataFrame, idCol: String, textCol: String,
@@ -74,17 +74,20 @@ object TextAnalysis {
     import graft.functions.VectorTextExprs.shingle_hashes
     val benchGrams = bench
       .select(explode(shingle_hashes(col(benchTextCol), n)).as("h")).distinct()
-    val grams = corpus.select(col(idCol).as("id"),
-        explode(shingle_hashes(col(textCol), n)).as("h"))
-    val hits = grams.join(benchGrams, Seq("h"), "left_semi")
-      .groupBy(col("id")).agg(count(lit(1)).as("contaminated_ngrams"))
+      .withColumn("__hit", lit(1))
+    // ONE shingling pass and one aggregate: the broadcast LEFT join marks
+    // hits in place, and count(__hit) / count(*) give contaminated/total in
+    // the same groupBy — a second shingle_hashes leg (for per-doc totals)
+    // and a second per-id join would double the dominant cost at corpus
+    // scale. Every doc yields >= 1 shingle, so no document is lost.
     corpus.select(col(idCol).as("id"),
-        size(shingle_hashes(col(textCol), n)).as("total_ngrams"))
-      .join(hits, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("contaminated_ngrams"), lit(0L)).as("contaminated_ngrams"),
-        col("total_ngrams").cast("long").as("total_ngrams"),
-        round(coalesce(col("contaminated_ngrams"), lit(0L)).cast("double") /
+        explode(shingle_hashes(col(textCol), n)).as("h"))
+      .join(benchGrams, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("__hit")).as("contaminated_ngrams"),
+        count(lit(1)).as("total_ngrams"))
+      .select(col("id"), col("contaminated_ngrams"), col("total_ngrams"),
+        round(col("contaminated_ngrams").cast("double") /
           col("total_ngrams").cast("double"), 6).as("contamination"))
   }
 

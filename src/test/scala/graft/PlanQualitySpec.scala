@@ -115,12 +115,14 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     tree should include("ObjectHashAggregate")
   }
 
-  test("decontamination semi-joins the corpus against BROADCAST benchmark n-grams") {
+  test("decontamination joins the corpus against BROADCAST benchmark n-grams") {
     // the benchmark side is small by definition; the corpus side must never
-    // shuffle its exploded n-grams — a sort-merge semi join here would
-    // shuffle |corpus tokens| rows at 100 TB
+    // shuffle its exploded n-grams — a sort-merge join here would shuffle
+    // |corpus tokens| rows at 100 TB. (Outer, not semi: the hit-marker
+    // rides the same single pass that counts per-doc totals.)
     val (tree, _) = planText(SparkEntry.queries("q_decontaminate")(spark, sf))
-    "BroadcastHashJoin .*LeftSemi".r.findFirstIn(tree) should not be empty
+    "BroadcastHashJoin .*LeftOuter".r.findFirstIn(tree) should not be empty
+    tree should not include "SortMergeJoin"
   }
 
   test("simhash signature build is map-only (no exchange, no aggregate)") {

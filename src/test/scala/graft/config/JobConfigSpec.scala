@@ -143,6 +143,20 @@ class JobConfigSpec extends AnyFunSuite with Matchers {
     cc.at("/p2").asText shouldBe "pre-/data"
     cc.at("/p3").asText shouldBe "ab" // documented subset: inter-segment ws collapsed
 
+    // HOCON spec: ${...} inside QUOTED strings is literal text, never a
+    // substitution (and never an unresolved-substitution error)
+    val lit = graft.config.Hocon.parse(
+      "amount = 3\n" +
+      "msg = \"cost is ${amount} dollars\"\n" +
+      "tmpl = \"\"\"raw ${not.a.key} body\"\"\"\n" +
+      "mixed = ${amount}\" then ${literal}\"\n")
+    lit.at("/msg").asText shouldBe "cost is ${amount} dollars"
+    lit.at("/tmpl").asText shouldBe "raw ${not.a.key} body"
+    lit.at("/mixed").asText shouldBe "3 then ${literal}"
+    // out-of-Long-range integers degrade to double, not NumberFormatException
+    graft.config.Hocon.parse("big = 99999999999999999999999\n")
+      .at("/big").asDouble shouldBe 1e23 +- 1e9
+
     // fail-fast on the documented non-features / real errors
     an[IllegalArgumentException] should be thrownBy
       graft.config.Hocon.parse("x = ${nowhere}\n")

@@ -96,6 +96,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("simhash drops null-text docs (no null-signature join-key blowup)") {
+    // k null-text docs would share identical (block, NULL) struct keys —
+    // which DO match in a hash join — exploding into ~k² candidates; the
+    // signature stage must drop them like the round-3 aggregate did
+    val df = Seq((1L, Some("a b c")), (2L, None), (3L, None), (4L, Some("a b c")))
+      .toDF("doc_id", "text")
+    Dedup.simHash(df, "doc_id", "text").collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 4L)
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs shouldBe Array((1L, 4L)) // identical docs pair; null docs pair with nothing
+  }
+
   test("simhash recall: every near-identical pair (jaccard >= 0.95) is found") {
     // SimHash sketches word-multiset cosine: expected hamming for jaccard j
     // is ~64*acos(2j/(1+j))/pi — j=0.95 ⇒ ~5 bits, j=0.8 ⇒ ~10 bits. So the
@@ -188,6 +201,15 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     val tiny = Sampling.packSequences(withTokens, "doc_id", "tokens",
       budget = 5, numPartitions = 2).collect()
     tiny.groupBy(_.getLong(2)).values.foreach(_.length shouldBe 1)
+
+    // STRING ids keep their type end-to-end (a silent cast("long") would
+    // null them out and funnel everything into one partition)
+    val strIds = withTokens.select(
+      concat(lit("repo/"), col("doc_id")).as("key"), col("tokens"))
+    val sp = Sampling.packSequences(strIds, "key", "tokens", budget, numPartitions = 4)
+    sp.schema("key").dataType shouldBe org.apache.spark.sql.types.StringType
+    sp.collect().map(_.getString(0)).sorted shouldBe
+      strIds.collect().map(_.getString(0)).sorted
   }
 
   test("embedding cosine pairs and brute-force top-k agree with each other") {
