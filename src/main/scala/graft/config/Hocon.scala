@@ -283,7 +283,11 @@ object Hocon {
           catch { case _: NumberFormatException =>
             F.numberNode(java.lang.Double.parseDouble(raw))
           }
-        case NumRe() => F.numberNode(java.lang.Double.parseDouble(raw))
+        // NumRe has capture groups, so the arity-0 extractor `NumRe()`
+        // would never match — bind with _* (caught by HoconPropertySpec:
+        // every decimal was silently a TextNode, masked by asDouble
+        // coercion downstream)
+        case NumRe(_*) => F.numberNode(java.lang.Double.parseDouble(raw))
         case _ => new com.fasterxml.jackson.databind.node.TextNode(raw)
       }
     }

@@ -1,0 +1,101 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** HOCON is a superset of JSON, so the subset parser must agree with
+  * Jackson on EVERY valid JSON document — a machine-checked equivalence
+  * over randomized trees (fixed seed, reproducible), in both compact and
+  * pretty rendering. Numeric node classes differ (Jackson IntNode vs our
+  * LongNode), so equality is structural: same shape, same text value, same
+  * kind (number/string/bool/null). */
+class HoconPropertySpec extends AnyFunSuite with Matchers {
+
+  private val mapper = new ObjectMapper()
+
+  private def sampled[T](g: Gen[T]): T =
+    g.apply(Gen.Parameters.default, Seed(7L)).get
+
+  // strings exercise quoting, escapes, substitution-literal `${}` text,
+  // comment markers and separators inside quoted context
+  private val strGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.const("${not.a.subst}"),
+    Gen.const("a b\tc\nd"),
+    Gen.const("""quo"te\back"""),
+    Gen.const("# not a comment // either, and a, comma }"),
+    Gen.const(""))
+
+  private val scalarGen: Gen[JsonNode] = Gen.oneOf(
+    Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+      .map(v => mapper.getNodeFactory.numberNode(v)),
+    Gen.chooseNum(-1e6, 1e6).map(v =>
+      mapper.getNodeFactory.numberNode(math.rint(v * 100) / 100)),
+    Gen.oneOf(true, false).map(mapper.getNodeFactory.booleanNode),
+    Gen.const(mapper.getNodeFactory.nullNode: JsonNode),
+    strGen.map(mapper.getNodeFactory.textNode))
+
+  private val keyGen: Gen[String] = Gen.oneOf(
+    Gen.identifier.map(_.take(10) + "k"), // plain keys
+    Gen.const("dotted.key"),              // quoted in JSON => single path element
+    Gen.const("with space"),
+    Gen.const("${weird}"))
+
+  private def nodeGen(depth: Int): Gen[JsonNode] =
+    if (depth <= 0) scalarGen
+    else Gen.frequency(
+      (3, scalarGen),
+      (2, Gen.listOfN(3, Gen.zip(keyGen, nodeGen(depth - 1))).map { kvs =>
+        val o = mapper.createObjectNode()
+        kvs.foreach { case (k, v) => o.set[JsonNode](k, v) }
+        o
+      }),
+      (2, Gen.listOf(nodeGen(depth - 1)).map { vs =>
+        val a = mapper.createArrayNode()
+        vs.take(4).foreach(a.add)
+        a
+      }))
+
+  private def structurallyEqual(a: JsonNode, b: JsonNode, path: String): Unit = {
+    withClue(s"at $path: ") {
+      if (a.isObject) {
+        b.isObject shouldBe true
+        val ka = { val it = a.fieldNames(); Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSet }
+        val kb = { val it = b.fieldNames(); Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSet }
+        ka shouldBe kb
+        ka.foreach(k => structurallyEqual(a.get(k), b.get(k), s"$path.$k"))
+      } else if (a.isArray) {
+        b.isArray shouldBe true
+        a.size() shouldBe b.size()
+        (0 until a.size()).foreach(i => structurallyEqual(a.get(i), b.get(i), s"$path[$i]"))
+      } else {
+        a.isNumber shouldBe b.isNumber
+        a.isTextual shouldBe b.isTextual
+        a.isBoolean shouldBe b.isBoolean
+        a.isNull shouldBe b.isNull
+        if (a.isNumber) a.asDouble shouldBe b.asDouble
+        else a.asText shouldBe b.asText
+      }
+    }
+  }
+
+  test("any JSON object parses identically via Hocon.parse and Jackson") {
+    val roots = sampled(Gen.listOfN(120, nodeGen(3)))
+      .collect { case o if o.isObject => o }
+    roots should not be empty
+    roots.foreach { root =>
+      val compact = mapper.writeValueAsString(root)
+      val pretty = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+      for (text <- Seq(compact, pretty)) {
+        withClue(s"input: ${text.take(200)}\n") {
+          val viaHocon = Hocon.parse(text)
+          val viaJackson = mapper.readTree(text)
+          structurallyEqual(viaJackson, viaHocon, "$")
+        }
+      }
+    }
+  }
+}
