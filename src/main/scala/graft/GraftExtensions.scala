@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "_FUNC_(text, n) - distinct hashed word n-grams"),
       (es: Seq[Expression]) => ShingleHashes(es.head, intArg(es(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("sim_hash64"),
+      info("sim_hash64", "_FUNC_(text) - 64-bit SimHash, one map-only pass"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "_FUNC_(a, b) - numeric array dot product"),
       (es: Seq[Expression]) => DotProduct(es.head, es(1))))

@@ -27,6 +27,26 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       nv shouldBe Seq(0.6, 0.8)
       spark.sql("SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,9L)) AS c")
         .collect().head.getInt(0) shouldBe 2
+      spark.sql("SELECT sim_hash64('the quick brown fox') AS h")
+        .collect().head.getLong(0) shouldBe
+        graft.corpus.Fixtures.simHash64("the quick brown fox")
+
+      // PARITY GUARD: both registration paths (session extensions for
+      // spark-submit, GraftFunctions.register for interactive sessions)
+      // must expose the same function surface — a function added to one
+      // but not the other silently narrows the deployed SQL API
+      val extFns = spark.sessionState.functionRegistry.listFunction()
+        .map(_.funcName).toSet
+      val reg = TestSpark.spark // separate session, GraftFunctions path
+      graft.functions.GraftFunctions.register(reg)
+      val regFns = reg.sessionState.functionRegistry.listFunction()
+        .map(_.funcName).toSet
+      val graftNames = Set("collect_list_limit", "top_n_sketch", "doc_stats",
+        "score_doc", "shingle_hashes", "sim_hash64", "dot_product",
+        "merge_list_limit", "top_k_pairs", "hyperplane_sigs", "min_hash_bands",
+        "normalize_vec", "sorted_intersect_count", "array_eq_count", "bmp_resize")
+      (graftNames -- extFns) shouldBe empty
+      (graftNames -- regFns) shouldBe empty
     } finally {
       // do not stop: TestSpark's session shares the local JVM; dropping this
       // one would tear down the shared SparkContext for later suites
