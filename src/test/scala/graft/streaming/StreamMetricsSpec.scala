@@ -182,6 +182,40 @@ class StreamMetricsSpec extends AnyFunSuite with Matchers {
     byKey("b") shouldBe ((1L, 2.0))
   }
 
+  test("quality-filter verdicts on a STREAM are identical to the batch verdicts") {
+    // the north-rule scoring path is a stateless per-row projection, so the
+    // SAME QualityFilter.verdicts plan runs unchanged under Structured
+    // Streaming (readStream -> append sink) — the micro-batch twin of the
+    // batch-resumable pipeline, with bit-identical output
+    import graft.corpus.{CorpusGen, CorpusSpec}
+    import graft.pipeline.{FilterConfig, QualityFilter}
+    val tmp = Files.createTempDirectory("graft-qf-stream").toString
+    val corpus = CorpusGen.corpus(spark, CorpusSpec(nFiles = 300)).toDF
+    corpus.write.mode("overwrite").parquet(s"$tmp/in")
+
+    def key(r: org.apache.spark.sql.Row): (String, String) =
+      (r.getAs[String]("repo"), r.getAs[String]("path"))
+    def digest(r: org.apache.spark.sql.Row): (Boolean, Seq[String], String) =
+      (r.getAs[Boolean]("keep"), r.getAs[Seq[String]]("drop_reasons"),
+        r.getAs[String]("content_sha256"))
+
+    val batch = QualityFilter.verdicts(spark.read.parquet(s"$tmp/in"), FilterConfig())
+      .collect().map(r => key(r) -> digest(r)).toMap
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in").schema)
+      .parquet(s"$tmp/in")
+    val q = QualityFilter.verdicts(stream, FilterConfig())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("qf_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("qf_stream")
+      .collect().map(r => key(r) -> digest(r)).toMap
+
+    streamed shouldBe batch
+    streamed.size shouldBe 300
+  }
+
   test("idle-timeout evicts stale keys: state stays bounded under rotating keys") {
     // without a timeout, per-key state NEVER expires — a rotating key
     // domain (sessions, request ids) grows the state store without bound.
