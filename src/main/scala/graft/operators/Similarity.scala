@@ -146,7 +146,8 @@ object Similarity {
     * oracle-checked query contract (tau=0.5); at production scale, raise tau
     * or planes before raising tables. */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
-      dims: Int, tau: Double, planes: Int = 6, tables: Int = 48): DataFrame = {
+      dims: Int, tau: Double, planes: Int = 6, tables: Int = 48,
+      estimatePreFilter: Boolean = false): DataFrame = {
     // persisted: consumed 3x (signatures + both verify legs) — released
     // below once the (tiny) pair result is materialized
     val n = normalized(df, idCol, vecCol)
@@ -161,7 +162,35 @@ object Similarity {
       .join(sigs.select(col("b"), col("id").as("b2")), Seq("b"))
       .filter(col("a") < col("b2"))
       .select(col("a"), col("b2").as("b")).distinct()
-    val result = candidates
+    // OPT-IN estimate pre-filter (the verify()-phase-1 pattern from the
+    // minhash path): a 252-bit hyperplane signature (4x63, independent
+    // seed) estimates the angle per candidate from hamming distance, and
+    // only survivors ship the full vectors through the exact verify — 32 B
+    // per candidate side instead of 8·dims B. The cut keeps a pair AT
+    // exactly tau with p > 0.9997 (3.5 sigma of Binomial(252, acos(tau)/pi));
+    // the default stays exact-given-candidates, which the driver oracle
+    // pins. At low tau (many candidates, 512 B vectors at dims=64) the
+    // filter shrinks the heavy join by the candidate false-positive rate.
+    val survivors =
+      if (!estimatePreFilter) candidates
+      else {
+        val estTables = 4
+        val estPlanes = 63 // sign bits pack into one long, so 63 is the max
+        val bits = estTables * estPlanes
+        val cut = math.round(bits * math.acos(tau) / math.Pi) + 28 // +3.5 sigma
+        val est = n.select(col("id"), graft.functions.VectorTextExprs
+          .hyperplane_sigs(col("nv"), estPlanes, estTables, seed = 101L).as("es"))
+        val ham = (0 until estTables).map(i =>
+          bit_count(element_at(col("esa"), i + 1)
+            .bitwiseXOR(element_at(col("esb"), i + 1))))
+          .reduce(_ + _)
+        candidates
+          .join(est.select(col("id").as("a"), col("es").as("esa")), Seq("a"))
+          .join(est.select(col("id").as("b"), col("es").as("esb")), Seq("b"))
+          .filter(ham <= lit(cut))
+          .select(col("a"), col("b"))
+      }
+    val result = survivors
       .join(n.select(col("id").as("a"), col("nv").as("va")), Seq("a"))
       .join(n.select(col("id").as("b"), col("nv").as("vb")), Seq("b"))
       .withColumn("cosine", dot(col("va"), col("vb")))

@@ -229,6 +229,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("cosine LSH estimate pre-filter: identical pairs, vectors stay out of the candidate join") {
+    // sf0.01: the smallest SF whose embeddings contain pairs above tau
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Similarity.cosineLshPairs(emb, "vec_id", "embedding", 64, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val filtered = Similarity.cosineLshPairs(emb, "vec_id", "embedding", 64, 0.5,
+      estimatePreFilter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    exact should not be empty
+    // the 3.5-sigma cut keeps every qualifying pair at this SF
+    filtered shouldBe exact
+  }
+
   test("cosine LSH finds planted near-identical vectors") {
     val base = (0 until 50).map { i =>
       val r = graft.corpus.Rng(5L, i)
