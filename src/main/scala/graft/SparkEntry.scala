@@ -503,6 +503,19 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_license_id" -> ((s, dir) => {
+      // license detection over deterministically injected headers (the
+      // documents table carries none) — the Lic constants drive BOTH this
+      // construction and the DuckDB oracle, q_quality_filter_heuristic
+      // style; precedence: spdx stride wins, then mit/gpl/bsd strides
+      import graft.operators.TextAnalysis
+      val content = licContent
+      t(s, dir, "documents")
+        .select(TextAnalysis.licenseHeuristic(content).as("license"))
+        .groupBy(col("license")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("license"))
+    }),
+
     "q_multimodal_features" -> ((s, _) => {
       // real pure-JVM codecs (BMP/WAV/frame container): width/height/rate
       // are decoded from the binary payload, not echoed metadata — the
@@ -694,6 +707,33 @@ object SparkEntry {
         lit("\n" + piiEmail + "\n" + piiKey + "\n" + piiSecret)).otherwise(lit("")))
   }
 
+  /** Shared constants for `q_license_id`: injected license headers (the
+    * corpus has none) and the SPDX tag regex — one source for the Spark
+    * construction and the DuckDB oracle. */
+  private object Lic {
+    val spdx = "// SPDX-License-Identifier: Apache-2.0"
+    val mit = "/* Permission is hereby granted, free of charge */"
+    val gpl = "// under the terms of the GNU General Public License"
+    val bsd = "// Redistribution and use in source and binary forms"
+    val strideSpdx = 5
+    val strideMit = 7
+    val strideGpl = 11
+    val strideBsd = 13
+  }
+
+  /** Deterministic per-doc license header injection (exactly one header or
+    * none, spdx stride first). */
+  private def licContent: Column = {
+    import Lic._
+    concat(
+      when(col("doc_id") % strideSpdx === 0, lit(spdx + "\n"))
+        .when(col("doc_id") % strideMit === 0, lit(mit + "\n"))
+        .when(col("doc_id") % strideGpl === 0, lit(gpl + "\n"))
+        .when(col("doc_id") % strideBsd === 0, lit(bsd + "\n"))
+        .otherwise(lit("")),
+      col("text"))
+  }
+
   /** Revenue as exact integer 1e-4 units divided once to double — the same
     * SQL text parses and evaluates identically in Spark SQL and DuckDB. */
   private val topkRevenueSql =
@@ -757,6 +797,26 @@ object SparkEntry {
     "q_dedup_simhash" ->
       s"""SELECT a, b, hamming FROM '${graft.corpus.Fixtures.simhashPath}/*.parquet'
           ORDER BY a, b""",
+    // license detection: DuckDB mirrors the Lic-constant construction and
+    // the detector's precedence (spdx tag -> known phrases -> unknown)
+    "q_license_id" ->
+      raw"""WITH c AS (SELECT
+             (CASE WHEN doc_id % ${Lic.strideSpdx} = 0 THEN '${Lic.spdx}' || chr(10)
+                   WHEN doc_id % ${Lic.strideMit} = 0 THEN '${Lic.mit}' || chr(10)
+                   WHEN doc_id % ${Lic.strideGpl} = 0 THEN '${Lic.gpl}' || chr(10)
+                   WHEN doc_id % ${Lic.strideBsd} = 0 THEN '${Lic.bsd}' || chr(10)
+                   ELSE '' END) || text AS content
+           FROM documents),
+         l AS (SELECT CASE
+             WHEN regexp_extract(content, 'SPDX-License-Identifier:\s*([A-Za-z0-9.\-+]+)', 1) <> ''
+               THEN lower(regexp_extract(content, 'SPDX-License-Identifier:\s*([A-Za-z0-9.\-+]+)', 1))
+             WHEN contains(content, 'Apache License, Version 2.0') THEN 'apache-2.0'
+             WHEN contains(content, 'Permission is hereby granted, free of charge') THEN 'mit'
+             WHEN contains(content, 'GNU General Public License') THEN 'gpl'
+             WHEN contains(content, 'Redistribution and use in source and binary forms') THEN 'bsd'
+             ELSE 'unknown' END AS license
+           FROM c)
+         SELECT license, count(*) AS cnt FROM l GROUP BY 1 ORDER BY 1""",
     // decoded-from-payload features must equal the generator-stamped
     // metadata columns of the media fixture
     "q_multimodal_features" ->

@@ -54,6 +54,26 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** License identification for code files — the permissive-license filter
+    * every code-LLM pipeline runs (cf. The Stack's license gating). Pure
+    * per-row Column logic, codegen'd, shuffle-free:
+    *  1. an explicit `SPDX-License-Identifier:` tag wins (normalized to
+    *     lower case),
+    *  2. else well-known header phrases, first match in a fixed precedence
+    *     (apache-2.0, mit, gpl, bsd),
+    *  3. else "unknown".
+    */
+  def licenseHeuristic(content: Column): Column = {
+    val spdx = regexp_extract(content,
+      "SPDX-License-Identifier:\\s*([A-Za-z0-9.\\-+]+)", 1)
+    when(spdx =!= "", lower(spdx))
+      .when(content.contains("Apache License, Version 2.0"), "apache-2.0")
+      .when(content.contains("Permission is hereby granted, free of charge"), "mit")
+      .when(content.contains("GNU General Public License"), "gpl")
+      .when(content.contains("Redistribution and use in source and binary forms"), "bsd")
+      .otherwise("unknown")
+  }
+
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct word n-grams appear in ANY benchmark document (the standard
     * train/test-overlap check an LLM data pipeline runs before training —
