@@ -277,6 +277,23 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     hits.toDouble / top1.size should be >= 0.5
   }
 
+  test("license heuristic: SPDX tag wins, then phrase precedence, else unknown") {
+    val cases = Seq(
+      ("// SPDX-License-Identifier: MIT\nGNU General Public License text", "mit"),
+      ("/* SPDX-License-Identifier: GPL-3.0+ */", "gpl-3.0+"),
+      ("Licensed under the Apache License, Version 2.0 (the \"License\")", "apache-2.0"),
+      ("Permission is hereby granted, free of charge, to any person", "mit"),
+      ("under the terms of the GNU General Public License as published", "gpl"),
+      ("Redistribution and use in source and binary forms, with or without", "bsd"),
+      // apache phrase beats later phrases when both appear
+      ("Apache License, Version 2.0 ... GNU General Public License", "apache-2.0"),
+      ("def foo(): Int = 1", "unknown"))
+    val got = cases.map(_._1).toDF("content")
+      .select(TextAnalysis.licenseHeuristic(col("content")).as("l"))
+      .collect().map(_.getString(0))
+    got.toSeq shouldBe cases.map(_._2)
+  }
+
   test("token counting and fingerprint invariants") {
     val df = Seq((1L, "Hello  world foo"), (2L, "hello world foo"), (3L, ""))
       .toDF("doc_id", "text")
