@@ -65,10 +65,11 @@ object Bench {
         })
       }
       // propagate worker failures and refuse truncated legs: a silently
-      // dead worker or a timed-out pool would emit a bogus ceiling into
-      // the committed bench artifact
-      futures.foreach(_.get(600, TimeUnit.SECONDS))
-      pool.shutdown()
+      // dead worker or a timed-out pool would emit a bogus ceiling into the
+      // committed bench artifact. shutdownNow in finally so a propagated
+      // failure cannot leak the non-daemon pool and hang the JVM.
+      try futures.foreach(_.get(600, TimeUnit.SECONDS))
+      finally pool.shutdownNow()
       require(pool.awaitTermination(60, TimeUnit.SECONDS), "ceiling pool did not terminate")
       rows.length.toLong * reps / ((System.nanoTime() - t0) / 1e9)
     }

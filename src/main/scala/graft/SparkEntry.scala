@@ -1099,7 +1099,8 @@ object SparkEntry {
          SELECT
            round(sum_qty / row_count, 6) AS per_row,
            round(sqrt(abs(avg_qty - 30)) + power(greatest(avg_qty, 20), 2), 6) AS score,
-           (CASE WHEN avg_qty > 100 THEN 1 WHEN avg_qty > 10 THEN 0.5 ELSE 0 END) AS gated,
+           CAST(CASE WHEN avg_qty > 100 THEN 1 WHEN avg_qty > 10 THEN 0.5 ELSE 0 END
+                AS DOUBLE) AS gated,
            row_count > 100 AS ck_rows_gt,
            avg_qty < 10 AS ck_avg_lt,
            abs(avg_qty - sum_qty / row_count) / (sum_qty / row_count) < 0.001

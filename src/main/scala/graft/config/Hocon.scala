@@ -40,10 +40,15 @@ object Hocon {
 
   private val F = JsonNodeFactory.instance
 
-  /** Sentinel shielding literal `${` inside QUOTED strings from the
-    * substitution pass (HOCON: quoted `${...}` is plain text). U+0001 does
-    * not occur in real configs. */
-  private val LiteralSub = "\u0001{"
+  /** Sentinel shielding literal `$` characters from the substitution pass:
+    * every `$` in QUOTED text (HOCON: quoted `${...}` is plain text) and in
+    * SPLICED substitution values becomes `$` + U+0001, so an active `${`
+    * can never be synthesized — not inside one quoted segment, not across
+    * concatenated segment boundaries (`"$" "{x}"`), and not by re-scanning
+    * a substituted value on a later resolution pass (typesafe-config never
+    * re-substitutes either). Restored to plain `$` after resolution.
+    * U+0001 does not occur in real configs. */
+  private val Shield = "$\u0001"
 
   def parse(text: String): ObjectNode = {
     val p = new Parser(text)
@@ -143,7 +148,7 @@ object Hocon {
       if (peek == '"') {
         // quoted keys are a single path element (dots are literal; undo the
         // quoted-string substitution shield — keys never substitute)
-        List(parseQuoted().replace(LiteralSub, "${"))
+        List(parseQuoted().replace(Shield, "$"))
       } else {
         val start = i
         while (!eof && !" \t\r\n:={},[]#".contains(s.charAt(i)) &&
@@ -165,7 +170,7 @@ object Hocon {
       case '{' => parseObject()
       case '[' => parseArray()
       case _ =>
-        var segments = List.empty[(Boolean, JsonNode)] // (wasQuoted, node)
+        var segments = List.empty[JsonNode]
         var go = true
         while (go) {
           skipInlineNoComment() // spaces between segments are significant-ish; HOCON trims
@@ -174,18 +179,18 @@ object Hocon {
             case '"' =>
               val text =
                 if (s.startsWith("\"\"\"", i)) parseTripleQuoted() else parseQuoted()
-              segments ::= (true, new com.fasterxml.jackson.databind.node.TextNode(text))
+              segments ::= new com.fasterxml.jackson.databind.node.TextNode(text)
             case '\n' | ',' | ']' | '}' | '#' => go = false
             case '/' if i + 1 < s.length && s.charAt(i + 1) == '/' => go = false
-            case _ => segments ::= (false, parseUnquoted())
+            case _ => segments ::= parseUnquoted()
           }
         }
         segments.reverse match {
           case Nil => fail("empty value")
-          case (_, single) :: Nil => single
+          case single :: Nil => single
           case many =>
             new com.fasterxml.jackson.databind.node.TextNode(
-              many.map(_._2.asText).mkString)
+              many.map(_.asText).mkString)
         }
     }
 
@@ -236,10 +241,7 @@ object Hocon {
       }
       if (eof) fail("unterminated string")
       i += 1 // closing quote
-      // `${` inside QUOTED strings is literal text per the HOCON spec
-      // (substitutions only exist in unquoted context): shield it with a
-      // sentinel so the resolution pass skips it, restored afterwards
-      b.result().replace("${", LiteralSub)
+      b.result().replace("$", Shield)
     }
 
     private def parseTripleQuoted(): String = {
@@ -248,7 +250,7 @@ object Hocon {
       if (end < 0) fail("unterminated triple-quoted string")
       val out = s.substring(i, end)
       i = end + 3
-      out.replace("${", LiteralSub)
+      out.replace("$", Shield)
     }
 
     /** Unquoted value: runs to newline/','/']'/'}'/comment. Substitution
@@ -416,7 +418,12 @@ object Hocon {
             case Some(t) if t.isTextual && SubRe.findFirstIn(t.asText).isDefined =>
               ready = false; java.util.regex.Matcher.quoteReplacement(m.matched)
             case Some(t) if t.isValueNode =>
-              java.util.regex.Matcher.quoteReplacement(t.asText)
+              // shield `$` in the spliced value: substituted text is never
+              // re-scanned for substitutions (typesafe-config semantics).
+              // Unshield first — a value of quoted origin is already
+              // shielded, and double-shielding would survive the restore.
+              java.util.regex.Matcher.quoteReplacement(
+                t.asText.replace(Shield, "$").replace("$", Shield))
             case Some(_) => ready = false; java.util.regex.Matcher.quoteReplacement(m.matched)
             case None if m.group(1) == "?" => ""
             case None => ready = false; java.util.regex.Matcher.quoteReplacement(m.matched)
@@ -437,17 +444,17 @@ object Hocon {
         while (it.hasNext) b += it.next(); b.result()
       }
       for (k <- keys) o.get(k) match {
-        case t if t.isTextual && t.asText.contains(LiteralSub) =>
+        case t if t.isTextual && t.asText.contains(Shield) =>
           o.set[JsonNode](k, new com.fasterxml.jackson.databind.node.TextNode(
-            t.asText.replace(LiteralSub, "${")))
+            t.asText.replace(Shield, "$")))
         case child => restoreLiterals(child)
       }
     case a: ArrayNode =>
       (0 until a.size()).foreach { idx =>
         a.get(idx) match {
-          case t if t.isTextual && t.asText.contains(LiteralSub) =>
+          case t if t.isTextual && t.asText.contains(Shield) =>
             a.set(idx, new com.fasterxml.jackson.databind.node.TextNode(
-              t.asText.replace(LiteralSub, "${")))
+              t.asText.replace(Shield, "$")))
           case child => restoreLiterals(child)
         }
       }

@@ -26,10 +26,15 @@ object Fixtures {
     * because the driver's DuckDB process embeds it in oracle SQL and runs
     * with its own cwd. Round 3 hardcoded /root/repo, silently breaking any
     * other checkout location (ADVICE r3). */
-  val dir: String = new java.io.File(
-    sys.env.get("GRAFT_FIXTURE_DIR")
+  val dir: String = {
+    val raw = sys.env.get("GRAFT_FIXTURE_DIR")
       .orElse(sys.props.get("graft.fixture.dir"))
-      .getOrElse("target/fixtures")).getAbsolutePath
+      .getOrElse("target/fixtures")
+    // URI-style values (file:/, hdfs://, s3a://) pass through verbatim —
+    // File(...).getAbsolutePath would mangle them into <cwd>/file:/...;
+    // plain relative paths absolutize so Spark and DuckDB agree on cwd
+    if (raw.contains(":/")) raw else new java.io.File(raw).getAbsolutePath
+  }
 
   val verdictsPath = s"$dir/expected_verdicts"
   val verdictsDedupPath = s"$dir/expected_verdicts_dedup"

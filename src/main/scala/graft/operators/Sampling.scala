@@ -78,9 +78,16 @@ object Sampling {
     // keys, …): routing hashes it, sorting orders it natively — a silent
     // cast("long") would null out string ids, funnel every row into one
     // partition, and return unjoinable output (review r4)
+    // null/uncastable token counts become 0 (packed harmlessly, the doc
+    // stays in the output) — Row.getInt on a null would NPE the task.
+    // Routing hashes the raw id: repartition's own HashPartitioning is
+    // already deterministic for a FIXED numPartitions at any cluster size;
+    // pre-bucketing with pmod(xxhash64) and re-hashing the P bucket values
+    // through murmur3 would collide and leave ~1/e of partitions empty.
     val routed = df
-      .select(col(idCol).as("id"), col(tokensCol).cast("int").as("tokens"))
-      .repartition(numPartitions, pmod(xxhash64(col("id")), lit(numPartitions.toLong)))
+      .select(col(idCol).as("id"),
+        coalesce(col(tokensCol).cast("int"), lit(0)).as("tokens"))
+      .repartition(numPartitions, col("id"))
       .sortWithinPartitions(col("tokens").desc, col("id"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(idCol,

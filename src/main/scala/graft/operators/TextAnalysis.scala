@@ -96,19 +96,23 @@ object TextAnalysis {
       .select(explode(shingle_hashes(col(benchTextCol), n)).as("h")).distinct()
       .withColumn("__hit", lit(1))
     // ONE shingling pass and one aggregate: the broadcast LEFT join marks
-    // hits in place, and count(__hit) / count(*) give contaminated/total in
+    // hits in place, and count(__hit) / count(h) give contaminated/total in
     // the same groupBy — a second shingle_hashes leg (for per-doc totals)
     // and a second per-id join would double the dominant cost at corpus
-    // scale. Every doc yields >= 1 shingle, so no document is lost.
+    // scale. explode_OUTER keeps a (h = null) row for null-text docs, so
+    // every corpus document stays present in the output (with zero totals
+    // and null contamination) instead of silently vanishing; count(h)
+    // excludes that null row from the totals.
     corpus.select(col(idCol).as("id"),
-        explode(shingle_hashes(col(textCol), n)).as("h"))
+        explode_outer(shingle_hashes(col(textCol), n)).as("h"))
       .join(benchGrams, Seq("h"), "left")
       .groupBy(col("id"))
       .agg(count(col("__hit")).as("contaminated_ngrams"),
-        count(lit(1)).as("total_ngrams"))
+        count(col("h")).as("total_ngrams"))
       .select(col("id"), col("contaminated_ngrams"), col("total_ngrams"),
-        round(col("contaminated_ngrams").cast("double") /
-          col("total_ngrams").cast("double"), 6).as("contamination"))
+        when(col("total_ngrams") > 0,
+          round(col("contaminated_ngrams").cast("double") /
+            col("total_ngrams").cast("double"), 6)).as("contamination"))
   }
 
   /** N-gram-heuristic language id for natural-language text: per-language

@@ -157,6 +157,17 @@ class JobConfigSpec extends AnyFunSuite with Matchers {
     graft.config.Hocon.parse("big = 99999999999999999999999\n")
       .at("/big").asDouble shouldBe 1e23 +- 1e9
 
+    // an active substitution can NEVER be synthesized from quoted pieces —
+    // neither across concatenated segment boundaries nor by re-scanning a
+    // spliced value (typesafe-config semantics)
+    val synth = graft.config.Hocon.parse(
+      "x = 1\n" +
+      "a = \"$\" \"{x}\"\n" +          // quoted "$" ++ quoted "{x}"
+      "pre = \"$\"\n" +
+      "b = ${pre}\"{x}\"\n")           // spliced "$" ++ quoted "{x}"
+    synth.at("/a").asText shouldBe "${x}"
+    synth.at("/b").asText shouldBe "${x}"
+
     // fail-fast on the documented non-features / real errors
     an[IllegalArgumentException] should be thrownBy
       graft.config.Hocon.parse("x = ${nowhere}\n")

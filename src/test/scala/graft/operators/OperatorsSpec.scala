@@ -277,6 +277,20 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     hits.toDouble / top1.size should be >= 0.5
   }
 
+  test("contamination keeps every corpus doc, incl. null text (zero totals)") {
+    val corpus = Seq((1L, Some("a b c d e f g")), (2L, None),
+      (3L, Some("z y x w v u t"))).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("a b c d e f g")).toDF("text")
+    val out = TextAnalysis.contamination(corpus, "doc_id", "text", bench, "text", n = 5)
+      .orderBy("id").collect()
+    out.map(_.getLong(0)) shouldBe Array(1L, 2L, 3L)
+    out(0).getLong(1) shouldBe 3L // all 3 of doc 1's 5-grams are benchmark grams
+    out(0).getDouble(3) shouldBe 1.0
+    out(1).getLong(2) shouldBe 0L // null text: present, zero totals
+    out(1).isNullAt(3) shouldBe true
+    out(2).getLong(1) shouldBe 0L
+  }
+
   test("license heuristic: SPDX tag wins, then phrase precedence, else unknown") {
     val cases = Seq(
       ("// SPDX-License-Identifier: MIT\nGNU General Public License text", "mit"),
