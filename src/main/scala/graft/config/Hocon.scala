@@ -315,6 +315,15 @@ object Hocon {
     case Nil => throw new IllegalArgumentException("empty key path")
   }
 
+  /** Deep-merge `from` over `into` (later wins for scalars/arrays, objects
+    * recurse) — the same rule duplicate keys follow within one document,
+    * exposed for multi-file config merging (the reference's
+    * buildBatchJob(jobConfigPaths) HOCON-merge step). */
+  def merge(into: ObjectNode, from: ObjectNode): ObjectNode = {
+    deepMerge(into, from)
+    into
+  }
+
   private def deepMerge(into: ObjectNode, from: ObjectNode): Unit = {
     val fields = from.properties().iterator()
     while (fields.hasNext) {

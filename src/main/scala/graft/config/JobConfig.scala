@@ -302,4 +302,24 @@ object JobConfig {
       else parse(text)
     build(spark, conf)
   }
+
+  /** Multi-file entry, reference parity with `buildBatchJob(jobConfigPaths)`
+    * (DQContext.scala:594-596): every file parses to a tree (HOCON or JSON
+    * by extension) and the trees deep-merge IN ORDER — later files override
+    * scalars/arrays, objects merge recursively — before one validate+build.
+    * The idiom: a shared base config plus a small per-job override file. */
+  def fromFiles(spark: SparkSession, paths: Seq[String]): DqBatchJob = {
+    require(paths.nonEmpty, "at least one config path is required")
+    val trees = paths.map { path =>
+      val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      if (path.endsWith(".conf") || path.endsWith(".hocon")) Hocon.parse(text)
+      else mapper.readTree(text) match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+        case other => throw new IllegalArgumentException(
+          s"config root must be an object, got ${other.getNodeType} in $path")
+      }
+    }
+    val merged = trees.reduce(Hocon.merge)
+    build(spark, parseTree(merged))
+  }
 }

@@ -112,6 +112,27 @@ class JobConfigSpec extends AnyFunSuite with Matchers {
     result.metrics.find(_.metricId == "rows").get.value shouldBe 6000.0
   }
 
+  test("multi-file config merge: base .conf + override file, later wins") {
+    // the reference's buildBatchJob(jobConfigPaths) idiom: a shared base
+    // config plus a small per-job override
+    val base = java.nio.file.Files.createTempFile("graft-base", ".conf")
+    java.nio.file.Files.writeString(base, goodHocon)
+    val over = java.nio.file.Files.createTempFile("graft-override", ".conf")
+    java.nio.file.Files.writeString(over,
+      "jobId = overridden_job\nerrorDumpSize = 7\n")
+    val result = JobConfig.fromFiles(spark, Seq(base.toString, over.toString))
+      .run(java.time.Instant.parse("2026-08-01T00:00:00Z"))
+    result.passed shouldBe true
+    result.metrics.find(_.metricId == "rows").get.value shouldBe 6000.0
+    // the override file replaced exactly the keys it named
+    val merged = graft.config.Hocon.merge(
+      graft.config.Hocon.parse(goodHocon),
+      graft.config.Hocon.parse("jobId = overridden_job\nerrorDumpSize = 7\n"))
+    merged.at("/jobId").asText shouldBe "overridden_job"
+    merged.at("/errorDumpSize").asInt shouldBe 7
+    merged.at("/tolerance").asText shouldBe "critical" // untouched keys survive
+  }
+
   test("HOCON subset semantics: dotted keys, object merge, substitutions, multiline") {
     val n = graft.config.Hocon.parse(
       "a.b.c = 1\n" +
