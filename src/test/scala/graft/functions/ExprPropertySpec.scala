@@ -41,6 +41,31 @@ class ExprPropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("scrub is idempotent: scrub(scrub(x)) == scrub(x) on adversarial PII text") {
+    // a re-run pipeline (resume, replay) must not change already-scrubbed
+    // bytes: placeholders must never re-match, and replacements must not
+    // create NEW matches in surrounding text (boundary effects)
+    val frag = Gen.oneOf(
+      Gen.const("user.name+x@corp.example.com"),
+      Gen.const("AKIA" + "B" * 16),
+      Gen.const("AKIAAKIA" + "C" * 16), // overlapping keys
+      Gen.const("eyJabc123._-xx.eyJdef456gh.sig_abc9"),
+      Gen.const("0123456789abcdef0123456789abcdef"),
+      Gen.const("z" + "0123456789abcdef" * 2), // hex run w/o leading boundary
+      Gen.const("a@b.cc" + "0123456789abcdef" * 2), // email eats into hex
+      Gen.const("<EMAIL>"), Gen.const("<HEX_SECRET>"), // placeholders in input
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(" ", ".", "@", "-", "_", "\n").map(_.toString))
+    val strGen = Gen.listOf(frag).map(_.mkString)
+    val cases = sampled(Gen.listOfN(300, strGen))
+    cases.foreach { s =>
+      val once = graft.pipeline.Scrub.scrubString(s)
+      withClue(s"'${s.take(100)}'") {
+        graft.pipeline.Scrub.scrubString(once) shouldBe once
+      }
+    }
+  }
+
   test("sim_hash64 equals the straight-line oracle on random unicode-ish text") {
     // mixed alphabet incl. multi-byte chars and runs of spaces — the
     // expression tokenizes UTF-8 BYTES, the oracle splits UTF-16 strings;
