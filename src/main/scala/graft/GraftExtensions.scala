@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("doc_stats"),
       info("doc_stats", "_FUNC_(text) - all document quality features in one pass"),
       (es: Seq[Expression]) => DocStatsExpr(es.head)))
+    ext.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "_FUNC_(text) - Gopher repetition signals (n_tokens, top_word_share, dup_3gram_frac)"),
+      (es: Seq[Expression]) => RepetitionStatsExpr(es.head)))
     ext.injectFunction((FunctionIdentifier("score_doc"),
       info("score_doc", "_FUNC_(text) - langid + KN perplexity"),
       (es: Seq[Expression]) => ScoreDoc(es.head)))

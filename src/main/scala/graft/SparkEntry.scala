@@ -431,6 +431,22 @@ object SparkEntry {
         dims = 64, tau = 0.5).orderBy(col("a"), col("b"))
     }),
 
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup in a DETERMINISTIC-centroid regime the oracle can replay:
+      // centroids = the embeddings of vec_id 0..7 (any fixed centroid set
+      // exercises the same assign/candidate/verify plan as the k-means
+      // production path, which trainCentroids + a recall spec cover)
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Similarity.semanticDedup(emb, "vec_id", "embedding", tau = 0.35,
+          trainedCentroids = Some(cents))
+        .select(col("id").as("vec_id"), col("cluster"), col("n_dups"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_ann_topk" -> ((s, dir) => {
       import graft.operators.Similarity
       val emb = t(s, dir, "embeddings")
@@ -463,6 +479,102 @@ object SparkEntry {
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_hash_split" -> ((s, dir) => {
+      // self-validating (the sketch-query pattern): membership is a pure
+      // function of doc_id (xxhash64 — not reproducible in ANSI SQL), so
+      // the oracle pins the EXACT doc count and constant-true invariants;
+      // the 5-sigma binomial bound makes the fraction checks scale-honest
+      // at any SF. Partition-invariance + growth-stability are spec-pinned
+      // (OperatorsSpec "hash split/sample").
+      import graft.operators.Sampling
+      val split = Sampling.hashSplit(t(s, dir, "documents"), "doc_id", 0.8, 0.1)
+      val agg = split.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("tr"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("va"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("te"))
+      agg.select(
+        col("n").as("n_docs"),
+        (col("tr") + col("va") + col("te") === col("n")).as("partition_ok"),
+        (abs(col("tr") / col("n") - 0.8) <= lit(5.0) * sqrt(lit(0.8 * 0.2) / col("n")))
+          .as("train_frac_ok"),
+        (abs(col("va") / col("n") - 0.1) <= lit(5.0) * sqrt(lit(0.1 * 0.9) / col("n")))
+          .as("val_frac_ok"),
+        (abs(col("te") / col("n") - 0.1) <= lit(5.0) * sqrt(lit(0.1 * 0.9) / col("n")))
+          .as("test_frac_ok"))
+    }),
+
+    "q_pack_sequences" -> ((s, dir) => {
+      // self-validating: bin ids depend on partition-local sequence (not
+      // ANSI-reproducible), so the oracle pins the exact doc/oversized
+      // counts (token counts ARE DuckDB-computable) plus the packing
+      // invariants: every doc exactly once, multi-doc bins never exceed
+      // the budget, over-budget bins are exactly the oversized singletons.
+      import graft.operators.{Sampling, TextAnalysis}
+      val budget = 256
+      val withTokens = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("tokens"))
+      val packed = Sampling.packSequences(withTokens, "doc_id", "tokens",
+        budget, numPartitions = 8)
+      val bins = packed.groupBy(col("bin_id")).agg(
+        sum(col("tokens")).as("bin_tokens"), count(lit(1)).as("bin_docs"))
+      val binAgg = bins.agg(
+        max(when(col("bin_docs") > 1, col("bin_tokens")).otherwise(0L)).as("max_multi"),
+        sum(when(col("bin_tokens") > budget, 1L).otherwise(0L)).as("n_over_bins"),
+        sum(when(col("bin_tokens") > budget && col("bin_docs") > 1, 1L).otherwise(0L))
+          .as("n_over_multi"),
+        count(lit(1)).as("n_bins"),
+        sum(col("bin_tokens")).as("tot"))
+      val docAgg = packed.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_distinct"),
+        sum(when(col("tokens") >= budget, 1L).otherwise(0L)).as("n_oversized"))
+      docAgg.crossJoin(binAgg).select(
+        col("n_docs"),
+        col("n_oversized"),
+        (col("n_distinct") === col("n_docs")).as("each_doc_once"),
+        (col("max_multi") <= budget).as("multi_bins_within_budget"),
+        (col("n_over_multi") === 0).as("over_bins_are_singletons"),
+        // FFD with a 64-bin shelf fills bins far better than half; a lower
+        // fill means the packer regressed to one-doc-per-bin
+        (col("tot") >= (col("n_bins") - col("n_over_bins") - lit(8)) * lit(budget / 2))
+          .as("fill_ok"))
+    }),
+
+    "q_mixture" -> ((s, dir) => {
+      // data-mixing weights toward a target language distribution — one
+      // groupBy (|groups| rows) + a broadcast 1-row total; FULL DuckDB oracle
+      import graft.operators.Sampling
+      Sampling.mixtureWeights(t(s, dir, "documents"), "lang", mixtureTargets)
+        .select(col("group").as("lang"), col("n"), col("actual_share"),
+          col("target_share"), col("weight"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_topk_per_group" -> ((s, dir) => {
+      // quality-stratified curation: best 10 files per language by quality
+      // score, ranked with the bounded-heap TopKPairs aggregate (k rows per
+      // group-partition cross the shuffle; a window rank would sort and
+      // shuffle the whole corpus)
+      import graft.operators.{Sampling, TextAnalysis}
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      Sampling.topKPerGroup(scored, "lang", "doc_id", "score", k = 10)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    "q_repetition" -> ((s, dir) => {
+      // Gopher repetition signals: one compiled per-row pass, map-only —
+      // the explode+groupBy(doc, gram) alternative shuffles every token
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.repetitionStats(coalesce(col("text"), lit(""))).as("r"))
+        .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+          round(col("r.top_word_share"), 6).as("top_word_share"),
+          round(col("r.dup_3gram_frac"), 6).as("dup_3gram_frac"))
         .orderBy(col("doc_id"))
     }),
 
@@ -769,6 +881,22 @@ object SparkEntry {
                 string_split(text, ' ')[i+2])) AS s
          FROM documents)"""
 
+  /** Target language mixture for `q_mixture` — the oracle's VALUES list is
+    * GENERATED from this same map (no hand-synced copy to drift). */
+  private val mixtureTargets: Map[String, Double] =
+    Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
+  /** DuckDB expression for `TextAnalysis.qualityScore` over a `text` column
+    * — shared by `q_quality_score` and `q_topk_per_group` so the score the
+    * ranking oracle re-derives can never drift from the scoring oracle. */
+  private val qualityScoreSql =
+    """round((least(length(text) / 200.0, 1.0)
+        + greatest(1.0 - round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}]', '', 'g')))
+              / CAST(length(text) AS DOUBLE), 6) * 5.0, 0.0)
+        + least(round(len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on'], lower(t))))
+              / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) * 5.0, 1.0)) / 3.0, 6)"""
+
   private val jaccardPairsSql =
     s"""$shingleCte
        SELECT a.doc_id AS a, b.doc_id AS b,
@@ -895,6 +1023,31 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5
          ORDER BY a, b""",
+    "q_semantic_dedup" ->
+      """WITH cents AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT e.vec_id, e.embedding, c.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) AS s
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (
+           SELECT vec_id, embedding, CAST(cid AS INT) AS cluster FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM scored) WHERE rn = 1),
+         dups AS (
+           SELECT a.vec_id, count(*) AS n_dups
+           FROM assign a JOIN assign b
+             ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+             AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) >= 0.35
+           GROUP BY a.vec_id)
+         SELECT a.vec_id, a.cluster,
+           coalesce(d.n_dups, 0) AS n_dups,
+           coalesce(d.n_dups, 0) = 0 AS keep
+         FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
+         ORDER BY a.vec_id""",
     "q_ann_ivf_topk" -> annTopkSql,
     "q_ann_topk" -> annTopkSql,
     "q_token_count" ->
@@ -904,8 +1057,63 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text,
              '[A-Za-z]{1,8}|[0-9]{1,4}|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
          FROM documents ORDER BY doc_id""",
+    // self-validating sampling/packing: hash membership and bin ids are not
+    // ANSI-reproducible, so DuckDB pins the exact counts it CAN compute
+    // independently plus constant-true invariants (the sketch-query pattern)
+    "q_hash_split" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS partition_ok,
+           true AS train_frac_ok, true AS val_frac_ok, true AS test_frac_ok
+         FROM documents""",
+    "q_pack_sequences" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN tc >= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
+           true AS each_doc_once, true AS multi_bins_within_budget,
+           true AS over_bins_are_singletons, true AS fill_ok
+         FROM (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+               FROM documents)""",
+    "q_mixture" -> {
+      val values = mixtureTargets.toSeq.sortBy(_._1)
+        .map { case (g, t) => s"('$g', CAST($t AS DOUBLE))" }.mkString(", ")
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                     FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+         t(lang, tshare) AS (VALUES $values)
+         SELECT c.lang, c.n,
+           round(c.n / tot.tot, 6) AS actual_share,
+           coalesce(t.tshare, 0.0) AS target_share,
+           round(coalesce(t.tshare, 0.0) * tot.tot / c.n, 6) AS weight
+         FROM c CROSS JOIN tot LEFT JOIN t USING (lang) ORDER BY c.lang"""
+    },
+    "q_topk_per_group" ->
+      s"""WITH q AS (SELECT doc_id, lang, $qualityScoreSql AS score FROM documents),
+         r AS (SELECT lang, doc_id, score,
+                 row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rk
+               FROM q WHERE score IS NOT NULL)
+         SELECT lang, doc_id, CAST(rk AS INT) AS rank, score FROM r WHERE rk <= 10
+         ORDER BY lang, rank""",
+    "q_repetition" ->
+      """WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                 FROM base WHERE length(trim(text)) > 0),
+         flat AS (SELECT doc_id, unnest(w) AS word FROM tok),
+         wf AS (SELECT doc_id, word, count(*) AS c FROM flat GROUP BY 1, 2),
+         tops AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_tokens,
+                    round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_word_share
+                  FROM wf GROUP BY 1),
+         g AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+               FROM tok WHERE len(w) >= 3),
+         dup AS (SELECT doc_id,
+                   round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                     AS dup_3gram_frac
+                 FROM g)
+         SELECT b.doc_id, coalesce(t.n_tokens, 0) AS n_tokens,
+           t.top_word_share, d.dup_3gram_frac
+         FROM base b LEFT JOIN tops t USING (doc_id) LEFT JOIN dup d USING (doc_id)
+         ORDER BY b.doc_id""",
     "q_quality_score" ->
-      """SELECT doc_id,
+      raw"""SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
            round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}]', '', 'g')))
@@ -915,12 +1123,7 @@ object SparkEntry {
                  / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS stopword_ratio,
            round((length(trim(text)) - (len(string_split_regex(trim(text), '\s+')) - 1))
                  / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS mean_word_len,
-           round((least(length(text) / 200.0, 1.0)
-                  + greatest(1.0 - round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}]', '', 'g')))
-                        / CAST(length(text) AS DOUBLE), 6) * 5.0, 0.0)
-                  + least(round(len(list_filter(string_split_regex(trim(text), '\s+'),
-                        t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on'], lower(t))))
-                        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) * 5.0, 1.0)) / 3.0, 6) AS quality
+           $qualityScoreSql AS quality
          FROM documents ORDER BY doc_id""",
     "q_decontaminate" ->
       """WITH sh AS (

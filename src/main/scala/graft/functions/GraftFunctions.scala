@@ -31,6 +31,8 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("doc_stats",
       es => DocStatsExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("repetition_stats",
+      es => RepetitionStatsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("score_doc",
       es => ScoreDoc(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",

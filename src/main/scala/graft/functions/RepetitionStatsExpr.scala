@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst scalar expression: Gopher-style repetition signals (Rae et al.
+  * 2021, arXiv:2112.11446 §A1.1, public) in one per-row pass — the
+  * text-quality rules that catch boilerplate/generated pages which slip past
+  * line-level heuristics because their repetition unit is a token n-gram,
+  * not a whole line (cf. [[DocStatsExpr]]'s dup_line_share).
+  *
+  * Returns struct<n_tokens:int, top_word_share:double,
+  * dup_3gram_frac:double>:
+  *  - n_tokens: whitespace-run tokenization, empties dropped;
+  *  - top_word_share: occurrences of the single most frequent token / all
+  *    tokens (ties don't matter — the share of every co-maximal token is
+  *    equal); null when the document has no tokens;
+  *  - dup_3gram_frac: 1 - distinct/total over consecutive token 3-grams —
+  *    the fraction of 3-gram OCCURRENCES that are repeats; null when the
+  *    document has fewer than 3 tokens.
+  *
+  * Scale shape: a per-row pure function — map-only, no shuffle, fused into
+  * the scan like every quality signal here; the compositional
+  * explode + groupBy(doc, gram) form shuffles |corpus tokens| rows to
+  * compute a per-row value (the exact pathology the round-3 SimHash fix
+  * removed).
+  */
+case class RepetitionStatsExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = RepetitionStatsExpr.schema
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
+  // the Java-regex \s class — the SAME whitespace definition as
+  // TextAnalysis.tokenCount's split("\\s+") and the DuckDB oracle's
+  // string_split_regex '\s+' (Character.isWhitespace is broader: it also
+  // matches U+2028 etc. and would drift from both)
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    // single scan tokenization on whitespace runs
+    val tokens = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) tokens += text.substring(start, i)
+    }
+    val n = tokens.length
+    val topShare: Any =
+      if (n == 0) null
+      else {
+        val freq = new java.util.HashMap[String, Int](n * 2)
+        var j = 0
+        var max = 0
+        while (j < n) {
+          val c = freq.merge(tokens(j), 1, (a, b) => a + b)
+          if (c > max) max = c
+          j += 1
+        }
+        max.toDouble / n
+      }
+    val dupFrac: Any =
+      if (n < 3) null
+      else {
+        val total = n - 2
+        // exact distinct via the space-joined string (a space cannot
+        // occur inside a token); a hash-only set would undercount on collisions and drift
+        // from the oracle's exact DISTINCT
+        val seen = new java.util.HashSet[String](total * 2)
+        var j = 0
+        while (j < total) {
+          seen.add(tokens(j) + " " + tokens(j + 1) + " " + tokens(j + 2))
+          j += 1
+        }
+        1.0 - seen.size.toDouble / total
+      }
+    InternalRow(n, topShare, dupFrac)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("top_word_share", DoubleType, nullable = true),
+    StructField("dup_3gram_frac", DoubleType, nullable = true)))
+
+  def apply(c: Column): Column =
+    Bridge.column(RepetitionStatsExpr(Bridge.expression(c)))
+}

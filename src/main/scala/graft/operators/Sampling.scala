@@ -124,4 +124,63 @@ object Sampling {
     }
     spark.createDataFrame(packedRdd, outSchema)
   }
+
+  /** Per-group mixture weights toward a target distribution — the
+    * data-mixing primitive (cf. DoReMi, arXiv:2305.10429, public): for each
+    * group (language, source, domain), weight = target_share / actual_share,
+    * the resampling factor that moves the corpus to the target mixture
+    * (weight < 1 → downsample via [[mixtureSample]]; > 1 → upsample/repeat).
+    * Groups absent from `targets` get target_share 0 (dropped by sampling).
+    *
+    * Scale shape: one groupBy on the group key (output = |groups| rows, tiny
+    * by construction), one 1-row total broadcast back — no second scan of
+    * the corpus and nothing driver-side. Returns
+    * (group, n, actual_share, target_share, weight), shares/weight rounded
+    * to 1e-6. */
+  def mixtureWeights(df: DataFrame, groupCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.values.forall(t => t >= 0 && t <= 1),
+      "target shares must be in [0,1]")
+    val counts = df.groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("tot"))
+    val target = coalesce(
+      element_at(typedlit(targets), col("group")), lit(0.0))
+    counts.crossJoin(broadcast(total))
+      .select(col("group"), col("n"),
+        round(col("n") / col("tot"), 6).as("actual_share"),
+        target.as("target_share"),
+        round(target * col("tot") / col("n"), 6).as("weight"))
+  }
+
+  /** Deterministic per-group downsampling at the given per-group rates —
+    * [[hashSample]] with a rate per group: keep a row iff its id-hash
+    * bucket clears the group's threshold. Map-only (a filter over one
+    * scan; the rate table rides inside the expression), reproducible and
+    * growth-stable like every hash-keyed decision here. Groups absent from
+    * `rates` are dropped; rates clamp to [0,1]. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      rates: Map[String, Double], salt: Long = 0L): DataFrame = {
+    val thresholds: Map[String, Long] =
+      rates.map { case (g, r) => g -> math.round(math.max(0.0, math.min(1.0, r)) * Buckets) }
+    df.filter(bucket(col(idCol), salt) <
+      coalesce(element_at(typedlit(thresholds), col(groupCol).cast("string")), lit(0L)))
+  }
+
+  /** Best-k-per-group selection (quality-stratified curation: "keep the k
+    * highest-scoring files per language/repo/source"): ranking via the
+    * bounded-heap [[graft.functions.TopKPairs]] aggregate — k rows per
+    * (group, partition) cross the shuffle, where the row_number()-window
+    * form sorts and shuffles EVERY row of the corpus. Deterministic:
+    * score desc, id asc on ties (identical to
+    * `row_number() OVER (PARTITION BY group ORDER BY score DESC, id)`).
+    * Null scores are excluded (a window rank would place them last but
+    * still rank them). */
+  def topKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.api.top_k_pairs(col(scoreCol), col(idCol), k).as("tk"))
+      .select(col(groupCol), posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col(groupCol), col("e.id").as(idCol),
+        (col("r") + 1).cast("int").as("rank"), col("e.score").as(scoreCol))
 }

@@ -131,6 +131,69 @@ object Similarity {
         round(col("e.score"), 6).as("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public): cluster the embedding space with a coarse
+    * quantizer, compare cosine similarity only WITHIN each cluster, and
+    * drop every document that has a semantic duplicate (cosine >= tau)
+    * with a smaller id in its cluster — the deterministic "keep the
+    * lowest-id exemplar" variant of the paper's keep-one-per-group rule.
+    *
+    * Scale shape (10^12 files): centroid assignment is one compiled
+    * per-row argmax ([[graft.functions.CentroidArgMax]], map-only — the
+    * centroid table is driver-held and ships inside the expression, the
+    * broadcast-equivalent for a small dim table); candidate generation
+    * self-joins (cluster, id) pairs — ids only, vectors do NOT ride the
+    * candidate shuffle and are joined back per side exactly like
+    * [[cosineLshPairs]]; the within-cluster all-pairs cost O(Σ|cluster|²)
+    * is the algorithm's intrinsic cost, governed by `nClusters` — scale it
+    * with the corpus (the paper uses ~0.1% of n) so clusters stay bounded,
+    * and let AQE skew-split any hot cluster (the join key is the cluster
+    * id). Output is one verdict row per input document.
+    *
+    * Centroids: pass `trainedCentroids` (e.g. from [[trainCentroids]],
+    * trained once and memoized — same contract as [[ivfTopK]]); they are
+    * re-normalized here so assignment is argmax COSINE (first index wins
+    * ties) regardless of centroid scale.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nClusters: Int = 64, seed: Long = 13L,
+      trainSample: Int = 100000,
+      trainedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = trainedCentroids
+      .getOrElse(trainCentroids(df, idCol, vecCol, nClusters, seed, trainSample))
+    val unit: Seq[Seq[Double]] = cents.map { c =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      (if (norm > 0) c.map(_ / norm) else c).toSeq
+    }.toSeq
+    // consumed 3x (assignment + both verify legs) — released after the
+    // verdict frame is materialized
+    val n = normalized(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assign = n.withColumn("cluster",
+      graft.functions.VectorTextExprs.centroid_arg_max(col("nv"), unit))
+    val ids = assign.select(col("cluster"), col("id"))
+    // a dropped doc only looks DOWN (to smaller ids), so candidates are the
+    // strict upper triangle within each cluster
+    val cand = ids.join(ids.select(col("cluster"), col("id").as("b")), Seq("cluster"))
+      .filter(col("id") > col("b"))
+      .select(col("id"), col("b"))
+    val dups = cand
+      .join(n.select(col("id"), col("nv").as("va")), Seq("id"))
+      .join(n.select(col("id").as("b"), col("nv").as("vb")), Seq("b"))
+      .filter(dot(col("va"), col("vb")) >= tau)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dups"))
+    val out = assign.select(col("id"), col("cluster"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) === 0).as("keep"))
+      // eager: the verdict frame is (id, int, long, bool)-narrow; materialize
+      // it so the O(corpus x dims) normalized cache releases deterministically
+      .localCheckpoint()
+    n.unpersist(blocking = false)
+    out
+  }
+
   /** LSH-bucketed approximate near-neighbor pairs: `tables` independent
     * random-hyperplane signatures; candidates = bucket collisions (id pairs
     * only — vectors do NOT ride the candidate shuffle, they are joined back

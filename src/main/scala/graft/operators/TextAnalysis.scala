@@ -12,6 +12,12 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Gopher-style repetition signals in one compiled per-row pass —
+    * struct<n_tokens, top_word_share, dup_3gram_frac>
+    * (see [[graft.functions.RepetitionStatsExpr]]). */
+  def repetitionStats(text: Column): Column =
+    graft.functions.RepetitionStatsExpr(text)
+
   /** BPE-ish subword count: word-piece-style regex — words, numbers,
     * punctuation runs each count as tokens (a cheap deterministic proxy for
     * a real BPE vocab; the Spark plumbing is what matters at scale). */

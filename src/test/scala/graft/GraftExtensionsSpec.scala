@@ -42,9 +42,10 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       val regFns = reg.sessionState.functionRegistry.listFunction()
         .map(_.funcName).toSet
       val graftNames = Set("collect_list_limit", "top_n_sketch", "doc_stats",
-        "score_doc", "shingle_hashes", "sim_hash64", "dot_product",
-        "merge_list_limit", "top_k_pairs", "hyperplane_sigs", "min_hash_bands",
-        "normalize_vec", "sorted_intersect_count", "array_eq_count", "bmp_resize")
+        "repetition_stats", "score_doc", "shingle_hashes", "sim_hash64",
+        "dot_product", "merge_list_limit", "top_k_pairs", "hyperplane_sigs",
+        "min_hash_bands", "normalize_vec", "sorted_intersect_count",
+        "array_eq_count", "bmp_resize")
       (graftNames -- extFns) shouldBe empty
       (graftNames -- regFns) shouldBe empty
     } finally {

@@ -136,6 +136,32 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     tree should not include "Aggregate"
   }
 
+  test("repetition stats are map-only (no exchange, no aggregate)") {
+    // like simhash: a per-row pure function — the compositional
+    // explode+groupBy(doc, gram) alternative shuffles every corpus token
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (tree, _) = planText(docs.select(
+      graft.operators.TextAnalysis.repetitionStats(org.apache.spark.sql.functions
+        .coalesce(org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.lit(""))).as("r")))
+    tree should not include "Exchange"
+    tree should not include "Aggregate"
+  }
+
+  test("semantic dedup: centroid assignment is join-free, no cartesian in ANY job") {
+    // assignment must be a per-row compiled argmax (centroids ride inside
+    // the expression), and the within-cluster candidate join must stay a
+    // hash/merge join on the cluster key — never an all-pairs product
+    val plans = executedPlans {
+      SparkEntry.queries("q_semantic_dedup")(spark, sf).collect()
+    }
+    plans should not be empty
+    plans.foreach { p =>
+      p should not include "BroadcastNestedLoopJoin"
+      p should not include "CartesianProduct"
+    }
+  }
+
   test("q_dedup_minhash_lsh runs no cartesian/nested-loop join in ANY job") {
     val plans = executedPlans {
       SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf).collect()

@@ -277,6 +277,134 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     hits.toDouble / top1.size should be >= 0.5
   }
 
+  test("mixture weights: target/actual arithmetic, absent groups weight 0") {
+    val counts = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = counts.values.sum.toDouble
+    val targets = Map("en" -> 0.6, "de" -> 0.4) // other langs absent -> 0
+    val w = Sampling.mixtureWeights(docs, "lang", targets)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    w.keySet shouldBe counts.keySet
+    w.foreach { case (g, (n, actual, target, weight)) =>
+      n shouldBe counts(g)
+      actual shouldBe BigDecimal(n / tot).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+      target shouldBe targets.getOrElse(g, 0.0)
+      weight shouldBe BigDecimal(targets.getOrElse(g, 0.0) * tot / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    }
+  }
+
+  test("mixture sampling: per-group rates honored, deterministic, map-only") {
+    val rates = Map("en" -> 0.5, "de" -> 1.0) // es/fr/zh absent -> dropped
+    val s1 = Sampling.mixtureSample(docs, "lang", "doc_id", rates)
+    val kept = s1.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.keySet shouldBe Set("en", "de")
+    val nEn = docs.filter(col("lang") === "en").count()
+    kept("de") shouldBe docs.filter(col("lang") === "de").count() // rate 1.0
+    // 5-sigma binomial bound on the hash-sampled group
+    math.abs(kept("en").toDouble / nEn - 0.5) should be <=
+      5.0 * math.sqrt(0.25 / nEn)
+    // deterministic under repartitioning
+    val s2 = Sampling.mixtureSample(docs.repartition(13), "lang", "doc_id", rates)
+    s2.select(col("doc_id")).collect().map(_.getLong(0)).toSet shouldBe
+      s1.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // map-only: one filter over the scan, no exchange
+    s1.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
+  test("topKPerGroup equals window-rank reference; null scores excluded") {
+    val df = Seq(
+      ("g1", 1L, Some(0.9)), ("g1", 2L, Some(0.9)), ("g1", 3L, Some(0.5)),
+      ("g1", 4L, None), ("g2", 5L, Some(0.1)), ("g2", 6L, Some(0.8))
+    ).toDF("g", "id", "score")
+    val got = Sampling.topKPerGroup(df, "g", "id", "score", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // ties break by id asc (1 before 2); null (id 4) never ranks
+    got shouldBe Set(("g1", 1L, 1), ("g1", 2L, 2), ("g2", 6L, 1), ("g2", 5L, 2))
+    // corpus-scale cross-check vs the window form on real data
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(col("text")).as("score"))
+    val win = scored.filter(col("score").isNotNull)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= 7)
+      .select(col("lang"), col("doc_id"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    Sampling.topKPerGroup(scored, "lang", "doc_id", "score", 7)
+      .select(col("lang"), col("doc_id"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSet shouldBe win
+  }
+
+  test("repetition stats match hand-computed Gopher signals, incl. edge cases") {
+    val df = Seq(
+      (1L, "a b a b a"),        // top a: 3/5; 3-grams aba bab aba -> 1 - 2/3
+      (2L, "x"),                // single token: share 1.0, no 3-grams
+      (3L, ""),                 // empty: 0 tokens, both shares null
+      (4L, "  spaced \t out "), // whitespace runs collapse: 2 tokens
+      (5L, "w w w w w")         // all same: share 1.0, 3-grams all dup: 2/3
+    ).toDF("id", "t")
+    val out = df.select(col("id"),
+        TextAnalysis.repetitionStats(col("t")).as("r"))
+      .orderBy(col("id"))
+      .select(col("r.n_tokens"), col("r.top_word_share"), col("r.dup_3gram_frac"))
+      .collect()
+    out(0).getInt(0) shouldBe 5
+    out(0).getDouble(1) shouldBe 0.6 +- 1e-12
+    out(0).getDouble(2) shouldBe (1.0 - 2.0 / 3.0) +- 1e-12
+    out(1).getInt(0) shouldBe 1
+    out(1).getDouble(1) shouldBe 1.0
+    out(1).isNullAt(2) shouldBe true
+    out(2).getInt(0) shouldBe 0
+    out(2).isNullAt(1) shouldBe true
+    out(2).isNullAt(2) shouldBe true
+    out(3).getInt(0) shouldBe 2
+    out(3).getDouble(1) shouldBe 0.5
+    out(4).getDouble(1) shouldBe 1.0
+    out(4).getDouble(2) shouldBe (2.0 / 3.0) +- 1e-12
+    // registered in SQL too (both registries — parity spec covers the set)
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql("SELECT repetition_stats('a a a').top_word_share AS s")
+      .head().getDouble(0) shouldBe 1.0
+  }
+
+  test("semantic dedup equals the local brute-force reference") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val cents = rows.take(4).map(_._2)
+    val tau = 0.35
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // reference: argmax-cosine assignment (first wins ties), then count
+    // smaller-id within-cluster neighbors at cosine >= tau
+    val assign = rows.map { case (id, v) =>
+      id -> cents.zipWithIndex.maxBy { case (c, i) => (cos(v, c), -i) }._2
+    }.toMap
+    val byId = rows.toMap
+    val expected = rows.map { case (id, v) =>
+      val nd = rows.count { case (o, _) =>
+        o < id && assign(o) == assign(id) && cos(v, byId(o)) >= tau
+      }
+      (id, assign(id), nd.toLong, nd == 0)
+    }.toSet
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding", tau,
+        trainedCentroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    got shouldBe expected
+    // production path: k-means centroids — every doc gets exactly one verdict
+    val km = Similarity.semanticDedup(emb, "vec_id", "embedding", tau, nClusters = 8)
+    km.count() shouldBe rows.length
+    km.select(countDistinct(col("id"))).head().getLong(0) shouldBe rows.length
+  }
+
   test("contamination keeps every corpus doc, incl. null text (zero totals)") {
     val corpus = Seq((1L, Some("a b c d e f g")), (2L, None),
       (3L, Some("z y x w v u t"))).toDF("doc_id", "text")
