@@ -1,0 +1,73 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** SemDeDup scale probe: semantic dedup over N deterministic synthetic unit
+  * vectors (no external data — vectors derive from xxhash64(id, dim), so any
+  * run at any parallelism sees the identical corpus), reporting quantizer
+  * training time, dedup wall time, throughput, and the cluster-size
+  * distribution that governs the within-cluster O(Σ|c|²) verify cost.
+  *
+  * Usage: runMain graft.examples.SemDedupScale [nVectors] [nClusters] [tau] [cores]
+  */
+object SemDedupScale {
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val nClusters = args.lift(1).map(_.toInt).getOrElse(256)
+    val tau = args.lift(2).map(_.toDouble).getOrElse(0.8)
+    val cores = args.lift(3).map(_.toInt).getOrElse(32)
+    val dims = 64
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("semdedup-scale")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // optional stage breakdown (SPARK_GRAFT_STAGES=1): stage name -> wall s
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val secs = (for {s <- i.submissionTime; c <- i.completionTime}
+            yield (c - s) / 1e3).getOrElse(-1.0)
+          println(f"[stage] ${i.stageId}%3d $secs%7.1f s  tasks=${i.numTasks}%4d  ${i.name.take(80)}")
+        }
+      })
+
+    // deterministic pseudo-random vectors: hash(id, dim) -> [-1, 1)
+    val vec = transform(sequence(lit(0), lit(dims - 1)),
+      j => xxhash64(col("id"), j).cast("double") / lit(Long.MaxValue.toDouble))
+    val emb = spark.range(n).select(col("id"), vec.as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.count() // materialize outside the timed region
+
+    val t0 = System.nanoTime()
+    val cents = Similarity.trainCentroids(emb, "id", "v", nClusters)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val out = Similarity.semanticDedup(emb, "id", "v", tau,
+      trainedCentroids = Some(cents))
+    val kept = out.filter(col("keep")).count()
+    val tDedup = (System.nanoTime() - t1) / 1e9
+
+    val sizes = out.groupBy(col("cluster")).count()
+      .agg(max(col("count")).as("mx"), avg(col("count")).as("av"),
+        count(lit(1)).as("nc")).head()
+    println(f"[semdedup-scale] n=$n nClusters=$nClusters tau=$tau cores=$cores")
+    println(f"[semdedup-scale] train: $tTrain%.1f s; dedup: $tDedup%.1f s " +
+      f"(${n / tDedup}%.0f vec/s); kept $kept")
+    println(f"[semdedup-scale] clusters: ${sizes.getLong(2)} used, " +
+      f"max ${sizes.getLong(0)}, avg ${sizes.getDouble(1)}%.0f " +
+      f"(pairwise cost ~ sum sz^2; scale nClusters with corpus to bound it)")
+    spark.stop()
+  }
+}

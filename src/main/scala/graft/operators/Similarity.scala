@@ -141,10 +141,16 @@ object Similarity {
     * Scale shape (10^12 files): centroid assignment is one compiled
     * per-row argmax ([[graft.functions.CentroidArgMax]], map-only — the
     * centroid table is driver-held and ships inside the expression, the
-    * broadcast-equivalent for a small dim table); candidate generation
-    * self-joins (cluster, id) pairs — ids only, vectors do NOT ride the
-    * candidate shuffle and are joined back per side exactly like
-    * [[cosineLshPairs]]; the within-cluster all-pairs cost O(Σ|cluster|²)
+    * broadcast-equivalent for a small dim table). The within-cluster
+    * all-pairs verify joins the (cluster, id, vector) frame against itself
+    * ON THE CLUSTER KEY with the upper-triangle and cosine filters applied
+    * inside the join output: vectors ride the O(n·dims) cluster shuffle
+    * once per side, and the O(Σ|cluster|²) candidate pairs are generated,
+    * dotted, and filtered in place — they never cross an exchange. (The
+    * [[cosineLshPairs]] "ids-only candidates, join vectors back" pattern is
+    * right when candidates are SHUFFLED between generation and verify; here
+    * it would shuffle every candidate pair three times — measured 166 s for
+    * 50k vectors vs ~7 s with the fused shape.) The pairwise compute cost
     * is the algorithm's intrinsic cost, governed by `nClusters` — scale it
     * with the corpus (the paper uses ~0.1% of n) so clusters stay bounded,
     * and let AQE skew-split any hot cluster (the join key is the cluster
@@ -171,16 +177,14 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assign = n.withColumn("cluster",
       graft.functions.VectorTextExprs.centroid_arg_max(col("nv"), unit))
-    val ids = assign.select(col("cluster"), col("id"))
     // a dropped doc only looks DOWN (to smaller ids), so candidates are the
-    // strict upper triangle within each cluster
-    val cand = ids.join(ids.select(col("cluster"), col("id").as("b")), Seq("cluster"))
-      .filter(col("id") > col("b"))
-      .select(col("id"), col("b"))
-    val dups = cand
-      .join(n.select(col("id"), col("nv").as("va")), Seq("id"))
-      .join(n.select(col("id").as("b"), col("nv").as("vb")), Seq("b"))
-      .filter(dot(col("va"), col("vb")) >= tau)
+    // strict upper triangle within each cluster; both filters (triangle +
+    // cosine) evaluate inside the join's output iterator, so the quadratic
+    // pair stream never reaches an exchange
+    val dups = assign
+      .join(assign.select(col("cluster"), col("id").as("b"), col("nv").as("vb")),
+        Seq("cluster"))
+      .filter(col("id") > col("b") && dot(col("nv"), col("vb")) >= tau)
       .groupBy(col("id")).agg(count(lit(1)).as("n_dups"))
     val out = assign.select(col("id"), col("cluster"))
       .join(dups, Seq("id"), "left")
