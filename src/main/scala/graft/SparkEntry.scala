@@ -554,6 +554,20 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_quantile_filter" -> ((s, dir) => {
+      // per-language bottom-decile quality cut: one threshold aggregate
+      // (|groups| rows) broadcast back into a map-side filter — the corpus
+      // never shuffles; exact percentile == DuckDB quantile_cont
+      import graft.operators.{Sampling, TextAnalysis}
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      Sampling.quantileFilter(scored, "lang", "score", 0.1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(min(col("score")), 6).as("min_kept_score"))
+        .orderBy(col("lang"))
+    }),
+
     "q_topk_per_group" -> ((s, dir) => {
       // quality-stratified curation: best 10 files per language by quality
       // score, ranked with the bounded-heap TopKPairs aggregate (k rows per
@@ -1085,6 +1099,13 @@ object SparkEntry {
            round(coalesce(t.tshare, 0.0) * tot.tot / c.n, 6) AS weight
          FROM c CROSS JOIN tot LEFT JOIN t USING (lang) ORDER BY c.lang"""
     },
+    "q_quantile_filter" ->
+      s"""WITH q AS (SELECT doc_id, lang, $qualityScoreSql AS score FROM documents),
+         t AS (SELECT lang, quantile_cont(score, 0.1) AS thr FROM q GROUP BY 1)
+         SELECT q.lang, CAST(count(*) AS BIGINT) AS n_kept,
+           round(min(q.score), 6) AS min_kept_score
+         FROM q JOIN t USING (lang) WHERE q.score >= t.thr
+         GROUP BY q.lang ORDER BY q.lang""",
     "q_topk_per_group" ->
       s"""WITH q AS (SELECT doc_id, lang, $qualityScoreSql AS score FROM documents),
          r AS (SELECT lang, doc_id, score,

@@ -167,6 +167,29 @@ object Sampling {
       coalesce(element_at(typedlit(thresholds), col(groupCol).cast("string")), lit(0L)))
   }
 
+  /** Per-group quantile gate — the "cut the worst fraction per language"
+    * primitive (e.g. drop the bottom decile by quality, or the TOP decile
+    * by perplexity, per language): keeps rows whose score clears their
+    * group's q-quantile (score >= threshold when `keepAbove`, <= when not).
+    *
+    * Scale shape: thresholds are ONE aggregate over the scan (|groups|
+    * rows), broadcast back into a filter on a second scan — the corpus
+    * itself never shuffles. Exact interpolated percentile (identical to
+    * ANSI `quantile_cont` / R-7, the oracle-parity choice); substitute
+    * `percentile_approx` where a per-group sort of 10^9+ values dominates.
+    * Rows with a null score never clear the gate (null comparison). */
+  def quantileFilter(df: DataFrame, groupCol: String, scoreCol: String,
+      q: Double, keepAbove: Boolean = true): DataFrame = {
+    require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
+    val thr = df.groupBy(col(groupCol))
+      .agg(percentile(col(scoreCol), lit(q)).as("__thr"))
+    val joined = df.join(broadcast(thr), Seq(groupCol))
+    val kept =
+      if (keepAbove) joined.filter(col(scoreCol) >= col("__thr"))
+      else joined.filter(col(scoreCol) <= col("__thr"))
+    kept.drop("__thr")
+  }
+
   /** Best-k-per-group selection (quality-stratified curation: "keep the k
     * highest-scoring files per language/repo/source"): ranking via the
     * bounded-heap [[graft.functions.TopKPairs]] aggregate — k rows per

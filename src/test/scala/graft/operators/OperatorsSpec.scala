@@ -315,6 +315,29 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     s1.queryExecution.executedPlan.toString should not include "Exchange"
   }
 
+  test("quantileFilter: per-group threshold semantics, nulls dropped, broadcast plan") {
+    val df = Seq(
+      ("g1", 1L, Some(1.0)), ("g1", 2L, Some(2.0)), ("g1", 3L, Some(3.0)),
+      ("g1", 4L, Some(4.0)), ("g1", 5L, Some(5.0)), ("g1", 6L, None),
+      ("g2", 7L, Some(10.0))
+    ).toDF("g", "id", "score")
+    // q=0.5 on g1: exact median 3.0; keepAbove keeps {3,4,5}; null never clears
+    val kept = Sampling.quantileFilter(df, "g", "score", 0.5)
+    kept.filter(col("g") === "g1").select(col("id"))
+      .collect().map(_.getLong(0)).toSet shouldBe Set(3L, 4L, 5L)
+    // a single-row group keeps its row at any q
+    kept.filter(col("g") === "g2").count() shouldBe 1
+    // keepAbove = false flips the gate (score <= median)
+    Sampling.quantileFilter(df, "g", "score", 0.5, keepAbove = false)
+      .filter(col("g") === "g1").select(col("id"))
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L)
+    // interpolated threshold: q=0.1 over 5 values -> 1.4; >= keeps {2..5}
+    Sampling.quantileFilter(df, "g", "score", 0.1)
+      .filter(col("g") === "g1").count() shouldBe 4
+    // the threshold side must broadcast — the corpus never shuffles
+    kept.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
+
   test("topKPerGroup equals window-rank reference; null scores excluded") {
     val df = Seq(
       ("g1", 1L, Some(0.9)), ("g1", 2L, Some(0.9)), ("g1", 3L, Some(0.5)),
