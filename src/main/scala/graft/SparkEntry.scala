@@ -413,6 +413,21 @@ object SparkEntry {
         n = 3, tau = 0.7, bands = 32, rows = 2).orderBy(col("a"), col("b"))
     }),
 
+    "q_dedup_incremental" -> ((s, dir) => {
+      // standing corpus (doc_id % 5 != 0) indexed once; the delta batch
+      // (doc_id % 5 == 0) dedups against corpus+self from the signature
+      // index alone — corpus content is never re-read (plan-gated in
+      // IncrementalDedupSpec). Oracle-pinned r=2 exact regime, like
+      // q_dedup_minhash_lsh.
+      import graft.operators.IncrementalDedup
+      val docs = t(s, dir, "documents")
+      val idxDir = new java.io.File("target/incremental_index").getAbsolutePath
+      IncrementalDedup.writeIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", idxDir, n = 3, bands = 32, rows = 2)
+      IncrementalDedup.pairsAgainstIndex(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", idxDir, tau = 0.7).orderBy(col("a"), col("b"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       // web-scale operating point: 16-bit blocks (4 tables, 65536 buckets
       // per block), recall 1 for hamming <= 3 by pigeonhole — so the banded
@@ -1031,6 +1046,18 @@ object SparkEntry {
          FROM documents GROUP BY text ORDER BY doc_id""",
     "q_dedup_ngram_jaccard" -> jaccardPairsSql,
     "q_dedup_minhash_lsh" -> jaccardPairsSql,
+    // the incremental run must equal the full-corpus pair set restricted to
+    // pairs touching the delta (doc_id % 5 == 0)
+    "q_dedup_incremental" ->
+      s"""$shingleCte
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+           AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+         ORDER BY a, b""",
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine

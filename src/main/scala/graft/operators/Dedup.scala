@@ -42,7 +42,7 @@ object Dedup {
     * (3x the scan cost at 100 TB; round-1 bench showed it dominating
     * q_quality_filter_dedup). MEMORY_AND_DISK so oversized corpora spill
     * instead of OOM. */
-  private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  private[operators] def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), shingle_hashes(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
       // estimate signature on an independent seed so candidate-band
@@ -55,8 +55,8 @@ object Dedup {
     * threshold that still keeps borderline pairs: 3.5 standard errors at
     * k=64 (sqrt(0.25/64) ≈ 0.0625 worst case) — a pair AT tau survives with
     * p > 0.9997, pairs well below tau never ship their arrays. */
-  private val EstK = 64
-  private val EstMargin = 0.22
+  private[operators] val EstK = 64
+  private[operators] val EstMargin = 0.22
 
   /** Verification of candidate pairs, two-phase:
     * (1) [optional, `estimateFilter`] estimate jaccard from 64-minhash
@@ -71,7 +71,7 @@ object Dedup {
     * set, so the heavy join shrinks ~40x. Callers needing
     * exact-given-candidates semantics pass estimateFilter = false and pay
     * the full phase-2 join for every candidate. */
-  private def verify(candidates: DataFrame, sh: DataFrame, tau: Double,
+  private[operators] def verify(candidates: DataFrame, sh: DataFrame, tau: Double,
       estimateFilter: Boolean): DataFrame = {
     import graft.functions.VectorTextExprs.{array_eq_count, sorted_intersect_count}
     val survivors =
@@ -104,7 +104,7 @@ object Dedup {
     * downstream consumer needs anyway (connected-components size gate, spec
     * assertions) costs ZERO extra jobs — round 3 ran a separate count()
     * barrier over the already-checkpointed frame. */
-  private def materializeAndRelease(result: DataFrame, sh: DataFrame): (DataFrame, Long) = {
+  private[operators] def materializeAndRelease(result: DataFrame, sh: DataFrame): (DataFrame, Long) = {
     val out = result.localCheckpoint(eager = false)
     val n = out.count()
     sh.unpersist(blocking = false)
