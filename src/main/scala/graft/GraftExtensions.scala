@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sim_hash64"),
       info("sim_hash64", "_FUNC_(text) - 64-bit SimHash, one map-only pass"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("token_window_hashes"),
+      info("token_window_hashes",
+        "_FUNC_(text, n) - positional hashed n-token windows (substring dedup)"),
+      (es: Seq[Expression]) => TokenWindowHashes(es.head, intArg(es(1), "n"))))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "_FUNC_(a, b) - numeric array dot product"),
       (es: Seq[Expression]) => DotProduct(es.head, es(1))))

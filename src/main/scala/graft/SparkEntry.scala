@@ -428,6 +428,19 @@ object SparkEntry {
         "doc_id", "text", idxDir, tau = 0.7).orderBy(col("a"), col("b"))
     }),
 
+    "q_dedup_substring" -> ((s, dir) => {
+      // substring-level dedup (Lee et al. 2021): maximal spans of >= 20
+      // consecutive tokens occurring >= 2 times anywhere in the corpus,
+      // as inclusive 0-based token offsets. The oracle recomputes window
+      // identity from the window STRING (no hash reimplementation), so a
+      // 64-bit hash collision would surface here as a mismatch.
+      import graft.operators.Dedup
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 20, minDf = 2)
+        .select(col("id").as("doc_id"), col("start_tok"), col("end_tok"))
+        .orderBy(col("doc_id"), col("start_tok"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       // web-scale operating point: 16-bit blocks (4 tables, 65536 buckets
       // per block), recall 1 for hamming <= 3 by pigeonhole — so the banded
@@ -1058,6 +1071,37 @@ object SparkEntry {
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
            AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
          ORDER BY a, b""",
+    // same single-space tokenization as the Spark side (string_split keeps
+    // empty tokens, like split(" ", -1)); equal-length flagged windows
+    // sorted by start merge exactly when pos - prev <= 20 (overlap or
+    // token-adjacency), so lag + running-sum islands need no running max
+    "q_dedup_substring" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         ),
+         win AS (
+           SELECT doc_id, CAST(u.i - 1 AS INT) AS pos,
+                  array_to_string(t[u.i:u.i+19], ' ') AS w
+           FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i)
+           WHERE len(t) >= 20
+         ),
+         flagged AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos, count(*) OVER (PARTITION BY w) AS df FROM win
+           ) WHERE df >= 2
+         ),
+         isl AS (
+           SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 20 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                 FROM flagged) s
+         )
+         SELECT doc_id, CAST(min(pos) AS INT) AS start_tok,
+                CAST(max(pos) + 19 AS INT) AS end_tok
+         FROM isl GROUP BY doc_id, island
+         ORDER BY doc_id, start_tok""",
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine

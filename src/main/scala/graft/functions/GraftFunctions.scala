@@ -39,6 +39,8 @@ object GraftFunctions {
       es => ShingleHashes(es.head, intArg(es(1), "n")), "scala_udf")
     reg.createOrReplaceTempFunction("sim_hash64",
       es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("token_window_hashes",
+      es => TokenWindowHashes(es.head, intArg(es(1), "n")), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       es => DotProduct(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("merge_list_limit",

@@ -517,6 +517,66 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "sim_hash64"
 }
 
+/** POSITIONAL hashed word n-gram windows of a text column → array<long>
+  * where element i is the hash of the window starting at token i (0-based),
+  * length `tokens - n + 1`; EMPTY when the document has fewer than n tokens.
+  *
+  * The positional twin of [[ShingleHashes]] (which sort-dedupes and is the
+  * right shape for set-similarity): substring-level dedup (Lee et al. 2021,
+  * arXiv:2107.06499 — public) needs WHERE a duplicated window sits, so
+  * offsets must survive. Same single-space tokenization (`split(" ", -1)`,
+  * empty tokens kept) and the same FNV-1a-64 window hash, so a window here
+  * and a shingle in ShingleHashes hash identically — and the DuckDB oracle
+  * can recompute window identity from the window STRING with
+  * `string_split(text, ' ')` + list slicing, no hash reimplementation.
+  * One split, one rolling pass, zero allocation beyond the output array.
+  */
+case class TokenWindowHashes(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "window size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"token_window_hashes requires a string column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val count = words.length - (n - 1)
+    if (count <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val hashes = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = 0xcbf29ce484222325L
+      var k = 0
+      var j = i
+      while (j < i + n) {
+        if (k > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        val w = words(j)
+        var c = 0
+        while (c < w.length) { h ^= w.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+        k += 1
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(hashes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_window_hashes"
+}
+
 object VectorTextExprs {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
@@ -526,6 +586,8 @@ object VectorTextExprs {
     Bridge.column(CentroidArgMax(Bridge.expression(v), centroids))
   def shingle_hashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
+  def token_window_hashes(text: Column, n: Int): Column =
+    Bridge.column(TokenWindowHashes(Bridge.expression(text), n))
   def sim_hash64(text: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(text)))
   def hyperplane_sigs(v: Column, planes: Int, tables: Int, seed: Long = 7L): Column =

@@ -288,6 +288,60 @@ object Dedup {
     materializeAndRelease(result, sig)._1
   }
 
+  /** Substring-level exact dedup (Lee et al. 2021, arXiv:2107.06499 —
+    * public): find every maximal span of >= `minTokens` consecutive tokens
+    * that occurs at least `minDf` times across the corpus (cross- OR
+    * intra-document — the paper's ExactSubstr criterion), reported as
+    * inclusive 0-based token offsets `(id, start_tok, end_tok)`. Exact and
+    * whole-doc dedup miss these: boilerplate headers, license blocks, and
+    * templated passages embedded in otherwise-unique files are the dominant
+    * residual duplication in web/code corpora (the paper's motivation).
+    *
+    * Spark shape instead of the paper's suffix array (a single-node
+    * construct): windows of exactly `minTokens` tokens are hashed
+    * POSITIONALLY in one map-only pass per row
+    * ([[graft.functions.TokenWindowHashes]]); a window-function count over
+    * the hash marks duplicated windows — ONE exchange of (id, pos, hash)
+    * rows, the distributed equivalent of the paper's global suffix sort and
+    * the operator's intrinsic cost (global frequency needs a global
+    * shuffle; 20-byte rows, map-side nothing to combine, AQE-skew-safe
+    * because the key is a hash). Flagged windows then merge into maximal
+    * spans per document with one lag + running-sum window over the (small)
+    * flagged set: equal-length intervals sorted by start merge exactly when
+    * `pos - prev_pos <= minTokens` (overlap or token-adjacency), so the
+    * gaps-and-islands trick needs no running-max. A span longer than
+    * minTokens duplicated in full shows up as its chain of overlapping
+    * duplicated windows and merges back into ONE maximal span — same
+    * maximality the suffix-array formulation yields.
+    *
+    * 64-bit window hashing makes a false flag a ~2^-64 event per window
+    * pair (the paper's own hash-bucketing preprocessing accepts the same);
+    * verification-by-content would ship every window string through the
+    * exchange for no measurable precision gain. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 50, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"a span needs at least 2 occurrences to be a duplicate, got $minDf")
+    import org.apache.spark.sql.expressions.Window
+    val win = df.select(col(idCol).as("id"),
+        posexplode(graft.functions.VectorTextExprs
+          .token_window_hashes(col(textCol), minTokens)).as(Seq("pos", "h")))
+    val flagged = win
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") >= minDf)
+      .select(col("id"), col("pos"))
+    val islands = flagged
+      .withColumn("prev", lag(col("pos"), 1).over(
+        Window.partitionBy(col("id")).orderBy(col("pos"))))
+      .withColumn("island", sum(
+        when(col("prev").isNull || col("pos") - col("prev") > minTokens, 1)
+          .otherwise(0))
+        .over(Window.partitionBy(col("id")).orderBy(col("pos"))))
+    islands.groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(minTokens - 1)).as("end_tok"))
+      .select(col("id"), col("start_tok"), col("end_tok").cast("int").as("end_tok"))
+  }
+
   /** Connected components, size-adaptive (the AQE philosophy applied to the
     * operator): min-label propagation needs O(diameter) shuffle rounds —
     * each a full scheduler barrier — which is the right shape for billions

@@ -136,6 +136,27 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     tree should not include "Aggregate"
   }
 
+  test("substring-span dedup shuffles window rows exactly once for the global frequency") {
+    // the window-hash stage is a per-row pure function (TokenWindowHashes),
+    // so the ONLY exchange over O(corpus tokens) data is the hash-partition
+    // for the global window-frequency count — the distributed equivalent of
+    // the suffix-array sort, intrinsic to the operator. Everything after
+    // the df >= 2 filter (island merge, span aggregation) shuffles the
+    // small flagged set keyed by doc. A regression that re-partitions the
+    // full window stream a second time (e.g. groupBy+join-back frequency)
+    // doubles the dominant cost at 10^12 files and fails here.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (tree, _) = planText(
+      graft.operators.Dedup.duplicateSpans(docs, "doc_id", "text", minTokens = 20))
+    // one exchange for the h-partition window count, one re-key of the
+    // flagged subset to doc for the island/lag pass; the island running-sum
+    // and the final span groupBy reuse that doc partitioning (no extra
+    // exchange — Window(id)/HashAggregate(id,island) are co-partitioned)
+    "Exchange".r.findAllIn(tree).size shouldBe 2
+    // exactly one Generate: the corpus is posexploded ONCE
+    "Generate".r.findAllIn(tree).size shouldBe 1
+  }
+
   test("repetition stats are map-only (no exchange, no aggregate)") {
     // like simhash: a per-row pure function — the compositional
     // explode+groupBy(doc, gram) alternative shuffles every corpus token

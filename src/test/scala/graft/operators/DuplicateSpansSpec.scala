@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Substring-level dedup ([[Dedup.duplicateSpans]]): planted-passage
+  * recovery, intra-doc repeats, maximal-span merging, short-doc exclusion,
+  * and equality with a straight-line reference implementation on the real
+  * documents table. */
+class DuplicateSpansSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def uniq(tag: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"u_${tag}_$i")
+
+  private def spans(df: org.apache.spark.sql.DataFrame, minTokens: Int,
+      minDf: Int = 2): Seq[(Long, Int, Int)] =
+    Dedup.duplicateSpans(df, "doc_id", "text", minTokens, minDf)
+      .orderBy("id", "start_tok")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+
+  test("planted cross-doc passage is recovered exactly, at each doc's own offset") {
+    val passage = (0 until 12).map(i => s"shared_$i")
+    val a = uniq("a", 7) ++ passage ++ uniq("a2", 5)   // passage at tokens 7..18
+    val b = uniq("b", 3) ++ passage ++ uniq("b2", 9)   // passage at tokens 3..14
+    val c = uniq("c", 25)                              // no dup content
+    val df = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")), (3L, c.mkString(" ")))
+      .toDF("doc_id", "text")
+    spans(df, minTokens = 8) shouldBe Seq((1L, 7, 18), (2L, 3, 14))
+  }
+
+  test("intra-document repetition is flagged (the paper's >=2 occurrences criterion)") {
+    val block = (0 until 10).map(i => s"rep_$i")
+    val doc = block ++ uniq("mid", 15) ++ block
+    val df = Seq((1L, doc.mkString(" "))).toDF("doc_id", "text")
+    // both occurrences: tokens 0..9 and 25..34
+    spans(df, minTokens = 10) shouldBe Seq((1L, 0, 9), (1L, 25, 34))
+  }
+
+  test("adjacent duplicated passages merge into one maximal span") {
+    // A shares P1 with B and the immediately following P2 with C; no single
+    // window is duplicated across the P1/P2 boundary, but the duplicated
+    // token runs are adjacent in A, so A reports ONE maximal span
+    val p1 = (0 until 10).map(i => s"p1_$i")
+    val p2 = (0 until 10).map(i => s"p2_$i")
+    val a = uniq("a", 4) ++ p1 ++ p2 ++ uniq("a2", 4)
+    val b = uniq("b", 6) ++ p1 ++ uniq("b2", 6)
+    val c = uniq("c", 2) ++ p2 ++ uniq("c2", 8)
+    val df = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")), (3L, c.mkString(" ")))
+      .toDF("doc_id", "text")
+    spans(df, minTokens = 8) shouldBe Seq(
+      (1L, 4, 23),   // P1+P2 merged: tokens 4..13 and 14..23
+      (2L, 6, 15),
+      (3L, 2, 11))
+  }
+
+  test("docs shorter than minTokens never produce spans, even when identical") {
+    val short = uniq("s", 5).mkString(" ")
+    val df = Seq((1L, short), (2L, short)).toDF("doc_id", "text")
+    spans(df, minTokens = 8) shouldBe empty
+  }
+
+  test("all-unique corpus yields no spans") {
+    val df = (1L to 6L).map(i => (i, uniq(s"d$i", 30).mkString(" "))).toDF("doc_id", "text")
+    spans(df, minTokens = 8) shouldBe empty
+  }
+
+  test("matches a straight-line reference on the real documents table") {
+    val minTokens = 20
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = spans(docs, minTokens)
+
+    // reference: window-string counting + interval merge, no hashing
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val counts = scala.collection.mutable.HashMap[Seq[String], Int]()
+    for ((_, toks) <- local; w <- toks.sliding(minTokens) if w.length == minTokens)
+      counts(w) = counts.getOrElse(w, 0) + 1
+    val want = local.flatMap { case (id, toks) =>
+      val flagged = toks.sliding(minTokens).zipWithIndex
+        .collect { case (w, i) if w.length == minTokens && counts(w) >= 2 => i }.toSeq
+      val merged = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      for (p <- flagged) {
+        if (merged.nonEmpty && p - (merged.last._2 - minTokens + 1) <= minTokens) {
+          val (s0, _) = merged.remove(merged.length - 1)
+          merged += ((s0, p + minTokens - 1))
+        } else merged += ((p, p + minTokens - 1))
+      }
+      merged.map { case (s0, e0) => (id, s0, e0) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+
+    want.length should be > 10 // planted near-dups make this non-trivial
+    got shouldBe want
+  }
+
+  test("token_window_hashes: positional, empty under minTokens, consistent with shingle_hashes") {
+    import graft.functions.VectorTextExprs.{shingle_hashes, token_window_hashes}
+    val df = Seq(("a b c d e", 1), ("a b", 2), ("", 3)).toDF("text", "k")
+    val rows = df.select(col("k"), token_window_hashes(col("text"), 3).as("w"),
+        shingle_hashes(col("text"), 3).as("s"))
+      .orderBy("k").collect()
+    val w1 = rows(0).getSeq[Long](1)
+    w1.length shouldBe 3 // "a b c", "b c d", "c d e"
+    // positional hashes are exactly the (sorted, distinct) shingle set
+    w1.distinct.sorted shouldBe rows(0).getSeq[Long](2)
+    rows(1).getSeq[Long](1) shouldBe empty // 2 tokens < n=3
+    rows(2).getSeq[Long](1) shouldBe empty // "" -> 1 empty token < 3
+  }
+}
