@@ -441,6 +441,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("start_tok"))
     }),
 
+    "q_dedup_remove_spans" -> ((s, dir) => {
+      // the ACTION leg of substring dedup: cut every duplicated >=20-token
+      // span except its canonical (least (id,pos)) occurrence and rebuild
+      // the text. sha256 of the rebuilt text is hash-compared against a
+      // DuckDB reconstruction from window STRINGS — byte-identity of the
+      // cleaned corpus is the check, in the same spirit as the north rule's
+      // scrubbed-text sha256 equality.
+      import graft.operators.Dedup
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 20, minDf = 2)
+        .select(col("id").as("doc_id"), sha2(col("text"), 256).as("clean_sha"),
+          col("removed_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       // web-scale operating point: 16-bit blocks (4 tables, 65536 buckets
       // per block), recall 1 for hamming <= 3 by pigeonhole — so the banded
@@ -1102,6 +1117,70 @@ object SparkEntry {
                 CAST(max(pos) + 19 AS INT) AS end_tok
          FROM isl GROUP BY doc_id, island
          ORDER BY doc_id, start_tok""",
+    // the removal leg: same window/flag/island machinery, but the
+    // lexicographically-least (doc_id, pos) occurrence of each window is
+    // NOT flagged (it is the preserved canonical copy), and the cleaned
+    // text is rebuilt token-by-token and sha256'd. split(' ')+join(' ')
+    // with empties kept is the identity on ANY string, so untouched docs
+    // reconstruct byte-identically.
+    "q_dedup_remove_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+         ),
+         win AS (
+           SELECT doc_id, CAST(u.i - 1 AS INT) AS pos,
+                  array_to_string(t[u.i:u.i+19], ' ') AS w
+           FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i)
+           WHERE len(t) >= 20
+         ),
+         marked AS (
+           SELECT doc_id, pos,
+                  count(*) OVER (PARTITION BY w) AS df,
+                  first_value(doc_id) OVER (PARTITION BY w ORDER BY doc_id, pos) AS c_id,
+                  first_value(pos) OVER (PARTITION BY w ORDER BY doc_id, pos) AS c_pos
+           FROM win
+         ),
+         flagged AS (
+           SELECT doc_id, pos FROM marked
+           WHERE df >= 2 AND NOT (doc_id = c_id AND pos = c_pos)
+         ),
+         isl AS (
+           SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 20 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                 FROM flagged) s
+         ),
+         spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 19 AS e
+           FROM isl GROUP BY doc_id, island
+         ),
+         tok AS (
+           SELECT doc_id, CAST(u.i - 1 AS INT) AS idx, t[u.i] AS tk
+           FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+         ),
+         rebuilt AS (
+           SELECT k.doc_id,
+                  coalesce(string_agg(k.tk, ' ' ORDER BY k.idx), '') AS clean
+           FROM tok k
+           WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                             WHERE sp.doc_id = k.doc_id
+                               AND k.idx BETWEEN sp.s AND sp.e)
+           GROUP BY k.doc_id
+         ),
+         removed AS (
+           SELECT doc_id, CAST(sum(e - s + 1) AS INT) AS removed_tokens
+           FROM spans GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+                sha256(CASE WHEN rm.doc_id IS NULL THEN d.text
+                            ELSE coalesce(r.clean, '') END) AS clean_sha,
+                coalesce(rm.removed_tokens, 0) AS removed_tokens
+         FROM documents d
+         LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+         LEFT JOIN removed rm ON rm.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine

@@ -319,16 +319,40 @@ object Dedup {
     * verification-by-content would ship every window string through the
     * exchange for no measurable precision gain. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      minTokens: Int = 50, minDf: Int = 2): DataFrame = {
+      minTokens: Int = 50, minDf: Int = 2): DataFrame =
+    mergeIslands(flaggedWindows(df, idCol, textCol, minTokens, minDf,
+      excludeCanonical = false), minTokens)
+
+  /** (id, pos) of every length-`minTokens` window occurrence whose hash
+    * occurs >= `minDf` times corpus-wide; with `excludeCanonical` the single
+    * lexicographically-least (id, pos) occurrence of each window is kept
+    * OUT of the flagged set (it is the copy [[removeDuplicateSpans]]
+    * preserves). Both variants ride the SAME single exchange: count and
+    * min(struct(id,pos)) are two aggregates over one
+    * Window.partitionBy(hash). */
+  private def flaggedWindows(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, minDf: Int, excludeCanonical: Boolean): DataFrame = {
     require(minDf >= 2, s"a span needs at least 2 occurrences to be a duplicate, got $minDf")
     import org.apache.spark.sql.expressions.Window
     val win = df.select(col(idCol).as("id"),
         posexplode(graft.functions.VectorTextExprs
           .token_window_hashes(col(textCol), minTokens)).as(Seq("pos", "h")))
-    val flagged = win
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+    val byHash = Window.partitionBy(col("h"))
+    val counted = win
+      .withColumn("df", count(lit(1)).over(byHash))
       .filter(col("df") >= minDf)
+    if (!excludeCanonical) counted.select(col("id"), col("pos"))
+    else counted
+      .withColumn("canon", min(struct(col("id"), col("pos"))).over(byHash))
+      .filter(!(col("canon.id") === col("id") && col("canon.pos") === col("pos")))
       .select(col("id"), col("pos"))
+  }
+
+  /** Merge flagged equal-length window starts into maximal spans
+    * (gaps-and-islands; see [[duplicateSpans]] scaladoc for why
+    * `pos - prev <= minTokens` is the exact merge criterion). */
+  private def mergeIslands(flagged: DataFrame, minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val islands = flagged
       .withColumn("prev", lag(col("pos"), 1).over(
         Window.partitionBy(col("id")).orderBy(col("pos"))))
@@ -340,6 +364,49 @@ object Dedup {
       .agg(min(col("pos")).as("start_tok"),
         (max(col("pos")) + lit(minTokens - 1)).as("end_tok"))
       .select(col("id"), col("start_tok"), col("end_tok").cast("int").as("end_tok"))
+  }
+
+  /** The ACTION counterpart of [[duplicateSpans]] — the paper's actual
+    * dedup step (arXiv:2107.06499 §4.1 removes all but one occurrence of
+    * each duplicated substring): cut every duplicated span from the corpus
+    * EXCEPT its canonical copy, the occurrence with the lexicographically
+    * least (id, pos) per window — deterministic, order-independent, and
+    * oracle-recomputable (no "first seen" runtime dependence). A canonical
+    * occurrence is never flagged for its OWN window, though (as in the
+    * paper's span-removal formulation) it can still lose tokens to an
+    * overlapping span flagged for a different window.
+    *
+    * Returns (id, text, removed_tokens): `text` is the document with all
+    * non-canonical duplicated spans' tokens removed (remaining tokens
+    * re-joined with single spaces — the pipeline's tokenization is
+    * whitespace-normal form, so this is lossless for kept tokens), and
+    * `removed_tokens` counts what was cut. Documents with nothing to cut
+    * pass through BYTE-IDENTICAL (guarded by a null-span branch, not a
+    * split+rejoin round trip).
+    *
+    * Scale shape: the flagged-set computation is [[duplicateSpans]]' single
+    * corpus-wide exchange (min(struct) rides the same Window as the count);
+    * the span cut is a join of the corpus against the merged span list —
+    * spans are the RARE side (duplicated text is the minority in a curated
+    * corpus), so AQE broadcasts them at small scale and a hash join on id
+    * handles the rest; the cut itself is codegen'd builtins (split /
+    * higher-order filter on token index / array_join), no UDF. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 50, minDf: Int = 2): DataFrame = {
+    val spans = mergeIslands(flaggedWindows(df, idCol, textCol, minTokens, minDf,
+        excludeCanonical = true), minTokens)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"))
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"),
+        when(col("spans").isNull, col("text")).otherwise(
+          array_join(filter(split(col("text"), " ", -1),
+            (_, i) => !exists(col("spans"),
+              s => i >= s("start_tok") && i <= s("end_tok"))), " ")).as("text"),
+        coalesce(aggregate(col("spans"), lit(0),
+          (acc, s) => acc + s("end_tok") - s("start_tok") + lit(1)), lit(0))
+          .as("removed_tokens"))
   }
 
   /** Connected components, size-adaptive (the AQE philosophy applied to the

@@ -157,6 +157,23 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     "Generate".r.findAllIn(tree).size shouldBe 1
   }
 
+  test("span removal: corpus exploded once, canonical pick rides the frequency exchange") {
+    // removeDuplicateSpans adds the canonical-occurrence min(struct(id,pos))
+    // on the SAME Window.partitionBy(hash) as the frequency count (filter
+    // between them only drops whole hash groups), so it must cost no
+    // exchange beyond duplicateSpans' own: 1 window-hash partition + 1
+    // flagged-set re-key to doc + 1 corpus-side hash partition for the
+    // span join-back. A second Generate (re-exploding the corpus for the
+    // canonical pass) or a 4th exchange is the 10^12-file regression.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (tree, _) = planText(
+      graft.operators.Dedup.removeDuplicateSpans(docs, "doc_id", "text", minTokens = 20))
+    "Generate".r.findAllIn(tree).size shouldBe 1
+    ("Exchange".r.findAllIn(tree).size <= 4) shouldBe true
+    tree should not include "BroadcastNestedLoopJoin"
+    tree should not include "CartesianProduct"
+  }
+
   test("repetition stats are map-only (no exchange, no aggregate)") {
     // like simhash: a per-row pure function — the compositional
     // explode+groupBy(doc, gram) alternative shuffles every corpus token

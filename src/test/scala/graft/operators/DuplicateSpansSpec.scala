@@ -98,6 +98,70 @@ class DuplicateSpansSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  private def cleaned(df: org.apache.spark.sql.DataFrame, minTokens: Int):
+      Map[Long, (String, Int)] =
+    Dedup.removeDuplicateSpans(df, "doc_id", "text", minTokens)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+
+  test("removal keeps the canonical (lowest-id) copy and cuts the rest, byte-exact") {
+    val passage = (0 until 12).map(i => s"shared_$i")
+    val a = uniq("a", 7) ++ passage ++ uniq("a2", 5)
+    val b = uniq("b", 3) ++ passage ++ uniq("b2", 9)
+    val c = uniq("c", 25)
+    val df = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")), (3L, c.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = cleaned(df, minTokens = 8)
+    got(1L) shouldBe ((a.mkString(" "), 0))                       // canonical: untouched
+    got(2L) shouldBe (((uniq("b", 3) ++ uniq("b2", 9)).mkString(" "), 12))
+    got(3L) shouldBe ((c.mkString(" "), 0))                       // no dup content
+  }
+
+  test("intra-document repeat: first occurrence survives, second is cut") {
+    val block = (0 until 10).map(i => s"rep_$i")
+    val doc = block ++ uniq("mid", 15) ++ block
+    val df = Seq((1L, doc.mkString(" "))).toDF("doc_id", "text")
+    cleaned(df, minTokens = 10)(1L) shouldBe
+      (((block ++ uniq("mid", 15)).mkString(" "), 10))
+  }
+
+  test("identical docs: lowest id keeps full text, others are fully emptied") {
+    val text = uniq("z", 30).mkString(" ")
+    val df = Seq((5L, text), (2L, text), (9L, text)).toDF("doc_id", "text")
+    val got = cleaned(df, minTokens = 8)
+    got(2L) shouldBe ((text, 0))
+    got(5L) shouldBe (("", 30))
+    got(9L) shouldBe (("", 30))
+  }
+
+  test("removal matches a straight-line reference on the real documents table") {
+    val minTokens = 20
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = cleaned(docs, minTokens)
+
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val occs = scala.collection.mutable.HashMap[Seq[String], List[(Long, Int)]]()
+    for ((id, text) <- local; (w, i) <- text.split(" ", -1).toSeq
+           .sliding(minTokens).zipWithIndex if w.length == minTokens)
+      occs(w) = (id, i) :: occs.getOrElse(w, Nil)
+    val cut = scala.collection.mutable.HashMap[Long, scala.collection.mutable.BitSet]()
+    for ((_, os) <- occs if os.length >= 2) {
+      val canon = os.minBy(identity)
+      for ((id, p) <- os if (id, p) != canon)
+        cut.getOrElseUpdate(id, scala.collection.mutable.BitSet()) ++= (p until p + minTokens)
+    }
+    var touched = 0
+    for ((id, text) <- local) {
+      val bits = cut.getOrElse(id, scala.collection.mutable.BitSet())
+      val toks = text.split(" ", -1)
+      val want = toks.zipWithIndex.collect { case (t, i) if !bits(i) => t }.mkString(" ")
+      val wantClean = if (bits.isEmpty) text else want
+      got(id) shouldBe ((wantClean, bits.size))
+      if (bits.nonEmpty) touched += 1
+    }
+    touched should be > 5 // planted near-dups make this non-trivial
+  }
+
   test("token_window_hashes: positional, empty under minTokens, consistent with shingle_hashes") {
     import graft.functions.VectorTextExprs.{shingle_hashes, token_window_hashes}
     val df = Seq(("a b c d e", 1), ("a b", 2), ("", 3)).toDF("text", "k")
