@@ -644,6 +644,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_toxicity" -> ((s, dir) => {
+      // toxicity word-list masking over deterministically injected phrases
+      // (the corpus carries none) — the Tox constants drive BOTH this
+      // construction and the DuckDB oracle. Exercises multi-hit rows,
+      // case-insensitivity (FUCKING), inflection suffixes, and clean-row
+      // byte-identical passthrough (masked sha == original sha).
+      import graft.operators.TextAnalysis
+      val content = toxContent
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.toxicityHits(content).as("tox_hits"),
+          sha2(TextAnalysis.toxicityMask(content), 256).as("masked_sha"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_doc_fingerprint" -> ((s, dir) => {
       import graft.operators.TextAnalysis
       t(s, dir, "documents").agg(
@@ -888,6 +903,30 @@ object SparkEntry {
     val strideMit = 7
     val strideGpl = 11
     val strideBsd = 13
+  }
+
+  /** Shared constants for `q_toxicity`: injected toxic phrases (the corpus
+    * has none) — one source for the Spark construction and the DuckDB
+    * oracle. Phrase 7 has two hits, 11 tests upper-case + inflection
+    * suffix, 13 one plain hit; all other docs stay clean. */
+  private object Tox {
+    val p7 = " This damn code is total crap"
+    val p11 = " FUCKING legacy hack"
+    val p13 = " what a bitch of a bug"
+    val s7 = 7
+    val s11 = 11
+    val s13 = 13
+  }
+
+  /** Deterministic per-doc toxic-phrase injection (at most one phrase,
+    * stride-7 first — mirrors licContent's shape). */
+  private def toxContent: Column = {
+    import Tox._
+    concat(col("text"),
+      when(col("doc_id") % s7 === 0, lit(p7))
+        .when(col("doc_id") % s11 === 0, lit(p11))
+        .when(col("doc_id") % s13 === 0, lit(p13))
+        .otherwise(lit("")))
   }
 
   /** Deterministic per-doc license header injection (exactly one header or
@@ -1314,6 +1353,22 @@ object SparkEntry {
            round(CAST(coalesce(h.cnt, 0) AS DOUBLE) / len(d.s), 6) AS contamination
          FROM sh d LEFT JOIN hits h ON d.doc_id = h.doc_id
          ORDER BY id""",
+    // toxicity leg: Tox constants shared with the Spark construction; the
+    // pattern comes from TextAnalysis.toxicityPattern so the two sides
+    // cannot drift. RE2 (DuckDB) and java.util.regex (Spark) agree on this
+    // alternation by construction (no term is a prefix of another).
+    "q_toxicity" ->
+      raw"""WITH c AS (
+             SELECT doc_id,
+               text || (CASE WHEN doc_id % ${Tox.s7} = 0 THEN '${Tox.p7}'
+                             WHEN doc_id % ${Tox.s11} = 0 THEN '${Tox.p11}'
+                             WHEN doc_id % ${Tox.s13} = 0 THEN '${Tox.p13}'
+                             ELSE '' END) AS content
+             FROM documents)
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(content, '${graft.operators.TextAnalysis.toxicityPattern()}')) AS INT) AS tox_hits,
+             sha256(regexp_replace(content, '${graft.operators.TextAnalysis.toxicityPattern()}', '<TOX>', 'g')) AS masked_sha
+           FROM c ORDER BY doc_id""",
     "q_doc_fingerprint" ->
       """SELECT CAST(count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS fp_groups,
                 count(*) AS docs FROM documents""",

@@ -80,6 +80,33 @@ object TextAnalysis {
       .otherwise("unknown")
   }
 
+  /** Default toxicity word list for [[toxicityMask]]/[[toxicityHits]] —
+    * common profanity, matched case-insensitively with an inflection-suffix
+    * tail so "damned"/"FUCKING" count. Deliberately configurable: a real
+    * deployment swaps in its own (usually much larger) list; no term is a
+    * prefix of another so Java-regex (Spark) and RE2 (oracle) alternation
+    * semantics agree by construction. */
+  val defaultToxicTerms: Seq[String] = Seq(
+    "fuck", "shit", "bitch", "bastard", "asshole", "damn", "crap",
+    "dick", "piss", "whore")
+
+  /** One compiled alternation for the whole list (single NFA scan per row,
+    * like [[graft.pipeline.Scrub]]'s PII passes — the north rule's
+    * "compiled-regex PII/toxicity scrubbing" toxicity leg). */
+  def toxicityPattern(terms: Seq[String] = defaultToxicTerms): String =
+    terms.mkString("(?i)\\b(", "|", ")[a-z]*")
+
+  /** # toxic-term occurrences in the document (0 for clean rows). */
+  def toxicityHits(content: Column, terms: Seq[String] = defaultToxicTerms): Column =
+    regexp_count(content, lit(toxicityPattern(terms)))
+
+  /** Document with every toxic term (and its inflection tail) replaced by
+    * `<TOX>` — same masked-not-dropped shape as the PII scrub, so a file
+    * is salvageable instead of discarded. Codegen'd regexp_replace; clean
+    * rows pass through byte-identical (no match ⇒ no rewrite). */
+  def toxicityMask(content: Column, terms: Seq[String] = defaultToxicTerms): Column =
+    regexp_replace(content, toxicityPattern(terms), "<TOX>")
+
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct word n-grams appear in ANY benchmark document (the standard
     * train/test-overlap check an LLM data pipeline runs before training —

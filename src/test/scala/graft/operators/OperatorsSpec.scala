@@ -459,6 +459,22 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     got.toSeq shouldBe cases.map(_._2)
   }
 
+  test("toxicity mask: case-insensitive, suffix-inflected, clean rows byte-identical") {
+    val cases = Seq(
+      ("this damn code", 1, "this <TOX> code"),
+      ("DAMN and Damned twice", 2, "<TOX> and <TOX> twice"),          // case + suffix
+      ("FUCKING legacy", 1, "<TOX> legacy"),                          // upper + suffix
+      ("craps out", 1, "<TOX> out"),
+      ("scrap metal", 0, "scrap metal"),                              // \b: no mid-word hit
+      ("clean text stays put", 0, "clean text stays put"),
+      ("", 0, ""))
+    val got = cases.map(_._1).toDF("content")
+      .select(TextAnalysis.toxicityHits(col("content")).as("n"),
+        TextAnalysis.toxicityMask(col("content")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    got.toSeq shouldBe cases.map(c => (c._2, c._3))
+  }
+
   test("token counting and fingerprint invariants") {
     val df = Seq((1L, "Hello  world foo"), (2L, "hello world foo"), (3L, ""))
       .toDF("doc_id", "text")
