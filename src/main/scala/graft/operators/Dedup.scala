@@ -300,19 +300,19 @@ object Dedup {
     * Spark shape instead of the paper's suffix array (a single-node
     * construct): windows of exactly `minTokens` tokens are hashed
     * POSITIONALLY in one map-only pass per row
-    * ([[graft.functions.TokenWindowHashes]]); a window-function count over
-    * the hash marks duplicated windows — ONE exchange of (id, pos, hash)
-    * rows, the distributed equivalent of the paper's global suffix sort and
-    * the operator's intrinsic cost (global frequency needs a global
-    * shuffle; 20-byte rows, map-side nothing to combine, AQE-skew-safe
-    * because the key is a hash). Flagged windows then merge into maximal
-    * spans per document with one lag + running-sum window over the (small)
-    * flagged set: equal-length intervals sorted by start merge exactly when
-    * `pos - prev_pos <= minTokens` (overlap or token-adjacency), so the
-    * gaps-and-islands trick needs no running-max. A span longer than
-    * minTokens duplicated in full shows up as its chain of overlapping
-    * duplicated windows and merges back into ONE maximal span — same
-    * maximality the suffix-array formulation yields.
+    * ([[graft.functions.TokenWindowHashes]]); a partial-aggregated
+    * groupBy(hash) finds duplicated windows (the distributed equivalent of
+    * the paper's global suffix sort — global frequency needs one global
+    * shuffle of 20-byte rows, and map-side combine makes it immune to a
+    * boilerplate hot window) and a join marks their occurrences — see
+    * [[flaggedWindows]] for the skew analysis. Flagged windows then merge
+    * into maximal spans per document with one lag + running-sum window over
+    * the (small) flagged set: equal-length intervals sorted by start merge
+    * exactly when `pos - prev_pos <= minTokens` (overlap or
+    * token-adjacency), so the gaps-and-islands trick needs no running-max.
+    * A span longer than minTokens duplicated in full shows up as its chain
+    * of overlapping duplicated windows and merges back into ONE maximal
+    * span — same maximality the suffix-array formulation yields.
     *
     * 64-bit window hashing makes a false flag a ~2^-64 event per window
     * pair (the paper's own hash-bucketing preprocessing accepts the same);
@@ -327,23 +327,35 @@ object Dedup {
     * occurs >= `minDf` times corpus-wide; with `excludeCanonical` the single
     * lexicographically-least (id, pos) occurrence of each window is kept
     * OUT of the flagged set (it is the copy [[removeDuplicateSpans]]
-    * preserves). Both variants ride the SAME single exchange: count and
-    * min(struct(id,pos)) are two aggregates over one
-    * Window.partitionBy(hash). */
+    * preserves).
+    *
+    * Skew-immune shape: the global frequency (and canonical pick) comes
+    * from a partial-aggregated `groupBy(hash)` — a boilerplate window
+    * duplicated 10^8 times collapses map-side to one row per partition, so
+    * no task ever receives a hot hash's full occurrence list (the
+    * alternative, `Window.partitionBy(hash)`, sorts every occurrence of a
+    * hash in ONE task with no combine and no AQE help — the classic
+    * hot-key death at 10^12 files). The duplicated-hash table that survives
+    * `df >= minDf` is the MINORITY of windows by construction, so the
+    * flag-marking join back to the window stream is a broadcast in the
+    * common case (AQE converts it at runtime) and an AQE-skew-splittable
+    * shuffle join in the worst case. Cost: the corpus is window-hashed
+    * twice (two map-only scans of a per-row pure function) — the price of
+    * not materializing an O(corpus tokens) stream; both scans shuffle
+    * 20-byte rows at most once each. */
   private def flaggedWindows(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int, minDf: Int, excludeCanonical: Boolean): DataFrame = {
     require(minDf >= 2, s"a span needs at least 2 occurrences to be a duplicate, got $minDf")
-    import org.apache.spark.sql.expressions.Window
-    val win = df.select(col(idCol).as("id"),
-        posexplode(graft.functions.VectorTextExprs
-          .token_window_hashes(col(textCol), minTokens)).as(Seq("pos", "h")))
-    val byHash = Window.partitionBy(col("h"))
-    val counted = win
-      .withColumn("df", count(lit(1)).over(byHash))
+    def win = df.select(col(idCol).as("id"),
+      posexplode(graft.functions.VectorTextExprs
+        .token_window_hashes(col(textCol), minTokens)).as(Seq("pos", "h")))
+    val dup = win.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(struct(col("id"), col("pos"))).as("canon"))
       .filter(col("df") >= minDf)
-    if (!excludeCanonical) counted.select(col("id"), col("pos"))
-    else counted
-      .withColumn("canon", min(struct(col("id"), col("pos"))).over(byHash))
+      .select(col("h"), col("canon"))
+    val joined = win.join(dup, Seq("h"))
+    if (!excludeCanonical) joined.select(col("id"), col("pos"))
+    else joined
       .filter(!(col("canon.id") === col("id") && col("canon.pos") === col("pos")))
       .select(col("id"), col("pos"))
   }

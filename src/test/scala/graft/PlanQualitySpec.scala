@@ -136,40 +136,39 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     tree should not include "Aggregate"
   }
 
-  test("substring-span dedup shuffles window rows exactly once for the global frequency") {
-    // the window-hash stage is a per-row pure function (TokenWindowHashes),
-    // so the ONLY exchange over O(corpus tokens) data is the hash-partition
-    // for the global window-frequency count — the distributed equivalent of
-    // the suffix-array sort, intrinsic to the operator. Everything after
-    // the df >= 2 filter (island merge, span aggregation) shuffles the
-    // small flagged set keyed by doc. A regression that re-partitions the
-    // full window stream a second time (e.g. groupBy+join-back frequency)
-    // doubles the dominant cost at 10^12 files and fails here.
+  test("substring-span dedup: partial-agg'd frequency, broadcast flag join, no hot-key window") {
+    // the global window frequency MUST come from a groupBy (map-side
+    // combine collapses a boilerplate window duplicated 10^8 times to one
+    // row per partition) and NEVER from Window.partitionBy(hash), which
+    // sorts every occurrence of a hash in one task — the hot-key death at
+    // 10^12 files. The duplicated-hash table is the minority of windows,
+    // so AQE converts the flag-marking join to broadcast here; at scale it
+    // degrades to an AQE-skew-splittable shuffle join, never a single-task
+    // sort.
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val (tree, _) = planText(
       graft.operators.Dedup.duplicateSpans(docs, "doc_id", "text", minTokens = 20))
-    // one exchange for the h-partition window count, one re-key of the
-    // flagged subset to doc for the island/lag pass; the island running-sum
-    // and the final span groupBy reuse that doc partitioning (no extra
-    // exchange — Window(id)/HashAggregate(id,island) are co-partitioned)
-    "Exchange".r.findAllIn(tree).size shouldBe 2
-    // exactly one Generate: the corpus is posexploded ONCE
-    "Generate".r.findAllIn(tree).size shouldBe 1
+    // partial+final aggregate pair for the frequency groupBy
+    "HashAggregate".r.findAllIn(tree).size should be >= 2
+    // flag-marking join went broadcast (AQE: dup-hash table is tiny here)
+    tree should include("BroadcastHashJoin")
+    // the ONLY Window functions are the per-doc island merge (lag + sum)
+    // over the small flagged set — none keyed by the window hash
+    ("Window".r.findAllIn(tree).size <= 2) shouldBe true
+    tree should not include "CartesianProduct"
   }
 
-  test("span removal: corpus exploded once, canonical pick rides the frequency exchange") {
-    // removeDuplicateSpans adds the canonical-occurrence min(struct(id,pos))
-    // on the SAME Window.partitionBy(hash) as the frequency count (filter
-    // between them only drops whole hash groups), so it must cost no
-    // exchange beyond duplicateSpans' own: 1 window-hash partition + 1
-    // flagged-set re-key to doc + 1 corpus-side hash partition for the
-    // span join-back. A second Generate (re-exploding the corpus for the
-    // canonical pass) or a 4th exchange is the 10^12-file regression.
+  test("span removal: canonical pick rides the frequency groupBy, span join-back sane") {
+    // removeDuplicateSpans reuses flaggedWindows' skew-immune shape — the
+    // canonical-occurrence min(struct(id,pos)) is a second aggregate in
+    // the SAME partial-agg'd groupBy(hash), costing no extra pass — and
+    // adds only the per-doc span join-back. No nested-loop/cartesian
+    // anywhere, no Window keyed by the window hash.
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val (tree, _) = planText(
       graft.operators.Dedup.removeDuplicateSpans(docs, "doc_id", "text", minTokens = 20))
-    "Generate".r.findAllIn(tree).size shouldBe 1
-    ("Exchange".r.findAllIn(tree).size <= 4) shouldBe true
+    "HashAggregate".r.findAllIn(tree).size should be >= 2
+    ("Window".r.findAllIn(tree).size <= 2) shouldBe true
     tree should not include "BroadcastNestedLoopJoin"
     tree should not include "CartesianProduct"
   }
