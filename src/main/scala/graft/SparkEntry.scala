@@ -611,6 +611,25 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_ppl_buckets" -> ((s, _) => {
+      // CCNet head/middle/tail stratification (arXiv:1911.00359): per
+      // PREDICTED language, bucket files by Kneser-Ney perplexity terciles
+      // through the real pipeline scorer. Oracle: DuckDB recomputes the
+      // terciles (quantile_cont) and labels over the expected-verdict
+      // fixture, whose kn_ppl is bit-identical to the pipeline's by the
+      // DocAnalyzer/LangModel parity contract.
+      import graft.corpus.{CorpusGen, CorpusSpec}
+      import graft.pipeline.{FilterConfig, QualityFilter}
+      val corpus = CorpusGen.corpus(s, CorpusSpec(nFiles = 2000)).toDF
+      val v = QualityFilter.verdicts(corpus, FilterConfig())
+        .select(col("repo"), col("path"), col("lang_pred"), col("kn_ppl"))
+      graft.operators.Sampling.quantileBuckets(v, "lang_pred", "kn_ppl",
+          Seq(1.0 / 3, 2.0 / 3), Seq("head", "middle", "tail"))
+        .select(col("repo"), col("path"), col("lang_pred"),
+          round(col("kn_ppl"), 6).as("kn_ppl"), col("bucket"))
+        .orderBy(col("repo"), col("path"))
+    }),
+
     "q_topk_per_group" -> ((s, dir) => {
       // quality-stratified curation: best 10 files per language by quality
       // score, ranked with the bounded-heap TopKPairs aggregate (k rows per
@@ -1295,6 +1314,19 @@ object SparkEntry {
            round(min(q.score), 6) AS min_kept_score
          FROM q JOIN t USING (lang) WHERE q.score >= t.thr
          GROUP BY q.lang ORDER BY q.lang""",
+    "q_ppl_buckets" ->
+      s"""WITH v AS (SELECT repo, path, lang_pred, kn_ppl
+           FROM '${graft.corpus.Fixtures.verdictsPath}/*.parquet'),
+         t AS (SELECT lang_pred,
+                 quantile_cont(kn_ppl, 1.0/3) AS q1,
+                 quantile_cont(kn_ppl, 2.0/3) AS q2
+               FROM v GROUP BY 1)
+         SELECT v.repo, v.path, v.lang_pred, round(v.kn_ppl, 6) AS kn_ppl,
+           CASE WHEN v.kn_ppl IS NULL THEN NULL
+                WHEN v.kn_ppl <= t.q1 THEN 'head'
+                WHEN v.kn_ppl <= t.q2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM v JOIN t USING (lang_pred) ORDER BY v.repo, v.path""",
     "q_topk_per_group" ->
       s"""WITH q AS (SELECT doc_id, lang, $qualityScoreSql AS score FROM documents),
          r AS (SELECT lang, doc_id, score,

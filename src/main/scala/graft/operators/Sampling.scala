@@ -190,6 +190,38 @@ object Sampling {
     kept.drop("__thr")
   }
 
+  /** Per-group quantile BUCKETING — CCNet's head/middle/tail split
+    * (arXiv:1911.00359 §4.3: per-language perplexity terciles stratify the
+    * corpus into quality tiers) generalized to any cut points: adds a
+    * `bucket` column labeling each row by where its score falls among its
+    * group's `qs`-quantiles (`labels(i)` when score <= threshold(qs(i)),
+    * last label above all cuts; null score -> null bucket).
+    *
+    * Scale shape, same as [[quantileFilter]]: ALL cut points come from ONE
+    * |groups|-row aggregate over the scan, broadcast back into a map-side
+    * labeling projection — the corpus itself never shuffles, and adding
+    * more cut points costs nothing but a wider broadcast row. Exact
+    * interpolated percentile (ANSI `quantile_cont` / R-7) for oracle
+    * parity; substitute `percentile_approx` where a per-group sort of
+    * 10^9+ values dominates. */
+  def quantileBuckets(df: DataFrame, groupCol: String, scoreCol: String,
+      qs: Seq[Double], labels: Seq[String]): DataFrame = {
+    require(labels.length == qs.length + 1,
+      s"need ${qs.length + 1} labels for ${qs.length} cut points, got ${labels.length}")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1) &&
+      qs.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      s"cut points must be strictly increasing in (0,1), got $qs")
+    val thrCols = qs.zipWithIndex.map { case (q, i) =>
+      percentile(col(scoreCol), lit(q)).as(s"__thr$i")
+    }
+    val thr = df.groupBy(col(groupCol)).agg(thrCols.head, thrCols.tail: _*)
+    val joined = df.join(broadcast(thr), Seq(groupCol))
+    val labeled = qs.indices.foldLeft(when(col(scoreCol).isNull, lit(null))) {
+      (acc, i) => acc.when(col(scoreCol) <= col(s"__thr$i"), lit(labels(i)))
+    }.otherwise(lit(labels.last))
+    joined.withColumn("bucket", labeled).drop(qs.indices.map(i => s"__thr$i"): _*)
+  }
+
   /** Best-k-per-group selection (quality-stratified curation: "keep the k
     * highest-scoring files per language/repo/source"): ranking via the
     * bounded-heap [[graft.functions.TopKPairs]] aggregate — k rows per

@@ -338,6 +338,33 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     kept.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
   }
 
+  test("quantileBuckets: CCNet tercile labels, null scores null bucket, broadcast plan") {
+    val df = Seq(
+      ("g1", 1L, Some(1.0)), ("g1", 2L, Some(2.0)), ("g1", 3L, Some(3.0)),
+      ("g1", 4L, Some(4.0)), ("g1", 5L, Some(5.0)), ("g1", 6L, Some(6.0)),
+      ("g1", 7L, Some(7.0)), ("g1", 8L, None),
+      ("g2", 9L, Some(10.0))
+    ).toDF("g", "id", "score")
+    val got = Sampling.quantileBuckets(df, "g", "score",
+      Seq(1.0 / 3, 2.0 / 3), Seq("head", "middle", "tail"))
+    // 7 values 1..7: terciles at 3.0 and 5.0 (R-7: rank = q*(n-1) lands
+    // exactly on the 3rd/5th value) -> head {1,2,3}, middle {4,5}, tail {6,7}
+    val byId = got.collect().map(r => r.getLong(1) ->
+      Option(r.getString(3)).orNull).toMap
+    Seq(1L, 2L, 3L).foreach(byId(_) shouldBe "head")
+    Seq(4L, 5L).foreach(byId(_) shouldBe "middle")
+    Seq(6L, 7L).foreach(byId(_) shouldBe "tail")
+    byId(8L) shouldBe null      // null score -> null bucket
+    byId(9L) shouldBe "head"    // single-row group: its value is every quantile
+    // bad shapes rejected up front
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.quantileBuckets(df, "g", "score", Seq(0.5), Seq("a"))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.quantileBuckets(df, "g", "score", Seq(0.7, 0.3), Seq("a", "b", "c"))
+    // threshold side broadcasts — the corpus never shuffles
+    got.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
+
   test("topKPerGroup equals window-rank reference; null scores excluded") {
     val df = Seq(
       ("g1", 1L, Some(0.9)), ("g1", 2L, Some(0.9)), ("g1", 3L, Some(0.5)),
