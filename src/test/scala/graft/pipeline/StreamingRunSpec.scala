@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.corpus.{CorpusGen, CorpusSpec}
+
+/** The streaming twin of the resumable batch job: same verdicts as batch,
+  * per-batch lineage, checkpoint restart that never re-reads processed
+  * files, and an idempotent store write under batch replay. */
+class StreamingRunSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  private val cfg = FilterConfig(numPartitions = 16)
+
+  private def keyed(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("repo"), col("path"), col("keep"),
+        array_join(col("drop_reasons"), ",").as("dr"), col("content_sha256"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getBoolean(2), r.getString(3), r.getString(4))).toMap
+
+  test("streaming run matches batch verdicts; per-batch lineage complete") {
+    val tmp = Files.createTempDirectory("graft-srun").toString
+    val corpus = CorpusGen.corpus(spark, CorpusSpec(nFiles = 300)).toDF
+    // several source files so maxFilesPerTrigger yields several micro-batches
+    corpus.repartition(6).write.parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+
+    val q = StreamingRun.start(spark, s"$tmp/in", schema, cfg,
+      s"$tmp/store", "sjob", s"$tmp/ckpt", maxFilesPerTrigger = Some(2))
+    try q.processAllAvailable() finally q.stop()
+
+    val got = StreamingRun.readVerdicts(spark, s"$tmp/store")
+    val expect = QualityFilter.verdicts(spark.read.parquet(s"$tmp/in"), cfg)
+    keyed(got) shouldBe keyed(expect)
+    got.count() shouldBe 300
+
+    // multiple micro-batches ran; lineage accounts for every row exactly once
+    val lineage = StreamingRun.readLineage(spark, s"$tmp/store")
+    lineage.select("batch_id").distinct().count() should be >= 2L
+    lineage.agg(sum("rows_in")).collect().head.getLong(0) shouldBe 300L
+    val keptFromLineage = lineage.agg(sum("rows_kept")).collect().head.getLong(0)
+    keptFromLineage shouldBe expect.filter(col("keep")).count()
+    // one bounded row per (batch, partition): driver/monitor-sized
+    lineage.groupBy("batch_id", "partition_id").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+  }
+
+  test("checkpoint restart: processed files never re-read, arrivals exactly once") {
+    val tmp = Files.createTempDirectory("graft-srun-restart").toString
+    val corpus = CorpusGen.corpus(spark, CorpusSpec(nFiles = 400)).toDF
+      .withColumn("half", pmod(xxhash64(col("repo"), col("path")), lit(2L)))
+      .persist()
+    try {
+      corpus.filter(col("half") === 0).drop("half").write.parquet(s"$tmp/in")
+      val schema = spark.read.parquet(s"$tmp/in").schema
+      val firstHalf = spark.read.parquet(s"$tmp/in").count()
+
+      val q1 = StreamingRun.start(spark, s"$tmp/in", schema, cfg,
+        s"$tmp/store", "sjob", s"$tmp/ckpt")
+      try q1.processAllAvailable() finally q1.stop()
+      val batches1 = StreamingRun.readLineage(spark, s"$tmp/store")
+        .select("batch_id").distinct().count()
+
+      // second half of the corpus arrives; restart from the SAME checkpoint
+      corpus.filter(col("half") === 1).drop("half")
+        .write.mode("append").parquet(s"$tmp/in")
+      val q2 = StreamingRun.start(spark, s"$tmp/in", schema, cfg,
+        s"$tmp/store", "sjob", s"$tmp/ckpt")
+      try q2.processAllAvailable() finally q2.stop()
+
+      val got = StreamingRun.readVerdicts(spark, s"$tmp/store")
+      got.count() shouldBe 400                              // no duplicates
+      got.select("repo", "path").distinct().count() shouldBe 400
+      // the restart processed ONLY the new files: rows in post-restart
+      // batches equal the second half's size
+      val lineage = StreamingRun.readLineage(spark, s"$tmp/store")
+      val newRows = lineage.filter(col("batch_id") >= batches1)
+        .agg(sum("rows_in")).collect().head.getLong(0)
+      newRows shouldBe (400L - firstHalf)
+    } finally corpus.unpersist()
+  }
+
+  test("a replayed batch rewrites its directory idempotently") {
+    val tmp = Files.createTempDirectory("graft-srun-replay").toString
+    val corpus = CorpusGen.corpus(spark, CorpusSpec(nFiles = 100)).toDF
+    val v = QualityFilter.verdicts(corpus, cfg)
+    StreamingRun.writeBatch(v, 0L, s"$tmp/store", "sjob")
+    val once = keyed(StreamingRun.readVerdicts(spark, s"$tmp/store"))
+    // crash-replay of the same micro-batch: same batchId, same rows
+    StreamingRun.writeBatch(v, 0L, s"$tmp/store", "sjob")
+    val twice = keyed(StreamingRun.readVerdicts(spark, s"$tmp/store"))
+    twice shouldBe once
+    StreamingRun.readVerdicts(spark, s"$tmp/store").count() shouldBe 100
+    StreamingRun.readLineage(spark, s"$tmp/store")
+      .groupBy("batch_id", "partition_id").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+  }
+}
