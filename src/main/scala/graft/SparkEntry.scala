@@ -611,6 +611,20 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_dsir" -> ((s, dir) => {
+      // DSIR importance resampling: fit target (doc_id % 10 == 0) vs raw
+      // hashed-ngram models, score every doc map-only, Gumbel top-50 with
+      // hash-derived noise. Oracle: straight-line mirror materialized by
+      // Fixtures.dsirTopK (shared DsirModel/GumbelNoise code).
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("doc_id") % 10 === 0)
+      graft.operators.Sampling.dsirResample(
+          docs, "doc_id", "text", target, "doc_id", "text", k = 50)
+        .withColumn("gumbel_key", round(col("gumbel_key"), 6))
+        .withColumn("dsir_logw", round(col("dsir_logw"), 6))
+        .orderBy(col("rank"))
+    }),
+
     "q_ppl_buckets" -> ((s, _) => {
       // CCNet head/middle/tail stratification (arXiv:1911.00359): per
       // PREDICTED language, bucket files by Kneser-Ney perplexity terciles
@@ -1314,6 +1328,9 @@ object SparkEntry {
            round(min(q.score), 6) AS min_kept_score
          FROM q JOIN t USING (lang) WHERE q.score >= t.thr
          GROUP BY q.lang ORDER BY q.lang""",
+    "q_dsir" ->
+      s"""SELECT doc_id, rank, gumbel_key, dsir_logw
+          FROM '${graft.corpus.Fixtures.dsirPath}/*.parquet' ORDER BY rank""",
     "q_ppl_buckets" ->
       s"""WITH v AS (SELECT repo, path, lang_pred, kn_ppl
            FROM '${graft.corpus.Fixtures.verdictsPath}/*.parquet'),

@@ -43,6 +43,7 @@ object Fixtures {
   /** Deterministic metric-result history written through the REAL
     * ParquetDqStorage — the trend-metric oracle reads the same parquet. */
   val trendStoragePath = s"$dir/trend_storage"
+  val dsirPath = s"$dir/expected_dsir"
 
   /** 12 hourly observations, exact-binary values (quarters + integers), so
     * both engines aggregate bit-identical inputs. */
@@ -67,6 +68,9 @@ object Fixtures {
       partition_id: Int)
 
   final case class ExpectedSimhashPair(a: Long, b: Long, hamming: Int)
+
+  final case class ExpectedDsir(doc_id: Long, rank: Int, gumbel_key: Double,
+    dsir_logw: Double)
 
   /** Same rounding as Spark's `round(col, 6)` on doubles (HALF_UP via
     * BigDecimal.valueOf) — both sides round bit-identical inputs, so the
@@ -128,6 +132,29 @@ object Fixtures {
 
   /** Writes every fixture, overwriting stale copies. `sfDir` feeds the
     * simhash fixture (it labels the driver's `documents` table). */
+  /** Straight-line DSIR top-k (mirror of `Sampling.dsirResample` defaults:
+    * buckets 4096, sampleCap 10000, salt 0, target = doc_id % 10 == 0). */
+  def dsirTopK(docs: Seq[(Long, String)], k: Int): Seq[ExpectedDsir] = {
+    import graft.textmodel.DsirModel
+    import graft.functions.GumbelNoise
+    val salt = 0L
+    val cap = 10000
+    // Spark `xxhash64(id, lit(salt))`: seed 42, then each child chains
+    def idHash(id: Long): Long = XXH64.hashLong(salt, XXH64.hashLong(id, 42L))
+    def capped(rows: Seq[(Long, String)]): Seq[String] =
+      rows.sortBy(r => idHash(r._1)).take(cap).map(_._2)
+    val model = DsirModel.train(
+      capped(docs.filter(_._1 % 10 == 0)), capped(docs), DsirModel.DefaultBuckets)
+    docs.map { case (id, text) =>
+      val g = model.score(text) - GumbelNoise.noise(id, salt)
+      (id, g)
+    }.sortBy { case (id, g) => (-g, id) }
+      .take(k).zipWithIndex.map { case ((id, g), i) =>
+        ExpectedDsir(id, i + 1, round6(g),
+          round6(g + GumbelNoise.noise(id, salt)))
+      }
+  }
+
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val cfg = FilterConfig()
@@ -151,6 +178,13 @@ object Fixtures {
 
     graft.operators.Multimodal.syntheticMedia(spark, 500L).coalesce(1)
       .write.mode("overwrite").parquet(mediaPath)
+
+    // DSIR resampling: straight-line mirror of Sampling.dsirResample over
+    // the documents table (target = doc_id % 10 == 0, k = 50, defaults) —
+    // same shared DsirModel featurization, same hash-ordered capped
+    // samples, same gumbel keys, same (key + noise) log-weight recovery
+    spark.createDataset(dsirTopK(docs, k = 50)).coalesce(1)
+      .write.mode("overwrite").parquet(dsirPath)
 
     // trend history through the real storage WRITE path (saveMetrics
     // appends, so wipe first to stay deterministic across Verify runs)

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.textmodel.DsirModel
+
+/** Catalyst scalar expression: DSIR importance log-weight of a document —
+  * one tokenize-hash-accumulate pass through the shared
+  * [[graft.textmodel.DsirModel]] path (bit-identical to the training and
+  * fixture-oracle code). The fitted log-ratio table rides inside the
+  * expression (~32 KB at the default 4096 buckets), serialized once per
+  * task with the plan — the per-row work is a pure map-side dot product,
+  * same whole-document-per-call regime as [[DocStatsExpr]] (see
+  * BASELINE.md "Decision: keep … CodegenFallback"). */
+case class DsirScore(child: Expression, model: DsirModel)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.score(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression): DsirScore =
+    copy(child = newChild)
+
+  override def prettyName: String = "dsir_score"
+}
+
+object DsirScore {
+  def apply(c: Column, model: DsirModel): Column =
+    Bridge.column(DsirScore(Bridge.expression(c), model))
+}
+
+/** Deterministic Gumbel noise term for importance RESAMPLING (Gumbel
+  * top-k trick: adding i.i.d. Gumbel noise to log-weights and taking the
+  * top k draws k samples without replacement proportionally to the
+  * weights). Returns `log(-log(u))` for a uniform u derived from the id's
+  * xxhash64 — so the "randomness" is a pure function of (id, salt):
+  * reproducible on any cluster, any retry, any partitioning (the same
+  * contract as [[graft.operators.Sampling]]'s hash sampling). The gumbel
+  * KEY is then `logw - gumbel_noise(id)`. Shared-code parity: the fixture
+  * oracle calls the same [[GumbelNoise.noise]]. */
+case class GumbelNoise(child: Expression, salt: Long)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint id column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    GumbelNoise.noise(input.asInstanceOf[Long], salt)
+
+  override protected def withNewChildInternal(newChild: Expression): GumbelNoise =
+    copy(child = newChild)
+
+  override def prettyName: String = "gumbel_noise"
+}
+
+object GumbelNoise {
+  /** Mirrors Spark's `xxhash64(id, lit(salt))` chain (seed 42), then maps
+    * to a uniform in (0,1) at 1e-6 granularity. */
+  def noise(id: Long, salt: Long): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = XXH64.hashLong(salt, XXH64.hashLong(id, 42L))
+    val m = java.lang.Math.floorMod(h, 1000000L)
+    val u = (m + 0.5) / 1000000.0
+    java.lang.Math.log(-java.lang.Math.log(u))
+  }
+
+  def apply(c: Column, salt: Long): Column =
+    Bridge.column(GumbelNoise(Bridge.expression(c), salt))
+}

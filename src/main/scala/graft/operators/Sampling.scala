@@ -222,6 +222,68 @@ object Sampling {
     joined.withColumn("bucket", labeled).drop(qs.indices.map(i => s"__thr$i"): _*)
   }
 
+  /** DSIR importance resampling (Xie et al., arXiv:2302.03169): select k
+    * documents from the raw corpus distributed like a TARGET corpus, by
+    * (1) fitting hashed-ngram multinomials to bounded samples of both,
+    * (2) scoring every raw document's importance log-weight in one map-only
+    * pass ([[graft.functions.DsirScore]] carries the fitted log-ratio table
+    * inside the expression), and (3) drawing k without replacement via the
+    * Gumbel top-k trick with HASH-derived noise — so the draw is
+    * reproducible on any cluster and any retry, like every other sampler
+    * here.
+    *
+    * Scale shape: model fitting collects `sampleCap` texts per side via
+    * `orderBy(hash).limit` (TakeOrdered — k rows per partition, never a
+    * full sort; cap × avg-doc-size must fit the driver, the paper itself
+    * fits on samples). Selection is ONE corpus scan: map-only scoring into
+    * a single bounded-heap [[graft.functions.TopKPairs]] aggregate — k rows
+    * per partition cross the shuffle, nothing else. The log-weight of each
+    * selected row is recovered from its gumbel key and id arithmetic
+    * rather than a second corpus scan.
+    *
+    * Returns (idCol, rank, gumbel_key, dsir_logw), rank 1..k best-first. */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetIdCol: String, targetTextCol: String,
+      k: Int, buckets: Int = graft.textmodel.DsirModel.DefaultBuckets,
+      sampleCap: Int = 10000, salt: Long = 0L): DataFrame = {
+    val model = dsirModel(df, idCol, textCol, target, targetIdCol,
+      targetTextCol, buckets, sampleCap, salt)
+    import graft.functions.{DsirScore, GumbelNoise}
+    val keyed = df.select(col(idCol),
+      (DsirScore(col(textCol), model) - GumbelNoise(col(idCol), salt)).as("__g"))
+    keyed
+      .agg(graft.functions.api.top_k_pairs(col("__g"), col(idCol), k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("e.id").as(idCol), (col("r") + 1).cast("int").as("rank"),
+        col("e.score").as("gumbel_key"))
+      // logw = key + noise(id): pure arithmetic on the k selected rows —
+      // the fixture oracle mirrors this exact recovery, so float identity
+      // holds even though (lw - n) + n need not equal lw in IEEE754
+      .withColumn("dsir_logw",
+        col("gumbel_key") + GumbelNoise(col(idCol), salt))
+  }
+
+  /** Fits the DSIR log-ratio model from deterministic bounded samples of
+    * the raw and target frames (hash-ordered `limit`, so the sample is a
+    * pure function of ids — cluster-size- and retry-independent). */
+  def dsirModel(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetIdCol: String, targetTextCol: String,
+      buckets: Int = graft.textmodel.DsirModel.DefaultBuckets,
+      sampleCap: Int = 10000, salt: Long = 0L): graft.textmodel.DsirModel = {
+    val raw = sampleTexts(df, idCol, textCol, sampleCap, salt)
+    val tgt = sampleTexts(target, targetIdCol, targetTextCol, sampleCap, salt)
+    graft.textmodel.DsirModel.train(tgt, raw, buckets)
+  }
+
+  /** Deterministic capped text sample: the `sampleCap` rows with the
+    * smallest id-hashes (TakeOrdered — no full sort, no full collect). */
+  private[graft] def sampleTexts(df: DataFrame, idCol: String,
+      textCol: String, cap: Int, salt: Long): Seq[String] =
+    df.select(col(textCol).as("__t"),
+        xxhash64(col(idCol), lit(salt)).as("__h"))
+      .orderBy(col("__h")).limit(cap)
+      .collect().map(_.getString(0)).toSeq
+
   /** Best-k-per-group selection (quality-stratified curation: "keep the k
     * highest-scoring files per language/repo/source"): ranking via the
     * bounded-heap [[graft.functions.TopKPairs]] aggregate — k rows per

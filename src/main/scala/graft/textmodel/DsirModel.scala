@@ -1,0 +1,98 @@
+package graft.textmodel
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSIR-style importance weighting (Xie et al., "Data Selection for
+  * Language Models via Importance Resampling", arXiv:2302.03169): documents
+  * are featurized as hashed word uni+bigram COUNT vectors over `buckets`
+  * buckets; target and raw corpora each fit a smoothed multinomial over the
+  * buckets; a document's importance weight is its log-likelihood ratio
+  *   log w(d) = Σ_f c_d[f] · (log p_target[f] − log p_raw[f]),
+  * i.e. one dot product between the doc's bucket counts and the precomputed
+  * log-ratio table — O(tokens) per document, no per-doc model work.
+  *
+  * Shared-code parity contract (same pattern as [[LangModel]]): the ONE
+  * tokenize-hash-accumulate path below is used by training, by the
+  * distributed scoring expression ([[graft.functions.DsirScore]]), and by
+  * the straight-line fixture oracle, so their float arithmetic is
+  * bit-identical by construction. Training counts are integers (order-free
+  * sums), so distribution estimates don't depend on collection order.
+  */
+final case class DsirModel(logRatio: Array[Double], buckets: Int) {
+  require(logRatio.length == buckets, "log-ratio table must cover every bucket")
+
+  /** Σ over the doc's uni+bigram buckets of logRatio — single left-to-right
+    * pass, fixed accumulation order. */
+  def score(text: String): Double = {
+    var acc = 0.0
+    DsirModel.foreachBucket(text, buckets)(b => acc += logRatio(b))
+    acc
+  }
+}
+
+object DsirModel {
+
+  val DefaultBuckets = 4096
+
+  /** Spark's `xxhash64` of a string (seed 42) — the same hash the engine
+    * uses, so fixtures and expressions can never drift. */
+  private def hashWord(w: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(w), 42L)
+
+  private def bucketOf(h: Long, buckets: Int): Int =
+    java.lang.Math.floorMod(h, buckets.toLong).toInt
+
+  /** Visits the bucket of every word unigram and every adjacent-word bigram
+    * (bigram hash = xxhash64 of the second word's hash seeded by the
+    * first's), in token order — the single shared featurization pass. */
+  def foreachBucket(text: String, buckets: Int)(f: Int => Unit): Unit = {
+    if (text == null) return
+    var prev = 0L
+    var hasPrev = false
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) {
+        val h = hashWord(text.substring(start, i))
+        f(bucketOf(h, buckets))
+        if (hasPrev) f(bucketOf(XXH64.hashLong(h, prev), buckets))
+        prev = h
+        hasPrev = true
+      }
+    }
+  }
+
+  /** Bucket counts over a corpus sample (Long counts: exact, order-free). */
+  def counts(texts: IterableOnce[String], buckets: Int): Array[Long] = {
+    val c = new Array[Long](buckets)
+    texts.iterator.foreach(t => foreachBucket(t, buckets)(b => c(b) += 1L))
+    c
+  }
+
+  /** Fits the log-ratio table from target and raw bucket counts with
+    * add-lambda smoothing (every bucket gets mass even if unseen — a zero
+    * raw bucket would otherwise send weights to +inf). */
+  def train(targetCounts: Array[Long], rawCounts: Array[Long],
+      lambda: Double = 1.0): DsirModel = {
+    require(targetCounts.length == rawCounts.length,
+      "target and raw counts must use the same bucket count")
+    val b = targetCounts.length
+    val tTot = targetCounts.sum.toDouble + lambda * b
+    val rTot = rawCounts.sum.toDouble + lambda * b
+    val ratio = new Array[Double](b)
+    var i = 0
+    while (i < b) {
+      ratio(i) = java.lang.Math.log((targetCounts(i) + lambda) / tTot) -
+        java.lang.Math.log((rawCounts(i) + lambda) / rTot)
+      i += 1
+    }
+    DsirModel(ratio, b)
+  }
+
+  def train(target: Seq[String], raw: Seq[String], buckets: Int): DsirModel =
+    train(counts(target, buckets), counts(raw, buckets))
+}

@@ -338,6 +338,46 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     kept.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
   }
 
+  test("dsirResample: target-like docs win, deterministic, one-scan no-join plan") {
+    import graft.operators.Sampling
+    // two disjoint vocabularies; the target speaks only vocab A
+    val aWords = Seq("alpha", "beta", "gamma", "delta")
+    val bWords = Seq("one", "two", "three", "four")
+    def doc(words: Seq[String], seed: Int): String =
+      (0 until 30).map(i => words((i * 7 + seed) % words.length)).mkString(" ")
+    val raw = ((0L until 40L).map(i => (i, doc(aWords, i.toInt))) ++
+      (40L until 80L).map(i => (i, doc(bWords, i.toInt)))).toDF("id", "text")
+    val target = (1000L until 1010L).map(i => (i, doc(aWords, i.toInt)))
+      .toDF("id", "text")
+
+    val top = Sampling.dsirResample(raw, "id", "text", target, "id", "text", k = 20)
+    val ids = top.select("id").collect().map(_.getLong(0)).toSet
+    // importance weights must pull the selection almost entirely from the
+    // vocab-A half (log-ratio of a B-doc is strongly negative)
+    ids.count(_ < 40L) should be >= 18
+    // ranks are 1..k, keys strictly ordered best-first
+    val keys = top.orderBy(col("rank")).select("gumbel_key")
+      .collect().map(_.getDouble(0))
+    keys.sliding(2).foreach(w => w(0) should be >= w(1))
+    // deterministic end to end
+    val again = Sampling.dsirResample(raw, "id", "text", target, "id", "text", k = 20)
+    again.collect().toSeq shouldBe top.collect().toSeq
+    // scoring + selection is ONE scan: no join anywhere, the only exchange
+    // feeds the single bounded-heap aggregate
+    val tree = top.queryExecution.executedPlan.toString
+    tree should not include "Join"
+    "Exchange".r.findAllIn(tree).size should be <= 2
+    // capped sample is the rows with the smallest id-hashes (straight-line
+    // replication of the TakeOrdered semantics)
+    val got3 = Sampling.sampleTexts(raw, "id", "text", 3, 0L)
+    val expect3 = raw.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, _) =>
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(0L,
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L))
+      }.take(3).map(_._2).toSeq
+    got3 shouldBe expect3
+  }
+
   test("quantileBuckets: CCNet tercile labels, null scores null bucket, broadcast plan") {
     val df = Seq(
       ("g1", 1L, Some(1.0)), ("g1", 2L, Some(2.0)), ("g1", 3L, Some(3.0)),
