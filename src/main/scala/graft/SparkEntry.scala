@@ -611,6 +611,40 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_dedup_lines" -> ((s, dir) => {
+      // C4/RefinedWeb-style line dedup: multi-line content derived from
+      // the Ldd constants (boilerplate header/footer on doc_id strides,
+      // frequent-word newline split) — same construction interpolated
+      // into the DuckDB oracle, which recomputes frequency, canonical
+      // pick, cut, and rebuild from the line STRINGS (a hash bug on the
+      // Spark side would hash-fail).
+      val content = concat(
+        when(col("doc_id") % Ldd.strideHeader === 0,
+          lit(Ldd.header + "\n")).otherwise(lit("")),
+        replace(col("text"), lit(Ldd.splitToken), lit("\n")),
+        when(col("doc_id") % Ldd.strideFooter === 0,
+          lit("\n" + Ldd.footer)).otherwise(lit("")))
+      val docs = t(s, dir, "documents").select(col("doc_id"), content.as("content"))
+      graft.operators.Dedup.dedupLines(docs, "doc_id", "content")
+        .select(col("id").as("doc_id"),
+          sha2(col("text"), 256).as("dedup_sha256"), col("removed_lines"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_bpe_tokens" -> ((s, dir) => {
+      // real BPE: train merges from the corpus word histogram (one
+      // partial-agg'd wordcount + TakeOrdered), count tokens map-only.
+      // Oracle: Fixtures.bpeTokens straight-line mirror (shared BpeModel).
+      import graft.corpus.Fixtures
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.TextAnalysis.bpeTrain(
+        docs, "text", Fixtures.bpeVocabWords, Fixtures.bpeNumMerges)
+      docs.select(col("doc_id"),
+          graft.operators.TextAnalysis.bpeTokenCount(col("text"), model)
+            .as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dsir" -> ((s, dir) => {
       // DSIR importance resampling: fit target (doc_id % 10 == 0) vs raw
       // hashed-ngram models, score every doc map-only, Gumbel top-50 with
@@ -922,6 +956,17 @@ object SparkEntry {
         concat(lit("\n"), repeat(lit(junk), junkRepeats))).otherwise(lit("")),
       when(col("doc_id") % stridePii === 0,
         lit("\n" + piiEmail + "\n" + piiKey + "\n" + piiSecret)).otherwise(lit("")))
+  }
+
+  /** Shared constants for `q_dedup_lines`: injected boilerplate lines and
+    * the newline-split token — one source for the Spark construction and
+    * the DuckDB oracle. */
+  private object Ldd {
+    val header = "// GENERATED FILE - DO NOT MODIFY"
+    val footer = "End of transmission."
+    val strideHeader = 3
+    val strideFooter = 4
+    val splitToken = " table"
   }
 
   /** Shared constants for `q_license_id`: injected license headers (the
@@ -1328,6 +1373,34 @@ object SparkEntry {
            round(min(q.score), 6) AS min_kept_score
          FROM q JOIN t USING (lang) WHERE q.score >= t.thr
          GROUP BY q.lang ORDER BY q.lang""",
+    "q_dedup_lines" ->
+      raw"""WITH c AS (SELECT doc_id,
+             (CASE WHEN doc_id % ${Ldd.strideHeader} = 0 THEN '${Ldd.header}' || chr(10) ELSE '' END)
+             || replace(text, '${Ldd.splitToken}', chr(10))
+             || (CASE WHEN doc_id % ${Ldd.strideFooter} = 0 THEN chr(10) || '${Ldd.footer}' ELSE '' END)
+             AS content FROM documents),
+         l AS (SELECT doc_id,
+             unnest(string_split(content, chr(10))) AS line,
+             generate_subscripts(string_split(content, chr(10)), 1) - 1 AS ln
+           FROM c),
+         e AS (SELECT doc_id, ln, line,
+             count(*) OVER (PARTITION BY line) AS df,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, ln) AS rn
+           FROM l WHERE length(line) >= 1),
+         cuts AS (SELECT doc_id, ln FROM e WHERE df >= 2 AND rn > 1),
+         kept AS (SELECT l.doc_id, l.ln, l.line FROM l
+           LEFT JOIN cuts ON l.doc_id = cuts.doc_id AND l.ln = cuts.ln
+           WHERE cuts.ln IS NULL),
+         reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS txt
+           FROM kept GROUP BY 1),
+         rem AS (SELECT doc_id, count(*) AS removed FROM cuts GROUP BY 1)
+         SELECT c.doc_id, sha256(coalesce(reb.txt, '')) AS dedup_sha256,
+           CAST(coalesce(rem.removed, 0) AS INT) AS removed_lines
+         FROM c LEFT JOIN reb USING (doc_id) LEFT JOIN rem USING (doc_id)
+         ORDER BY c.doc_id""",
+    "q_bpe_tokens" ->
+      s"""SELECT doc_id, bpe_tokens
+          FROM '${graft.corpus.Fixtures.bpePath}/*.parquet' ORDER BY doc_id""",
     "q_dsir" ->
       s"""SELECT doc_id, rank, gumbel_key, dsir_logw
           FROM '${graft.corpus.Fixtures.dsirPath}/*.parquet' ORDER BY rank""",

@@ -44,6 +44,11 @@ object Fixtures {
     * ParquetDqStorage — the trend-metric oracle reads the same parquet. */
   val trendStoragePath = s"$dir/trend_storage"
   val dsirPath = s"$dir/expected_dsir"
+  val bpePath = s"$dir/expected_bpe"
+
+  /** BPE operating point shared by `q_bpe_tokens` and its fixture. */
+  val bpeVocabWords = 500
+  val bpeNumMerges = 60
 
   /** 12 hourly observations, exact-binary values (quarters + integers), so
     * both engines aggregate bit-identical inputs. */
@@ -71,6 +76,8 @@ object Fixtures {
 
   final case class ExpectedDsir(doc_id: Long, rank: Int, gumbel_key: Double,
     dsir_logw: Double)
+
+  final case class ExpectedBpe(doc_id: Long, bpe_tokens: Int)
 
   /** Same rounding as Spark's `round(col, 6)` on doubles (HALF_UP via
     * BigDecimal.valueOf) — both sides round bit-identical inputs, so the
@@ -155,6 +162,18 @@ object Fixtures {
       }
   }
 
+  /** Straight-line BPE mirror of `TextAnalysis.bpeTrain` + `bpeTokenCount`:
+    * same word histogram (split \s+, count, top-`bpeVocabWords` by count
+    * desc then word), same shared [[graft.textmodel.BpeModel]] train/encode. */
+  def bpeTokens(docs: Seq[(Long, String)]): Seq[ExpectedBpe] = {
+    val hist = docs.iterator.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      .foldLeft(scala.collection.mutable.HashMap.empty[String, Long]) {
+        (m, w) => m.update(w, m.getOrElse(w, 0L) + 1L); m
+      }.toSeq.sortBy { case (w, c) => (-c, w) }.take(bpeVocabWords)
+    val model = graft.textmodel.BpeModel.train(hist, bpeNumMerges)
+    docs.map { case (id, t) => ExpectedBpe(id, model.countTokens(t)) }
+  }
+
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val cfg = FilterConfig()
@@ -185,6 +204,9 @@ object Fixtures {
     // samples, same gumbel keys, same (key + noise) log-weight recovery
     spark.createDataset(dsirTopK(docs, k = 50)).coalesce(1)
       .write.mode("overwrite").parquet(dsirPath)
+
+    spark.createDataset(bpeTokens(docs)).coalesce(1)
+      .write.mode("overwrite").parquet(bpePath)
 
     // trend history through the real storage WRITE path (saveMetrics
     // appends, so wipe first to stay deterministic across Verify runs)

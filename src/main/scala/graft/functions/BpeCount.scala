@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.textmodel.BpeModel
+
+/** Catalyst scalar expression: BPE token count of a document under a
+  * trained [[graft.textmodel.BpeModel]] — the merge table rides inside the
+  * expression (a few KB), the per-row work is one whitespace walk +
+  * greedy merge per word through the SAME shared `encodeWord` the fixture
+  * oracle uses. Whole-document-per-call regime, like [[DocStatsExpr]]
+  * (BASELINE.md "Decision: keep … CodegenFallback"). */
+case class BpeCount(child: Expression, model: BpeModel)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.countTokens(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCount =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_count"
+}
+
+object BpeCount {
+  def apply(c: Column, model: BpeModel): Column =
+    Bridge.column(BpeCount(Bridge.expression(c), model))
+}

@@ -397,7 +397,8 @@ object Dedup {
     * split+rejoin round trip).
     *
     * Scale shape: the flagged-set computation is [[duplicateSpans]]' single
-    * corpus-wide exchange (min(struct) rides the same Window as the count);
+    * skew-immune frequency pass (min(struct) is a second aggregate in the
+    * same partial-agg'd groupBy(hash) — see [[flaggedWindows]]);
     * the span cut is a join of the corpus against the merged span list —
     * spans are the RARE side (duplicated text is the minority in a curated
     * corpus), so AQE broadcasts them at small scale and a hash join on id
@@ -419,6 +420,51 @@ object Dedup {
         coalesce(aggregate(col("spans"), lit(0),
           (acc, s) => acc + s("end_tok") - s("start_tok") + lit(1)), lit(0))
           .as("removed_tokens"))
+  }
+
+  /** LINE-level corpus dedup — the C4/RefinedWeb boilerplate-removal move
+    * (C4, arXiv:1910.10683 §2.2 dedups repeated spans corpus-wide at the
+    * line-ish granularity; RefinedWeb/Dolma apply it per line): every line
+    * occurring >= `minDf` times corpus-wide is cut from every document
+    * EXCEPT its canonical occurrence — the lexicographically least
+    * (id, line_no), deterministic and oracle-recomputable. Lines shorter
+    * than `minLineLen` characters are exempt (an empty line is structure,
+    * not boilerplate — cutting all blank lines but one corpus-wide would
+    * mangle every document).
+    *
+    * Scale shape mirrors [[flaggedWindows]]: line frequency (+ canonical
+    * pick) comes from ONE partial-agg'd groupBy over 64-bit line hashes —
+    * map-side combine collapses a line duplicated 10^8 times, no hot-key
+    * task, line TEXT never shuffles for counting — and the minority
+    * duplicated-line table joins back (broadcast under AQE / skew-split).
+    * The cut list then re-keys per doc (small), and the rebuild is a
+    * left join of the corpus against that rare side: documents with
+    * nothing to cut pass through BYTE-IDENTICAL via the null branch,
+    * and the cut itself is codegen'd builtins (split / indexed filter /
+    * array_join), no UDF.
+    *
+    * Returns (id, text, removed_lines). */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2, minLineLen: Int = 1): DataFrame = {
+    require(minDf >= 2, s"a line needs at least 2 occurrences to be a duplicate, got $minDf")
+    def lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("ln", "line")))
+      .filter(length(col("line")) >= minLineLen)
+      .select(col("id"), col("ln"), xxhash64(col("line")).as("h"))
+    val dup = lines.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(struct(col("id"), col("ln"))).as("canon"))
+      .filter(col("c") >= minDf)
+      .select(col("h"), col("canon"))
+    val cuts = lines.join(dup, Seq("h"))
+      .filter(!(col("canon.id") === col("id") && col("canon.ln") === col("ln")))
+      .groupBy(col("id")).agg(collect_set(col("ln")).as("cuts"))
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(cuts, Seq("id"), "left")
+      .select(col("id"),
+        when(col("cuts").isNull, col("text")).otherwise(
+          array_join(filter(split(col("text"), "\n", -1),
+            (_, i) => !array_contains(col("cuts"), i)), "\n")).as("text"),
+        coalesce(size(col("cuts")), lit(0)).as("removed_lines"))
   }
 
   /** Connected components, size-adaptive (the AQE philosophy applied to the

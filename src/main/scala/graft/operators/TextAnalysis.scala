@@ -24,6 +24,31 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]{1,8}|[0-9]{1,4}|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Trains a real BPE tokenizer from the corpus (Sennrich et al.,
+    * arXiv:1508.07909) the way tokenizer libraries do at scale: the corpus
+    * collapses to a WORD HISTOGRAM first — one partial-aggregated word
+    * count (map-side combine absorbs the token explosion; the shuffled
+    * rows are the distinct-word vocabulary, not the corpus), top
+    * `vocabWords` taken via TakeOrdered (k rows per partition, no full
+    * sort) — then the merge loop runs driver-side over the bounded
+    * histogram, bound by vocabulary size, not corpus size. */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      vocabWords: Int, numMerges: Int): graft.textmodel.BpeModel = {
+    val hist = df
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(vocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.textmodel.BpeModel.train(hist, numMerges)
+  }
+
+  /** BPE token count per row under a trained model — map-only, the merge
+    * table rides inside the compiled expression. */
+  def bpeTokenCount(text: Column, model: graft.textmodel.BpeModel): Column =
+    graft.functions.BpeCount(text, model)
+
   /** Quality signals: length, punctuation ratio, stopword ratio, mean word
     * length — composed into a [0,1] score. */
   val stopwords: Seq[String] = Seq(

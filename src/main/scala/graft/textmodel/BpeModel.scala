@@ -1,0 +1,115 @@
+package graft.textmodel
+
+/** Byte-pair-encoding tokenizer: trained from a WORD HISTOGRAM (the
+  * classic Sennrich et al. arXiv:1508.07909 formulation, and how the
+  * mainstream tokenizer libraries train at corpus scale — the corpus
+  * collapses to (word, count) pairs first, so training cost is bound by
+  * the vocabulary, not the corpus).
+  *
+  * Determinism: merge selection breaks count ties by lexicographic pair
+  * order; encoding applies merges in rank order, leftmost occurrence
+  * first. Shared-code parity (same pattern as [[LangModel]]/[[DsirModel]]):
+  * the one `encodeWord` below is used by the distributed counting
+  * expression and the fixture oracle alike.
+  */
+final case class BpeModel(merges: IndexedSeq[(String, String)]) {
+
+  private val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  /** Greedy BPE encode: start from characters; repeatedly merge the
+    * present pair with the LOWEST rank (training order), leftmost first,
+    * until no trained pair remains. */
+  def encodeWord(word: String): Vector[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bestAt = i }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        // merge EVERY non-overlapping occurrence of the best pair, left
+        // to right — same replacement the training iteration applies
+        val (a, b) = merges(best)
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
+  /** BPE token count of a whitespace-tokenized text — one pass, the
+    * per-row work of the distributed counting expression. */
+  def countTokens(text: String): Int = {
+    if (text == null) return 0
+    var total = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) total += encodeWord(text.substring(start, i)).length
+    }
+    total
+  }
+}
+
+object BpeModel {
+
+  /** Trains `numMerges` merges from (word, count) pairs. Standard BPE:
+    * each iteration merges the highest-weighted adjacent symbol pair
+    * across the histogram (ties: lexicographically smallest pair), then
+    * rewrites the histogram's symbol sequences. */
+  def train(wordCounts: Seq[(String, Long)], numMerges: Int): BpeModel = {
+    var words: Seq[(Vector[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = IndexedSeq.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += ((a, b))
+        words = words.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.result(), c)
+          }
+        }
+        m += 1
+      }
+    }
+    BpeModel(merges.result())
+  }
+}

@@ -338,6 +338,66 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     kept.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
   }
 
+  test("dedupLines: canonical survives, exemptions honored, untouched docs byte-identical") {
+    val df = Seq(
+      (1L, "KEEP\ncommon\nunique one"),
+      (2L, "common\nunique two\n\nx"),
+      (3L, "all alone"),
+      (4L, "dup\ndup\ndup")
+    ).toDF("id", "text")
+    val out = Dedup.dedupLines(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // 'common': canonical (1,1) survives, (2,0) cut; intra-doc 'dup' keeps
+    // only its first occurrence; empty line exempt; untouched docs intact
+    out(1L) shouldBe (("KEEP\ncommon\nunique one", 0))
+    out(2L) shouldBe (("unique two\n\nx", 1))
+    out(3L) shouldBe (("all alone", 0))
+    out(4L) shouldBe (("dup", 2))
+    // minDf = 3: a line seen twice is not boilerplate yet
+    Dedup.dedupLines(df, "id", "text", minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      .apply(2L) shouldBe 0
+    // minLineLen exempts short lines from dedup entirely
+    Dedup.dedupLines(df, "id", "text", minLineLen = 10)
+      .agg(sum("removed_lines")).collect().head.getLong(0) shouldBe 0L
+    // skew-immune shape: frequency via partial-agg'd groupBy — no Window
+    // operator anywhere, no cartesian
+    val tree = Dedup.dedupLines(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    tree should not include "Window"
+    tree should not include "CartesianProduct"
+  }
+
+  test("BPE: training learns frequent pairs; greedy encode; counting is map-only") {
+    import graft.textmodel.BpeModel
+    // histogram "aaab"x10, "ab"x5: pair (a,a) weighs 20 vs (a,b) 15 ->
+    // merge 1 = (a,a); after rewrite (a,b) weighs 15 -> merge 2 = (a,b)
+    val model = BpeModel.train(Seq(("aaab", 10L), ("ab", 5L)), 2)
+    model.merges shouldBe IndexedSeq(("a", "a"), ("a", "b"))
+    model.encodeWord("aaab") shouldBe Vector("aa", "ab")
+    model.encodeWord("ab") shouldBe Vector("ab")
+    model.encodeWord("ba") shouldBe Vector("b", "a") // no trained pair
+    model.countTokens("aaab ab  aaab") shouldBe 5
+    model.countTokens("") shouldBe 0
+    // zero merges degenerates to character count per word
+    BpeModel.train(Seq(("abc", 1L)), 0).countTokens("abc de") shouldBe 5
+    // tie-break: equal counts -> lexicographically smallest pair
+    BpeModel.train(Seq(("xy", 3L), ("ab", 3L)), 1)
+      .merges.head shouldBe ("a", "b")
+
+    // corpus-trained model: counting is a map-only projection (the trained
+    // merge table rides in the expression; no shuffle, no join)
+    val m2 = TextAnalysis.bpeTrain(docs, "text", 200, 30)
+    val counted = docs.select(col("doc_id"),
+      TextAnalysis.bpeTokenCount(col("text"), m2).as("n"))
+    counted.queryExecution.executedPlan.toString should not include "Exchange"
+    // merges strictly compress: BPE tokens <= characters, >= whitespace words
+    val row = counted.agg(sum("n")).collect().head.getLong(0)
+    val words = docs.agg(sum(TextAnalysis.tokenCount(col("text"))))
+      .collect().head.getLong(0)
+    row should be >= words
+  }
+
   test("dsirResample: target-like docs win, deterministic, one-scan no-join plan") {
     import graft.operators.Sampling
     // two disjoint vocabularies; the target speaks only vocab A
