@@ -197,6 +197,36 @@ object Dedup {
     minHashLshPairsCounted(df, idCol, textCol, n, tau, bands, rows,
       maxBucket, estimateFilter)._1
 
+  /** Probability that a pair with Jaccard `s` shares at least one of `b`
+    * bands of `r` rows — the LSH S-curve 1-(1-s^r)^b. */
+  def bandingRecall(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Picks the cheapest (bands, rows) whose recall at similarity `tau`
+    * meets `targetRecall`: for each r, the smallest b is forced by the
+    * S-curve (b = ceil(ln(1-recall)/ln(1-tau^r))), so the search is a
+    * 1-D scan over r minimizing signature size b·r — with ties broken
+    * toward LARGER r, because unrelated-pair collisions (the verify-stage
+    * cost that actually hurts at corpus scale, see [[minHashLshPairs]])
+    * scale as b·s^r and r is the exponent. `maxSignature` caps b·r (the
+    * per-doc bytes the candidate stage ships). */
+  def chooseBanding(tau: Double, targetRecall: Double,
+      maxSignature: Int = 512): (Int, Int) = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    val options = (1 to 64).flatMap { r =>
+      val miss = 1.0 - math.pow(tau, r)
+      val b =
+        if (miss <= 0.0) 1
+        else math.ceil(math.log1p(-targetRecall) / math.log(miss)).toInt.max(1)
+      if (b.toLong * r <= maxSignature) Some((b, r)) else None
+    }
+    require(options.nonEmpty,
+      s"no banding meets recall $targetRecall at tau=$tau within $maxSignature hashes")
+    options.minBy { case (b, r) => (b * r, -r) }
+  }
+
   /** [[minHashLshPairs]] plus the pair count the materializing job already
     * produced (no extra job — see [[materializeAndRelease]]). */
   def minHashLshPairsCounted(df: DataFrame, idCol: String, textCol: String,

@@ -338,6 +338,25 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     kept.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
   }
 
+  test("chooseBanding: cheapest (b,r) meeting the S-curve recall target") {
+    // every returned point meets its recall target, and no smaller
+    // signature with the same r would
+    for (tau <- Seq(0.5, 0.7, 0.9); rec <- Seq(0.9, 0.99, 0.999)) {
+      val (b, r) = Dedup.chooseBanding(tau, rec)
+      Dedup.bandingRecall(tau, b, r) should be >= rec
+      if (b > 1) Dedup.bandingRecall(tau, b - 1, r) should be < rec
+    }
+    // the repo default (b=32, r=5) must clear its documented operating
+    // point: tau=0.7 pairs recalled >= 99% (scaladoc: miss ~ 2.8e-3)
+    Dedup.bandingRecall(0.7, 32, 5) should be > 0.99
+    // sharper r wins ties: recall 0.5 at tau 0.7 is met by (1,2) [0.49->no]
+    // -- sanity: returned signature within cap, never degenerate
+    val (b2, r2) = Dedup.chooseBanding(0.7, 0.999, maxSignature = 64)
+    (b2 * r2) should be <= 64
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.chooseBanding(0.99, 0.999999, maxSignature = 2)
+  }
+
   test("dedupLines: canonical survives, exemptions honored, untouched docs byte-identical") {
     val df = Seq(
       (1L, "KEEP\ncommon\nunique one"),
