@@ -611,6 +611,25 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_pq_adc" -> ((s, dir) => {
+      // product quantization: train codebooks on the hash-ordered sample,
+      // compress + ADC-score the corpus against the min-vec_id query in
+      // one map-only scan into a bounded-heap top-50. Oracle:
+      // Fixtures.pqTopK straight-line mirror (shared PqModel code).
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val qid = emb.agg(min(col("vec_id"))).collect().head.getLong(0)
+      val qvec = emb.filter(col("vec_id") === qid)
+        .select(graft.functions.VectorTextExprs.normalize_vec(col("embedding")))
+        .collect().head.getSeq[Double](0).toArray
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding")
+      Similarity.pqTopK(emb, "vec_id", "embedding", model, qvec, k = 50,
+          excludeIds = Set(qid))
+        .select(col("id").as("vec_id"), col("rank"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("rank"))
+    }),
+
     "q_dedup_lines" -> ((s, dir) => {
       // C4/RefinedWeb-style line dedup: multi-line content derived from
       // the Ldd constants (boilerplate header/footer on doc_id strides,
@@ -1373,6 +1392,9 @@ object SparkEntry {
            round(min(q.score), 6) AS min_kept_score
          FROM q JOIN t USING (lang) WHERE q.score >= t.thr
          GROUP BY q.lang ORDER BY q.lang""",
+    "q_pq_adc" ->
+      s"""SELECT vec_id, rank, adc
+          FROM '${graft.corpus.Fixtures.pqPath}/*.parquet' ORDER BY rank""",
     "q_dedup_lines" ->
       raw"""WITH c AS (SELECT doc_id,
              (CASE WHEN doc_id % ${Ldd.strideHeader} = 0 THEN '${Ldd.header}' || chr(10) ELSE '' END)

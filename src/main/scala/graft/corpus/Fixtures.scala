@@ -45,6 +45,7 @@ object Fixtures {
   val trendStoragePath = s"$dir/trend_storage"
   val dsirPath = s"$dir/expected_dsir"
   val bpePath = s"$dir/expected_bpe"
+  val pqPath = s"$dir/expected_pq"
 
   /** BPE operating point shared by `q_bpe_tokens` and its fixture. */
   val bpeVocabWords = 500
@@ -78,6 +79,8 @@ object Fixtures {
     dsir_logw: Double)
 
   final case class ExpectedBpe(doc_id: Long, bpe_tokens: Int)
+
+  final case class ExpectedPq(vec_id: Long, rank: Int, adc: Double)
 
   /** Same rounding as Spark's `round(col, 6)` on doubles (HALF_UP via
     * BigDecimal.valueOf) — both sides round bit-identical inputs, so the
@@ -174,6 +177,39 @@ object Fixtures {
     docs.map { case (id, t) => ExpectedBpe(id, model.countTokens(t)) }
   }
 
+  /** Straight-line PQ ADC top-k — mirror of `Similarity.pqTrain`/`pqTopK`
+    * defaults (m=8, k=16, sampleCap 10000, salt 0, iters 10; query = the
+    * minimum vec_id's normalized embedding, excluded from ranking). The
+    * normalize loop mirrors NormalizeVec's eval exactly; train/encode/
+    * lut/adc ARE the shared PqModel code. */
+  def pqTopK(vecs: Seq[(Long, Array[Float])], k: Int): Seq[ExpectedPq] = {
+    import graft.operators.PqModel
+    def normalize(v: Array[Float]): Array[Double] = {
+      val d = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+      var acc = 0.0
+      i = 0
+      while (i < d.length) { acc += d(i) * d(i); i += 1 }
+      val n = math.sqrt(acc)
+      i = 0
+      while (i < d.length) { d(i) = d(i) / n; i += 1 }
+      d
+    }
+    val salt = 0L
+    def idHash(id: Long): Long = XXH64.hashLong(salt, XXH64.hashLong(id, 42L))
+    val norm = vecs.map { case (id, v) => (id, normalize(v)) }
+    val sample = norm.sortBy(x => idHash(x._1)).take(10000).map(_._2)
+    val model = PqModel.train(sample, m = 8, k = 16, iters = 10)
+    val qid = vecs.map(_._1).min
+    val table = model.lut(norm.find(_._1 == qid).get._2)
+    norm.filter(_._1 != qid)
+      .map { case (id, v) => (id, model.adc(model.encode(v), table)) }
+      .sortBy { case (id, a) => (-a, id) }
+      .take(k).zipWithIndex
+      .map { case ((id, a), i) => ExpectedPq(id, i + 1, round6(a)) }
+  }
+
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val cfg = FilterConfig()
@@ -207,6 +243,12 @@ object Fixtures {
 
     spark.createDataset(bpeTokens(docs)).coalesce(1)
       .write.mode("overwrite").parquet(bpePath)
+
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    spark.createDataset(pqTopK(vecs, 50)).coalesce(1)
+      .write.mode("overwrite").parquet(pqPath)
 
     // trend history through the real storage WRITE path (saveMetrics
     // appends, so wipe first to stay deterministic across Verify runs)

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+import graft.operators.PqModel
+
+/** PQ encoding as a Catalyst expression: array<double> vector → array<int>
+  * of m codes through the shared [[graft.operators.PqModel.encode]]. The
+  * codebooks ride inside the expression (m·k·dsub doubles — ~8 KB at the
+  * default 8×16×8), serialized once per task. Null elements → null result
+  * (same contract as [[VectorTextExprs]]' NormalizeVec). */
+case class PqEncode(child: Expression, model: PqModel)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val d = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      d(i) = v.getDouble(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(model.encode(d))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_encode"
+}
+
+object PqEncode {
+  def apply(c: Column, model: PqModel): Column =
+    Bridge.column(PqEncode(Bridge.expression(c), model))
+}
+
+/** Asymmetric-distance scoring of PQ codes against ONE query: the m×k
+  * inner-product table is built once on the driver and rides in the
+  * expression; each row costs m array lookups. */
+case class PqAdc(child: Expression, table: Array[Double], m: Int, k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<int> codes, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var sub = 0
+    while (sub < m) { acc += table(sub * k + codes.getInt(sub)); sub += 1 }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdc =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_adc"
+}
+
+object PqAdc {
+  def apply(c: Column, model: PqModel, query: Array[Double]): Column =
+    Bridge.column(PqAdc(Bridge.expression(c), model.lut(query), model.m, model.k))
+}

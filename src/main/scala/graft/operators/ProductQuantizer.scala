@@ -1,0 +1,145 @@
+package graft.operators
+
+/** Product quantization (Jegou, Douze, Schmid — "Product Quantization for
+  * Nearest Neighbor Search", IEEE TPAMI 33(1), 2011): a d-dim vector
+  * splits into `m` contiguous subvectors, each quantized independently to
+  * one of `k` learned centroids — the vector compresses to m small codes
+  * (64-dim float → 8 bytes at m=8/k<=256, a 32x memory cut), and a query
+  * scores a compressed vector ASYMMETRICALLY: precompute the m×k table of
+  * query-subvector · centroid inner products once per query, then every
+  * candidate costs m table lookups instead of d multiplies. This is the
+  * memory side of the canonical web-scale ANN stack (IVF for scan
+  * pruning — [[Similarity.ivfTopK]] — and PQ for residency: at 10^12
+  * vectors the raw floats don't fit any cluster's RAM; the codes do).
+  *
+  * Everything here is deterministic and Spark-free, shared verbatim by the
+  * distributed expressions ([[graft.functions.PqEncode]] /
+  * [[graft.functions.PqAdc]]) and the straight-line fixture oracle (the
+  * [[graft.textmodel.DsirModel]] parity pattern): centroid init is the
+  * first k distinct subvectors in sample order, Lloyd runs a FIXED
+  * iteration count with ties to the smaller code and empty clusters
+  * keeping their centroid, and every accumulation is left-to-right.
+  */
+final case class PqModel(codebooks: Vector[Vector[Array[Double]]]) {
+  val m: Int = codebooks.length
+  val k: Int = codebooks.head.length
+  val dsub: Int = codebooks.head.head.length
+  def dim: Int = m * dsub
+
+  /** Per-subspace L2 argmin (strict improvement → smallest code on ties). */
+  def encode(v: Array[Double]): Array[Int] = {
+    require(v.length == dim, s"expected $dim dims, got ${v.length}")
+    val codes = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val cb = codebooks(sub)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cent = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = v(sub * dsub + i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(sub) = best
+      sub += 1
+    }
+    codes
+  }
+
+  /** Flattened m×k lookup table of query-subvector · centroid inner
+    * products — built once per query, O(d·k). */
+  def lut(query: Array[Double]): Array[Double] = {
+    require(query.length == dim, s"expected $dim dims, got ${query.length}")
+    val t = new Array[Double](m * k)
+    var sub = 0
+    while (sub < m) {
+      var c = 0
+      while (c < k) {
+        val cent = codebooks(sub)(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) { acc += query(sub * dsub + i) * cent(i); i += 1 }
+        t(sub * k + c) = acc
+        c += 1
+      }
+      sub += 1
+    }
+    t
+  }
+
+  /** Asymmetric-distance score: m table lookups per candidate. */
+  def adc(codes: Array[Int], table: Array[Double]): Double = {
+    var acc = 0.0
+    var sub = 0
+    while (sub < m) { acc += table(sub * k + codes(sub)); sub += 1 }
+    acc
+  }
+}
+
+object PqModel {
+
+  /** Lloyd k-means per subspace over the (driver-resident, bounded)
+    * training sample. Deterministic by construction — see class doc. */
+  def train(sample: Seq[Array[Double]], m: Int, k: Int,
+      iters: Int = 10): PqModel = {
+    require(sample.nonEmpty, "PQ training needs a non-empty sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val books = (0 until m).map { sub =>
+      val subs = sample.map { v =>
+        val a = new Array[Double](dsub)
+        System.arraycopy(v, sub * dsub, a, 0, dsub)
+        a
+      }
+      // init: first k distinct subvectors in sample order (pad by cycling
+      // if the sample has fewer distinct points than centroids)
+      val distinct = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      subs.iterator.takeWhile(_ => distinct.length < k).foreach { s =>
+        if (seen.add(s.toSeq)) distinct += s
+      }
+      var cents = Array.tabulate(k)(i => distinct(i % distinct.length).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Long](k)
+        subs.foreach { s =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0
+            var i = 0
+            while (i < dsub) { val x = s(i) - cents(c)(i); d += x * x; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += s(i); i += 1 }
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0L) cents(c) // empty cluster keeps its centroid
+          else {
+            val a = new Array[Double](dsub)
+            var i = 0
+            while (i < dsub) { a(i) = sums(c)(i) / counts(c); i += 1 }
+            a
+          }
+        }
+        it += 1
+      }
+      cents.toVector
+    }
+    PqModel(books.toVector)
+  }
+}

@@ -269,4 +269,47 @@ object Similarity {
     n.unpersist(blocking = false)
     result
   }
+
+  /** Trains a [[PqModel]] on a deterministic bounded sample of NORMALIZED
+    * vectors (hash-ordered `limit` → TakeOrdered, k rows per partition;
+    * PQ codebooks, like IVF centroids, are fit on samples by design). */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, sampleCap: Int = 10000,
+      salt: Long = 0L, iters: Int = 10): PqModel = {
+    val sample = normalized(df, idCol, vecCol)
+      .select(col("nv"), xxhash64(col("id"), lit(salt)).as("__h"))
+      .orderBy(col("__h")).limit(sampleCap)
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    PqModel.train(sample, m, k, iters)
+  }
+
+  /** Compressed corpus representation: (id, codes) — m ints per vector in
+    * one map-only projection; at rest this is the 10^12-vector RAM story
+    * (8 codes vs 64 floats per vector). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    normalized(df, idCol, vecCol).select(col("id"),
+      graft.functions.PqEncode(col("nv"), model).as("codes"))
+
+  /** Approximate top-k for one query vector over PQ codes: the m×k
+    * inner-product table is built once driver-side; the corpus scan is
+    * encode+ADC fused map-only into a single bounded-heap aggregate —
+    * k rows per partition cross the shuffle, nothing else. Returns
+    * (idCol, rank, adc). `query` must be normalized to the same scale as
+    * the corpus (use the raw embedding of a corpus row and normalize). */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, query: Array[Double], k: Int,
+      excludeIds: Set[Long] = Set.empty): DataFrame = {
+    val coded = pqEncode(corpus, idCol, vecCol, model)
+      .filter(col("codes").isNotNull)
+      .filter(if (excludeIds.isEmpty) lit(true)
+        else !col("id").isInCollection(excludeIds.map(java.lang.Long.valueOf)))
+      .select(col("id"),
+        graft.functions.PqAdc(col("codes"), model, query).as("adc"))
+    coded
+      .agg(graft.functions.api.top_k_pairs(col("adc"), col("id"), k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("e.id").as("id"), (col("r") + 1).cast("int").as("rank"),
+        col("e.score").as("adc"))
+  }
 }

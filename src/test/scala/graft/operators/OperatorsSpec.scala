@@ -338,6 +338,40 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     kept.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
   }
 
+  test("PQ: codes reconstruct centroids, ADC tracks cosine, top-k recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16)
+    model.m shouldBe 8
+    model.k shouldBe 16
+    model.dim shouldBe 64
+    // a vector assembled FROM centroids encodes exactly to those centroids
+    val v = (0 until 8).flatMap(sub => model.codebooks(sub)(3 + sub % 4)).toArray
+    model.encode(v).toSeq shouldBe (0 until 8).map(sub => 3 + sub % 4)
+    // ADC == exact dot for that losslessly-quantized vector
+    val q = Array.fill(64)(0.125)
+    val exact = v.zip(q).map { case (a, b) => a * b }.sum
+    model.adc(model.encode(v), model.lut(q)) shouldBe exact +- 1e-9
+    // approximate ranking agrees with exact cosine ranking: ADC top-10
+    // overlaps brute-force top-10 by at least half (64-dim -> 8x16 codes
+    // is aggressive 32x compression; overlap is the spec, not identity)
+    val qid = emb.agg(min(col("vec_id"))).collect().head.getLong(0)
+    val qvec = emb.filter(col("vec_id") === qid)
+      .select(graft.functions.VectorTextExprs.normalize_vec(col("embedding")))
+      .collect().head.getSeq[Double](0).toArray
+    val approx = Similarity.pqTopK(emb, "vec_id", "embedding", model, qvec,
+        k = 10, excludeIds = Set(qid))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exactTop = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === qid), "vec_id", "embedding", 10)
+      .select("neighbor").collect().map(_.getLong(0)).toSet
+    (approx intersect exactTop).size should be >= 5
+    // one-scan shape: no join, single exchange into the bounded heap
+    val tree = Similarity.pqTopK(emb, "vec_id", "embedding", model, qvec, 10)
+      .queryExecution.executedPlan.toString
+    tree should not include "Join"
+    "Exchange".r.findAllIn(tree).size should be <= 2
+  }
+
   test("chooseBanding: cheapest (b,r) meeting the S-curve recall target") {
     // every returned point meets its recall target, and no smaller
     // signature with the same r would
