@@ -611,6 +611,27 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_ivf_pq" -> ((s, dir) => {
+      // the canonical IVF+PQ ANN read path: deterministic coarse routing
+      // (m=1 Lloyd), nProbe=4 of 16 lists filtered out BEFORE scoring,
+      // fine-PQ ADC into a bounded heap — one scan, no join. Oracle:
+      // Fixtures.ivfPqTopK straight-line mirror (shared PqModel +
+      // probeLists code).
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val qid = emb.agg(min(col("vec_id"))).collect().head.getLong(0)
+      val qvec = emb.filter(col("vec_id") === qid)
+        .select(graft.functions.VectorTextExprs.normalize_vec(col("embedding")))
+        .collect().head.getSeq[Double](0).toArray
+      val coarse = Similarity.coarseTrain(emb, "vec_id", "embedding", nLists = 16)
+      val pq = Similarity.pqTrain(emb, "vec_id", "embedding")
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", coarse, pq, qvec,
+          k = 50, nProbe = 4, excludeIds = Set(qid))
+        .select(col("id").as("vec_id"), col("rank"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("rank"))
+    }),
+
     "q_pq_adc" -> ((s, dir) => {
       // product quantization: train codebooks on the hash-ordered sample,
       // compress + ADC-score the corpus against the min-vec_id query in
@@ -1392,6 +1413,9 @@ object SparkEntry {
            round(min(q.score), 6) AS min_kept_score
          FROM q JOIN t USING (lang) WHERE q.score >= t.thr
          GROUP BY q.lang ORDER BY q.lang""",
+    "q_ivf_pq" ->
+      s"""SELECT vec_id, rank, adc
+          FROM '${graft.corpus.Fixtures.ivfPqPath}/*.parquet' ORDER BY rank""",
     "q_pq_adc" ->
       s"""SELECT vec_id, rank, adc
           FROM '${graft.corpus.Fixtures.pqPath}/*.parquet' ORDER BY rank""",

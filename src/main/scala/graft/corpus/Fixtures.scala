@@ -46,6 +46,7 @@ object Fixtures {
   val dsirPath = s"$dir/expected_dsir"
   val bpePath = s"$dir/expected_bpe"
   val pqPath = s"$dir/expected_pq"
+  val ivfPqPath = s"$dir/expected_ivf_pq"
 
   /** BPE operating point shared by `q_bpe_tokens` and its fixture. */
   val bpeVocabWords = 500
@@ -81,6 +82,8 @@ object Fixtures {
   final case class ExpectedBpe(doc_id: Long, bpe_tokens: Int)
 
   final case class ExpectedPq(vec_id: Long, rank: Int, adc: Double)
+
+  final case class ExpectedIvfPq(vec_id: Long, rank: Int, adc: Double)
 
   /** Same rounding as Spark's `round(col, 6)` on doubles (HALF_UP via
     * BigDecimal.valueOf) — both sides round bit-identical inputs, so the
@@ -182,32 +185,60 @@ object Fixtures {
     * minimum vec_id's normalized embedding, excluded from ranking). The
     * normalize loop mirrors NormalizeVec's eval exactly; train/encode/
     * lut/adc ARE the shared PqModel code. */
+  private def pqNormalize(v: Array[Float]): Array[Double] = {
+    val d = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+    var acc = 0.0
+    i = 0
+    while (i < d.length) { acc += d(i) * d(i); i += 1 }
+    val n = math.sqrt(acc)
+    i = 0
+    while (i < d.length) { d(i) = d(i) / n; i += 1 }
+    d
+  }
+
+  /** Normalized vectors + the hash-ordered training sample + query id —
+    * shared setup of the two PQ fixtures (mirrors `Similarity.pqTrain`'s
+    * sampling: salt 0, cap 10000). */
+  private def pqSetup(vecs: Seq[(Long, Array[Float])])
+      : (Seq[(Long, Array[Double])], Seq[Array[Double]], Long) = {
+    def idHash(id: Long): Long = XXH64.hashLong(0L, XXH64.hashLong(id, 42L))
+    val norm = vecs.map { case (id, v) => (id, pqNormalize(v)) }
+    (norm, norm.sortBy(x => idHash(x._1)).take(10000).map(_._2),
+      vecs.map(_._1).min)
+  }
+
   def pqTopK(vecs: Seq[(Long, Array[Float])], k: Int): Seq[ExpectedPq] = {
     import graft.operators.PqModel
-    def normalize(v: Array[Float]): Array[Double] = {
-      val d = new Array[Double](v.length)
-      var i = 0
-      while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
-      var acc = 0.0
-      i = 0
-      while (i < d.length) { acc += d(i) * d(i); i += 1 }
-      val n = math.sqrt(acc)
-      i = 0
-      while (i < d.length) { d(i) = d(i) / n; i += 1 }
-      d
-    }
-    val salt = 0L
-    def idHash(id: Long): Long = XXH64.hashLong(salt, XXH64.hashLong(id, 42L))
-    val norm = vecs.map { case (id, v) => (id, normalize(v)) }
-    val sample = norm.sortBy(x => idHash(x._1)).take(10000).map(_._2)
+    val (norm, sample, qid) = pqSetup(vecs)
     val model = PqModel.train(sample, m = 8, k = 16, iters = 10)
-    val qid = vecs.map(_._1).min
     val table = model.lut(norm.find(_._1 == qid).get._2)
     norm.filter(_._1 != qid)
       .map { case (id, v) => (id, model.adc(model.encode(v), table)) }
       .sortBy { case (id, a) => (-a, id) }
       .take(k).zipWithIndex
       .map { case ((id, a), i) => ExpectedPq(id, i + 1, round6(a)) }
+  }
+
+  /** Straight-line IVF+PQ — mirror of `Similarity.ivfPqTopK` at the
+    * q_ivf_pq operating point (nLists 16, nProbe 4, fine m=8/k=16):
+    * coarse routing and probing call the SAME shared code
+    * (`PqModel.encode`, `Similarity.probeLists`). */
+  def ivfPqTopK(vecs: Seq[(Long, Array[Float])], k: Int): Seq[ExpectedIvfPq] = {
+    import graft.operators.{PqModel, Similarity}
+    val (norm, sample, qid) = pqSetup(vecs)
+    val coarse = PqModel.train(sample, m = 1, k = 16, iters = 10)
+    val pq = PqModel.train(sample, m = 8, k = 16, iters = 10)
+    val query = norm.find(_._1 == qid).get._2
+    val lists = Similarity.probeLists(coarse, query, nProbe = 4).toSet
+    val table = pq.lut(query)
+    norm.filter(_._1 != qid)
+      .filter { case (_, v) => lists.contains(coarse.encode(v)(0)) }
+      .map { case (id, v) => (id, pq.adc(pq.encode(v), table)) }
+      .sortBy { case (id, a) => (-a, id) }
+      .take(k).zipWithIndex
+      .map { case ((id, a), i) => ExpectedIvfPq(id, i + 1, round6(a)) }
   }
 
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
@@ -249,6 +280,8 @@ object Fixtures {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     spark.createDataset(pqTopK(vecs, 50)).coalesce(1)
       .write.mode("overwrite").parquet(pqPath)
+    spark.createDataset(ivfPqTopK(vecs, 50)).coalesce(1)
+      .write.mode("overwrite").parquet(ivfPqPath)
 
     // trend history through the real storage WRITE path (saveMetrics
     // appends, so wipe first to stay deterministic across Verify runs)

@@ -291,6 +291,57 @@ object Similarity {
     normalized(df, idCol, vecCol).select(col("id"),
       graft.functions.PqEncode(col("nv"), model).as("codes"))
 
+  /** Deterministic coarse quantizer for IVF routing: k-means over WHOLE
+    * vectors — [[PqModel.train]] with a single subspace, so the same
+    * shared deterministic Lloyd drives both quantization levels (the
+    * Spark-ML-based [[trainCentroids]]/[[ivfTopK]] path stays as the
+    * library-integration variant; this one is fixture-mirrorable). */
+  def coarseTrain(df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, sampleCap: Int = 10000, salt: Long = 0L,
+      iters: Int = 10): PqModel =
+    pqTrain(df, idCol, vecCol, m = 1, k = nLists, sampleCap, salt, iters)
+
+  /** Which `nProbe` posting lists a query inspects: smallest L2 distance
+    * to the coarse centroids, ties to the smaller list index — driver-side
+    * arithmetic over nLists centroids. */
+  def probeLists(coarse: PqModel, query: Array[Double], nProbe: Int): Seq[Int] = {
+    require(coarse.m == 1, "coarse quantizer must be a single-subspace PqModel")
+    coarse.codebooks.head.zipWithIndex.map { case (cent, idx) =>
+      var d = 0.0
+      var i = 0
+      while (i < cent.length) { val x = query(i) - cent(i); d += x * x; i += 1 }
+      (d, idx)
+    }.sortBy { case (d, idx) => (d, idx) }.take(nProbe).map(_._2)
+  }
+
+  /** The canonical web-scale ANN read path — IVF list pruning + PQ
+    * compression (Jegou et al. §V combine them for exactly this reason):
+    * every corpus vector routes to its nearest coarse centroid (one
+    * map-only [[graft.functions.PqEncode]] with the m=1 coarse model),
+    * non-probed lists are FILTERED OUT before any scoring work, and the
+    * survivors ADC-score through the fine model into one bounded heap.
+    * Still one scan, no join; at 10^12 vectors the list filter is the
+    * difference between scanning everything and scanning
+    * ~nProbe/nLists of it, and the codes are what fit in RAM. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: PqModel, pq: PqModel, query: Array[Double], k: Int,
+      nProbe: Int, excludeIds: Set[Long] = Set.empty): DataFrame = {
+    val lists = probeLists(coarse, query, nProbe)
+    val n = normalized(corpus, idCol, vecCol)
+      .filter(if (excludeIds.isEmpty) lit(true)
+        else !col("id").isInCollection(excludeIds.map(java.lang.Long.valueOf)))
+      .withColumn("list",
+        element_at(graft.functions.PqEncode(col("nv"), coarse), 1))
+      .filter(col("list").isInCollection(lists.map(Integer.valueOf)))
+      .select(col("id"),
+        graft.functions.PqAdc(
+          graft.functions.PqEncode(col("nv"), pq), pq, query).as("adc"))
+    n.agg(graft.functions.api.top_k_pairs(col("adc"), col("id"), k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("e.id").as("id"), (col("r") + 1).cast("int").as("rank"),
+        col("e.score").as("adc"))
+  }
+
   /** Approximate top-k for one query vector over PQ codes: the m×k
     * inner-product table is built once driver-side; the corpus scan is
     * encode+ADC fused map-only into a single bounded-heap aggregate —
