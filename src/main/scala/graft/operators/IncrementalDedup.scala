@@ -86,17 +86,53 @@ object IncrementalDedup {
     writeSignatures(df, idCol, textCol, dir, n, bands, rows, SaveMode.Append)
   }
 
+  /** Streaming-friendly index init: metadata + EMPTY seed partitions under
+    * `batch=init`, so [[pairsAgainstIndex]] reads a well-formed (if empty)
+    * index before the first batch lands. A streaming index uses ONLY the
+    * batch-scoped writes below (never [[appendToIndex]]'s flat appends —
+    * parquet partition discovery rejects mixed layouts). */
+  def initIndex(spark: SparkSession, dir: String, idType: org.apache.spark.sql.types.DataType,
+      n: Int = 3, bands: Int = 32, rows: Int = 5): Unit = {
+    import spark.implicits._
+    Seq((n, bands, rows)).toDF("n", "bands", "rows")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaDir(dir))
+    // repartition(1): an empty 0-partition frame writes no part file at
+    // all (just _SUCCESS), leaving the seed dir schema-less and unreadable
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("id", idType, nullable = false)
+        .add("text", org.apache.spark.sql.types.StringType))
+      .repartition(1)
+    writeSignatures(empty, "id", "text", dir, n, bands, rows,
+      SaveMode.Overwrite, subdir = Some("init"))
+  }
+
+  /** Append a batch to a streaming-layout index IDEMPOTENTLY: the batch's
+    * signatures land under `batch=<tag>` with overwrite, so a crash-replay
+    * of the same micro-batch rewrites its own partition instead of
+    * double-appending (the [[graft.pipeline.StreamingRun]] store
+    * contract, applied to dedup state). */
+  def appendBatchToIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, batchTag: String): Unit = {
+    val (n, bands, rows) = readMeta(df.sparkSession, dir)
+    writeSignatures(df, idCol, textCol, dir, n, bands, rows,
+      SaveMode.Overwrite, subdir = Some(batchTag))
+  }
+
   private def writeSignatures(df: DataFrame, idCol: String, textCol: String,
-      dir: String, n: Int, bands: Int, rows: Int, mode: SaveMode): Unit = {
+      dir: String, n: Int, bands: Int, rows: Int, mode: SaveMode,
+      subdir: Option[String] = None): Unit = {
     // persist: the signature pass feeds two writes (docs + bands); without
     // it the shingle+minhash CPU — the expensive part — would run twice
     val sigs = signatures(df, idCol, textCol, n, bands, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val suffix = subdir.map(t => s"/batch=$t").getOrElse("")
     try {
       sigs.select("id", "sz", "sh", "sig")
-        .write.mode(mode).parquet(docsDir(dir))
+        .write.mode(mode).parquet(docsDir(dir) + suffix)
       sigs.select(col("id"), explode(col("bands")).as("band"))
-        .write.mode(mode).parquet(bandsDir(dir))
+        .write.mode(mode).parquet(bandsDir(dir) + suffix)
     } finally sigs.unpersist(blocking = false)
   }
 

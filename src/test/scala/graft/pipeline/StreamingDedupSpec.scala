@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.operators.IncrementalDedup
+
+/** The online near-dup gate: admission decisions against the accepted
+  * index, replay idempotence, and checkpointed streaming wiring. */
+class StreamingDedupSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$prefix$i")
+
+  // 50-word base; doc2 = base with the last 4 words changed (word-3gram
+  // jaccard ~0.85); doc3 = doc2 with the FIRST 10 changed (j(3,2) ~0.66,
+  // j(3,1) ~0.55 — above/below the spec's tau=0.6 respectively)
+  private val base = words("w", 50)
+  private val doc1 = base.mkString(" ")
+  private val doc2 = (base.take(46) ++ words("x", 4)).mkString(" ")
+  private val doc3 = (words("y", 10) ++ base.slice(10, 46) ++ words("x", 4)).mkString(" ")
+  private val doc5 = words("u", 50).mkString(" ")
+  private val doc8 = words("v", 50).mkString(" ")
+
+  test("admission policy: index wins, min-id peer wins, rejected docs don't recruit") {
+    val tmp = Files.createTempDirectory("graft-sdedup").toString
+    val (indexDir, storeDir) = (s"$tmp/index", s"$tmp/store")
+    // r=3/b=64 banding: candidate recall ~1 down to j~0.5; verification
+    // exactness then enforces tau precisely
+    IncrementalDedup.initIndex(spark, indexDir,
+      org.apache.spark.sql.types.LongType, n = 3, bands = 64, rows = 3)
+
+    val batch0 = Seq((1L, doc1), (2L, doc2), (5L, doc5), (6L, doc5))
+      .toDF("id", "text")
+    StreamingDedup.processBatch(batch0, 0L, "id", "text", indexDir, storeDir, tau = 0.6)
+    // 2 near-dups 1 (min-id peer), 6 duplicates 5 -> both rejected
+    StreamingDedup.readAccepted(spark, storeDir)
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 5L)
+    StreamingDedup.readRejected(spark, storeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((2L, 1L), (6L, 5L))
+
+    val batch1 = Seq((3L, doc3), (7L, doc1), (8L, doc8)).toDF("id", "text")
+    StreamingDedup.processBatch(batch1, 1L, "id", "text", indexDir, storeDir, tau = 0.6)
+    val accepted = StreamingDedup.readAccepted(spark, storeDir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 7 is an exact copy of index member 1 -> rejected. 3 near-dups ONLY
+    // the REJECTED doc 2 (j(3,1) < tau), and rejected docs don't recruit:
+    // 3 is ADMITTED — the online-gate semantics, not connected components
+    accepted shouldBe Set(1L, 5L, 3L, 8L)
+    StreamingDedup.readRejected(spark, storeDir)
+      .filter(col("batch") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((7L, 1L))
+
+    // crash-replay of batch 1: same decisions, stores rewritten not doubled
+    StreamingDedup.processBatch(batch1, 1L, "id", "text", indexDir, storeDir, tau = 0.6)
+    StreamingDedup.readAccepted(spark, storeDir)
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 5L, 3L, 8L)
+    StreamingDedup.readAccepted(spark, storeDir).count() shouldBe 4
+    // the index holds exactly the accepted docs (plus the empty seed)
+    spark.read.parquet(s"$indexDir/docs")
+      .select("id").distinct().count() shouldBe 4
+  }
+
+  test("checkpointed stream: gate runs per micro-batch, restart resumes") {
+    val tmp = Files.createTempDirectory("graft-sdedup-stream").toString
+    val (indexDir, storeDir) = (s"$tmp/index", s"$tmp/store")
+    IncrementalDedup.initIndex(spark, indexDir,
+      org.apache.spark.sql.types.LongType, n = 3, bands = 64, rows = 3)
+    Seq((1L, doc1), (2L, doc2)).toDF("id", "text").write.parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+
+    val q1 = StreamingDedup.start(spark, s"$tmp/in", schema, "id", "text",
+      indexDir, storeDir, s"$tmp/ckpt", tau = 0.6)
+    try q1.processAllAvailable() finally q1.stop()
+    StreamingDedup.readAccepted(spark, storeDir)
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+
+    // new arrivals; restart from the same checkpoint processes ONLY them
+    Seq((7L, doc1), (8L, doc8)).toDF("id", "text")
+      .write.mode("append").parquet(s"$tmp/in")
+    val q2 = StreamingDedup.start(spark, s"$tmp/in", schema, "id", "text",
+      indexDir, storeDir, s"$tmp/ckpt", tau = 0.6)
+    try q2.processAllAvailable() finally q2.stop()
+    StreamingDedup.readAccepted(spark, storeDir)
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 8L)
+    StreamingDedup.readRejected(spark, storeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((2L, 1L), (7L, 1L))
+  }
+}
