@@ -611,6 +611,14 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_corpus_report" -> ((s, dir) => {
+      // bounded per-language monitoring frame: one partial-agg'd pass,
+      // order-independent micro-unit quality mean, hash-based dup count
+      graft.operators.TextAnalysis.corpusReport(
+          t(s, dir, "documents"), "lang", "text")
+        .orderBy(col("lang"))
+    }),
+
     "q_ivf_pq" -> ((s, dir) => {
       // the canonical IVF+PQ ANN read path: deterministic coarse routing
       // (m=1 Lloyd), nProbe=4 of 16 lists filtered out BEFORE scoring,
@@ -1413,6 +1421,20 @@ object SparkEntry {
            round(min(q.score), 6) AS min_kept_score
          FROM q JOIN t USING (lang) WHERE q.score >= t.thr
          GROUP BY q.lang ORDER BY q.lang""",
+    "q_corpus_report" ->
+      s"""WITH t AS (SELECT lang, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+             $qualityScoreSql AS q
+           FROM documents)
+         SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           CAST(count(*) - count(DISTINCT text) AS BIGINT) AS dup_docs,
+           round((CAST(sum(CAST(round(q * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / count(*)) / 1000000.0, 6) AS avg_quality
+         FROM t GROUP BY lang ORDER BY lang""",
     "q_ivf_pq" ->
       s"""SELECT vec_id, rank, adc
           FROM '${graft.corpus.Fixtures.ivfPqPath}/*.parquet' ORDER BY rank""",

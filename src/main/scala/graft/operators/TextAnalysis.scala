@@ -24,6 +24,29 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]{1,8}|[0-9]{1,4}|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Per-group corpus report — the bounded monitoring frame a curation run
+    * publishes (doc/char/token totals, exact-duplicate count, mean
+    * quality): ONE partial-aggregated pass, |groups| output rows. The mean
+    * quality is summed in integer micro-units so the result is independent
+    * of aggregation order (a plain avg of doubles is partition-order-
+    * dependent in the last ulps — breaks both determinism and the oracle);
+    * exact duplicates are counted via 64-bit content hashes so content
+    * never shuffles. */
+  def corpusReport(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"),
+        sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+        countDistinct(xxhash64(col(textCol))).as("__distinct"),
+        sum(round(qualityScore(col(textCol)) * 1e6, 0).cast("long")).as("__qmicro"))
+      .select(col(groupCol), col("n_docs"), col("total_chars"),
+        col("total_tokens"),
+        (col("n_docs") - col("__distinct")).as("dup_docs"),
+        round((col("__qmicro").cast("double") / col("n_docs")) / 1e6, 6)
+          .as("avg_quality"))
+
   /** Trains a real BPE tokenizer from the corpus (Sennrich et al.,
     * arXiv:1508.07909) the way tokenizer libraries do at scale: the corpus
     * collapses to a WORD HISTOGRAM first — one partial-aggregated word

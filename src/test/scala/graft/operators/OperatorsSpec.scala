@@ -372,6 +372,22 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     "Exchange".r.findAllIn(tree).size should be <= 2
   }
 
+  test("corpusReport: exact dup counts, order-independent mean, one aggregation") {
+    val df = Seq(
+      ("en", "the cat sat"), ("en", "the cat sat"), ("en", "dogs run fast"),
+      ("de", "hallo welt")
+    ).toDF("lang", "text")
+    val r = TextAnalysis.corpusReport(df, "lang", "text")
+      .collect().map(row => row.getString(0) ->
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))).toMap
+    r("en") shouldBe ((3L, 35L, 9L, 1L)) // 2 identical docs -> 1 dup
+    r("de") shouldBe ((1L, 10L, 2L, 0L))
+    // partitioning must not change the report (micro-unit mean is order-free)
+    val repartitioned = TextAnalysis.corpusReport(df.repartition(7), "lang", "text")
+    repartitioned.collect().toSet shouldBe
+      TextAnalysis.corpusReport(df, "lang", "text").collect().toSet
+  }
+
   test("IVF+PQ: probed lists prune the scan, results subset full-PQ ranking") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val coarse = Similarity.coarseTrain(emb, "vec_id", "embedding", nLists = 16)
