@@ -611,6 +611,23 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_train_langid" -> ((s, dir) => {
+      // distributed fastText-style langid TRAINING on the labeled corpus
+      // (doc-compacted trigram counts -> one bounded aggregation -> driver
+      // weight build), then map-only classification; output = confusion
+      // matrix. Oracle: Fixtures.trainLangIdConfusion straight-line
+      // mirror (shared NbLangModel code).
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.trainLangId(docs, "lang", "text")
+      docs.select(col("lang"),
+          TextAnalysis.classifyWith(col("text"), model)
+            .getField("lang").as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
     "q_corpus_report" -> ((s, dir) => {
       // bounded per-language monitoring frame: one partial-agg'd pass,
       // order-independent micro-unit quality mean, hash-based dup count
@@ -1421,6 +1438,10 @@ object SparkEntry {
            round(min(q.score), 6) AS min_kept_score
          FROM q JOIN t USING (lang) WHERE q.score >= t.thr
          GROUP BY q.lang ORDER BY q.lang""",
+    "q_train_langid" ->
+      s"""SELECT lang, pred, cnt
+          FROM '${graft.corpus.Fixtures.trainLangIdPath}/*.parquet'
+          ORDER BY lang, pred""",
     "q_corpus_report" ->
       s"""WITH t AS (SELECT lang, text,
              CASE WHEN length(trim(text)) = 0 THEN 0

@@ -47,6 +47,7 @@ object Fixtures {
   val bpePath = s"$dir/expected_bpe"
   val pqPath = s"$dir/expected_pq"
   val ivfPqPath = s"$dir/expected_ivf_pq"
+  val trainLangIdPath = s"$dir/expected_train_langid"
 
   /** BPE operating point shared by `q_bpe_tokens` and its fixture. */
   val bpeVocabWords = 500
@@ -84,6 +85,8 @@ object Fixtures {
   final case class ExpectedPq(vec_id: Long, rank: Int, adc: Double)
 
   final case class ExpectedIvfPq(vec_id: Long, rank: Int, adc: Double)
+
+  final case class ExpectedLangId(lang: String, pred: String, cnt: Long)
 
   /** Same rounding as Spark's `round(col, 6)` on doubles (HALF_UP via
     * BigDecimal.valueOf) — both sides round bit-identical inputs, so the
@@ -241,6 +244,25 @@ object Fixtures {
       .map { case ((id, a), i) => ExpectedIvfPq(id, i + 1, round6(a)) }
   }
 
+  /** Straight-line mirror of `TextAnalysis.trainLangId` + confusion matrix:
+    * integer trigram counts (order-free) through the SAME shared
+    * NbLangModel build/classify code. */
+  def trainLangIdConfusion(docs: Seq[(String, String)]): Seq[ExpectedLangId] = {
+    import graft.textmodel.NbLangModel
+    val langs = docs.map(_._1).distinct.sorted.toVector
+    val counts = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[Int, Long]]
+    docs.foreach { case (l, t) =>
+      NbLangModel.bucketCounts(t,
+        counts.getOrElseUpdate(l, scala.collection.mutable.Map.empty))
+    }
+    val model = NbLangModel.fromCounts(langs,
+      counts.map { case (l, m) => l -> m.toMap }.toMap)
+    docs.map { case (l, t) => (l, model.classify(t)._1) }
+      .groupBy(identity).toSeq
+      .map { case ((l, p), rs) => ExpectedLangId(l, p, rs.size.toLong) }
+      .sortBy(e => (e.lang, e.pred))
+  }
+
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val cfg = FilterConfig()
@@ -274,6 +296,12 @@ object Fixtures {
 
     spark.createDataset(bpeTokens(docs)).coalesce(1)
       .write.mode("overwrite").parquet(bpePath)
+
+    val ldocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    spark.createDataset(trainLangIdConfusion(ldocs)).coalesce(1)
+      .write.mode("overwrite").parquet(trainLangIdPath)
 
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").collect()

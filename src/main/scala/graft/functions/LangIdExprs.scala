@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.textmodel.NbLangModel
+
+/** Per-document char-trigram bucket counts as a map<int,bigint> — the
+  * map-side-combine-at-doc-granularity step of distributed langid
+  * training: a document's ~10^3 repeated trigrams compact to its ~10^2
+  * distinct buckets BEFORE the explode, so the training aggregation
+  * shuffles doc-distinct rows, not corpus characters (and the partial
+  * HashAggregate then collapses those to <= |langs| x 32k rows per
+  * partition). Shares [[NbLangModel.bucketCounts]] with the fixture. */
+case class TrigramBucketCountsExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = MapType(IntegerType, LongType,
+    valueContainsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+    NbLangModel.bucketCounts(input.asInstanceOf[UTF8String].toString, acc)
+    val ks = new Array[Int](acc.size)
+    val vs = new Array[Long](acc.size)
+    var i = 0
+    acc.foreach { case (k, v) => ks(i) = k; vs(i) = v; i += 1 }
+    new ArrayBasedMapData(
+      ArrayData.toArrayData(ks), ArrayData.toArrayData(vs))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramBucketCountsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "trigram_bucket_counts"
+}
+
+object TrigramBucketCountsExpr {
+  def apply(c: Column): Column =
+    Bridge.column(TrigramBucketCountsExpr(Bridge.expression(c)))
+}
+
+/** Classification under a corpus-trained [[NbLangModel]] — the trained
+  * weights (~0.8 MB at 32k buckets x 6 langs) ride in the expression;
+  * per-row work is the same fused trigram walk as the built-in langid.
+  * Returns struct<lang:string, conf:double>. */
+case class NbClassifyExpr(child: Expression, model: NbLangModel)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("conf", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val (lang, conf) = model.classify(input.asInstanceOf[UTF8String].toString)
+    InternalRow(UTF8String.fromString(lang), conf)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NbClassifyExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "nb_classify"
+}
+
+object NbClassifyExpr {
+  def apply(c: Column, model: NbLangModel): Column =
+    Bridge.column(NbClassifyExpr(Bridge.expression(c), model))
+}

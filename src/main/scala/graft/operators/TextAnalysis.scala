@@ -24,6 +24,32 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]{1,8}|[0-9]{1,4}|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Distributed training of the fastText-style langid head on a LABELED
+    * corpus: per-document trigram buckets compact inside the
+    * [[graft.functions.TrigramBucketCountsExpr]] expression (doc-distinct
+    * rows, not corpus chars, hit the explode), one partial-aggregated
+    * groupBy reduces to <= |langs| x 32k count rows — exact integers, so
+    * the fit is independent of aggregation order — and the weight build
+    * runs on the driver over that bounded frame. The returned model
+    * classifies map-only via [[classifyWith]]. */
+  def trainLangId(df: org.apache.spark.sql.DataFrame, langCol: String,
+      textCol: String): graft.textmodel.NbLangModel = {
+    val langs = df.select(col(langCol)).distinct()
+      .collect().map(_.getString(0)).sorted.toVector
+    val counts = df.select(col(langCol).as("lang"),
+        explode(graft.functions.TrigramBucketCountsExpr(col(textCol)))
+          .as(Seq("b", "c")))
+      .groupBy(col("lang"), col("b")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byLang = counts.groupBy(_._1)
+      .map { case (l, rs) => l -> rs.map(r => r._2 -> r._3).toMap }
+    graft.textmodel.NbLangModel.fromCounts(langs, byLang)
+  }
+
+  /** struct<lang, conf> classification under a corpus-trained model. */
+  def classifyWith(text: Column, model: graft.textmodel.NbLangModel): Column =
+    graft.functions.NbClassifyExpr(text, model)
+
   /** Per-group corpus report — the bounded monitoring frame a curation run
     * publishes (doc/char/token totals, exact-duplicate count, mean
     * quality): ONE partial-aggregated pass, |groups| output rows. The mean

@@ -1,0 +1,91 @@
+package graft.textmodel
+
+/** A corpus-TRAINED instance of the fastText-style langid head — the same
+  * hashed-char-trigram features, transposed log-probability weights, and
+  * sharpened length-normalized softmax as the built-in [[LangModel]], but
+  * with weights fit from labeled (lang, text) data instead of the
+  * generator templates. Training reduces to per-(lang, bucket) trigram
+  * COUNTS — exact integer sums, so the distributed fit
+  * ([[graft.operators.TextAnalysis.trainLangId]]) and the straight-line
+  * fixture mirror produce bit-identical models from any aggregation
+  * order; weight building and classification are this one shared code
+  * path. */
+final case class NbLangModel(languages: Vector[String], weights: Array[Float]) {
+  private val L = languages.size
+  require(weights.length == LangModel.NumBuckets * L,
+    s"weights must be NumBuckets x $L")
+
+  /** Same scoring loop as LangModel.classify: per-class mean trigram
+    * log-prob, argmax, sharpened softmax confidence. */
+  def classify(content: String): (String, Double) = {
+    val w = weights
+    val scores = new Array[Double](L)
+    var n = 0
+    var i = 0
+    val end = content.length - 2
+    while (i < end) {
+      val base = LangModel.bucketOf(content.charAt(i), content.charAt(i + 1),
+        content.charAt(i + 2)) * L
+      var li = 0
+      while (li < L) { scores(li) += w(base + li); li += 1 }
+      n += 1
+      i += 1
+    }
+    if (n == 0) return (languages.head, 1.0 / L)
+    var best = 0
+    var li = 1
+    while (li < L) { if (scores(li) > scores(best)) best = li; li += 1 }
+    var mx = Double.NegativeInfinity
+    li = 0
+    while (li < L) { val s = scores(li) / n; if (s > mx) mx = s; li += 1 }
+    var sumExp = 0.0
+    var bestExp = 0.0
+    li = 0
+    while (li < L) {
+      val e = math.exp((scores(li) / n - mx) * 50.0)
+      sumExp += e
+      if (li == best) bestExp = e
+      li += 1
+    }
+    (languages(best), bestExp / sumExp)
+  }
+}
+
+object NbLangModel {
+
+  /** Laplace-smoothed transposed weights from per-(lang, bucket) counts —
+    * the exact formula of LangModel.weights (alpha 0.5). `counts` maps
+    * lang → bucket → count; absent buckets are zero. */
+  def fromCounts(languages: Vector[String],
+      counts: Map[String, Map[Int, Long]]): NbLangModel = {
+    val L = languages.size
+    val nb = LangModel.NumBuckets
+    val w = new Array[Float](nb * L)
+    val alpha = 0.5
+    for ((lang, li) <- languages.zipWithIndex) {
+      val c = counts.getOrElse(lang, Map.empty)
+      val total = c.valuesIterator.sum
+      val denom = math.log(total.toDouble + alpha * nb)
+      var b = 0
+      while (b < nb) {
+        w(b * L + li) = (math.log(c.getOrElse(b, 0L) + alpha) - denom).toFloat
+        b += 1
+      }
+    }
+    NbLangModel(languages, w)
+  }
+
+  /** Straight-line trigram bucket counting for one document — the per-row
+    * work of the distributed counting expression and the fixture mirror. */
+  def bucketCounts(content: String, acc: scala.collection.mutable.Map[Int, Long]): Unit = {
+    if (content == null) return
+    var i = 0
+    val end = content.length - 2
+    while (i < end) {
+      val b = LangModel.bucketOf(content.charAt(i), content.charAt(i + 1),
+        content.charAt(i + 2))
+      acc.update(b, acc.getOrElse(b, 0L) + 1L)
+      i += 1
+    }
+  }
+}

@@ -372,6 +372,28 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     "Exchange".r.findAllIn(tree).size should be <= 2
   }
 
+  test("trainLangId: corpus-trained head separates vocabularies, map-only classify") {
+    def doc(ws: Seq[String], seed: Int): String =
+      (0 until 40).map(i => ws((i * 3 + seed) % ws.length)).mkString(" ")
+    val aW = Seq("alpha", "bravo", "charlie", "delta")
+    val bW = Seq("uno", "dos", "tres", "quatro")
+    val train = ((0 until 20).map(i => ("aa", doc(aW, i))) ++
+      (0 until 20).map(i => ("bb", doc(bW, i)))).toDF("lang", "text")
+    val model = TextAnalysis.trainLangId(train, "lang", "text")
+    model.languages shouldBe Vector("aa", "bb")
+    // held-out docs from each vocabulary classify to their language
+    model.classify(doc(aW, 99))._1 shouldBe "aa"
+    model.classify(doc(bW, 99))._1 shouldBe "bb"
+    model.classify(doc(aW, 99))._2 should be > 0.5
+    // training is partition-order independent (integer counts)
+    val model2 = TextAnalysis.trainLangId(train.repartition(7), "lang", "text")
+    model2.weights.toSeq shouldBe model.weights.toSeq
+    // classification under the trained model is a map-only projection
+    val plan = train.select(TextAnalysis.classifyWith(col("text"), model))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
   test("corpusReport: exact dup counts, order-independent mean, one aggregation") {
     val df = Seq(
       ("en", "the cat sat"), ("en", "the cat sat"), ("en", "dogs run fast"),
