@@ -628,6 +628,49 @@ object SparkEntry {
         .orderBy(col("lang"), col("pred"))
     }),
 
+    "q_train_quality" -> ((s, dir) => {
+      // distributed logistic quality-head TRAINING (QualityHead scaladoc):
+      // labels = the reference pipeline's keep/drop verdicts, 75/25
+      // train/eval split on pmod(xxhash64(path), 4), full-batch GD where
+      // each iteration is ONE shuffle-free job (the gradient travels as a
+      // single dense fixed-point vector), then map-only scoring of the
+      // held-out quarter. Fixed-point gradient quantization makes training
+      // bit-identical at any parallelism — that is what lets a learned
+      // model sit under a hash-compared oracle at all. Oracle:
+      // Fixtures.qualityHeadConfusion straight-line mirror (shared
+      // QualityHead.accumulate/step/featurize code).
+      import graft.corpus.{CorpusGen, CorpusSpec}
+      import graft.operators.TextAnalysis
+      import graft.pipeline.QualityFilter
+      val corpus = CorpusGen.corpus(s, CorpusSpec(nFiles = 2000)).toDF
+      val labeled = QualityFilter.withMetrics(corpus)
+        .select(col("path"), col("content"), col("keep"))
+      val isEval = pmod(xxhash64(col("path")), lit(4L)) === 0
+      val model = TextAnalysis.trainQualityHead(
+        labeled.filter(!isEval), "keep", "content")
+      labeled.filter(isEval)
+        .select(col("keep").as("label"),
+          (TextAnalysis.scoreWith(col("content"), model) >= 0.5).as("pred"))
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("label"), col("pred"))
+    }),
+
+    "q_train_kn" -> ((s, dir) => {
+      // distributed Kneser-Ney LM training (CCNet-style in-domain LM):
+      // doc-compacted exact trigram counts -> ONE bounded aggregation
+      // (|trigram types| rows) -> driver derivation of all KN structures
+      // from the count table alone -> map-only perplexity under the
+      // trained model. Oracle: Fixtures.trainKnPpl straight-line mirror
+      // (shared knFromTriCounts + perplexity code).
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.trainKn(docs, "text")
+      docs.select(col("doc_id"),
+          round(TextAnalysis.pplWith(col("text"), model), 6).as("trained_ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_corpus_report" -> ((s, dir) => {
       // bounded per-language monitoring frame: one partial-agg'd pass,
       // order-independent micro-unit quality mean, hash-based dup count
@@ -804,6 +847,43 @@ object SparkEntry {
         .select(TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang_pred"))
+    }),
+
+    "q_repo_forks" -> ((s, dir) => {
+      // repo-level fork/mirror detection (RepoDedup scaladoc): a fork
+      // corpus is derived ARITHMETICALLY from the documents table — base
+      // repos r0..r{R-1} by doc_id stride, fork repos f0..f2 holding 3/4
+      // of their base's files, one exact mirror — so the DuckDB oracle
+      // rebuilds the identical corpus and computes every surviving pair's
+      // EXACT file-set Jaccard (banding miss ≤ (1-tau)^32 ≈ 2e-10).
+      import graft.operators.RepoDedup
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val rep = pmod(col("doc_id"), lit(ForkQ.nRepos.toLong))
+      val base = docs.select(concat(lit("r"), rep).as("repo"), col("text"))
+      val forks = docs
+        .filter(rep < ForkQ.nForks && pmod(col("doc_id"), lit(4L)) =!= 0)
+        .select(concat(lit("f"), rep).as("repo"), col("text"))
+      val mirror = docs.filter(rep === ForkQ.mirrorOf)
+        .select(lit("mirror").as("repo"), col("text"))
+      val corpus = base.unionByName(forks).unionByName(mirror)
+      RepoDedup.forkPairs(corpus, "repo", "text", tau = ForkQ.tau)
+        .select(col("repo_a"), col("repo_b"), col("n_files_a"),
+          col("n_files_b"), col("jaccard"))
+        .orderBy(col("repo_a"), col("repo_b"))
+    }),
+
+    "q_tagger_mix" -> ((s, dir) => {
+      // Dolma-style tagger → mixer curation (TaggerMixer scaladoc): every
+      // attribute from ONE fused map-only projection, mix rules as ANSI SQL
+      // strings — MixQ.rules drives BOTH this construction and the DuckDB
+      // oracle, so the rule logic cannot drift between the two engines.
+      import graft.curation.TaggerMixer
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      TaggerMixer.curate(docs, Seq("doc_id"),
+          TaggerMixer.builtinTaggers(col("text")), MixQ.rules)
+        .orderBy(col("doc_id"))
     }),
 
     "q_decontaminate" -> ((s, dir) => {
@@ -1037,6 +1117,38 @@ object SparkEntry {
   /** Shared constants for `q_license_id`: injected license headers (the
     * corpus has none) and the SPDX tag regex — one source for the Spark
     * construction and the DuckDB oracle. */
+  /** Shared rule set for `q_tagger_mix`: the SAME ANSI SQL strings compile
+    * via Catalyst `expr(...)` in Spark AND interpolate verbatim into the
+    * DuckDB oracle — one constant, two engines, no drift (Qfh lesson).
+    * Thresholds chosen to split the test corpus (alnum spans .795–.855,
+    * doc length 48–553 chars) so both verdicts and several first_fail
+    * branches actually occur. */
+  /** Shared constants for `q_repo_forks`: the derived fork-corpus recipe,
+    * interpolated into BOTH the Spark construction and the DuckDB oracle.
+    * tau=0.5 sits well below the fork overlap (~0.75) and the mirror (1.0)
+    * and well above incidental cross-repo overlap from exact-dup texts. */
+  private object ForkQ {
+    val nRepos = 20
+    val nForks = 3
+    val mirrorOf = 5
+    val tau = 0.5
+  }
+
+  private object MixQ {
+    import graft.curation.TaggerMixer.MixRule
+    val rules = Seq(
+      MixRule("alnum", "alnum_ratio >= 0.80"),
+      MixRule("line_len", "max_line_len <= 400"),
+      MixRule("tokens", "n_tokens BETWEEN 12 AND 100000"),
+      MixRule("autogen", "NOT has_autogen"))
+    def passCols: String =
+      rules.map(r => s"(${r.sql}) AS pass_${r.name}").mkString(", ")
+    def keepSql: String = rules.map(r => s"pass_${r.name}").mkString(" AND ")
+    def firstFailSql: String = "CASE " +
+      rules.map(r => s"WHEN NOT pass_${r.name} THEN '${r.name}'")
+        .mkString(" ") + " ELSE NULL END"
+  }
+
   private object Lic {
     val spdx = "// SPDX-License-Identifier: Apache-2.0"
     val mit = "/* Permission is hereby granted, free of charge */"
@@ -1442,6 +1554,14 @@ object SparkEntry {
       s"""SELECT lang, pred, cnt
           FROM '${graft.corpus.Fixtures.trainLangIdPath}/*.parquet'
           ORDER BY lang, pred""",
+    "q_train_quality" ->
+      s"""SELECT label, pred, cnt
+          FROM '${graft.corpus.Fixtures.qualityHeadPath}/*.parquet'
+          ORDER BY label, pred""",
+    "q_train_kn" ->
+      s"""SELECT doc_id, trained_ppl
+          FROM '${graft.corpus.Fixtures.trainKnPath}/*.parquet'
+          ORDER BY doc_id""",
     "q_corpus_report" ->
       s"""WITH t AS (SELECT lang, text,
              CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1606,6 +1726,62 @@ object SparkEntry {
              ELSE 'unknown' END AS lang_pred
            FROM sc)
          SELECT lang_pred, count(*) AS cnt FROM p GROUP BY 1 ORDER BY 1""",
+    // repo forks: identical derived corpus (ForkQ constants), exact
+    // pairwise Jaccard over distinct-text sets via a self-join — DuckDB
+    // affords the all-pairs form at test scale; Spark's banding+verify
+    // must land on the same pair set and the same rational Jaccards.
+    "q_repo_forks" ->
+      raw"""WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+           corpus AS (
+             SELECT 'r' || (doc_id % ${ForkQ.nRepos}) AS repo, text FROM docs
+             UNION ALL
+             SELECT 'f' || (doc_id % ${ForkQ.nRepos}) AS repo, text FROM docs
+             WHERE doc_id % ${ForkQ.nRepos} < ${ForkQ.nForks} AND doc_id % 4 <> 0
+             UNION ALL
+             SELECT 'mirror' AS repo, text FROM docs
+             WHERE doc_id % ${ForkQ.nRepos} = ${ForkQ.mirrorOf}),
+           fs AS (SELECT DISTINCT repo, text FROM corpus),
+           sizes AS (SELECT repo, count(*) AS n FROM fs GROUP BY 1),
+           inter AS (
+             SELECT least(a.repo, b.repo) AS repo_a,
+                    greatest(a.repo, b.repo) AS repo_b, count(*) AS i
+             FROM fs a JOIN fs b ON a.text = b.text AND a.repo < b.repo
+             GROUP BY 1, 2)
+           SELECT repo_a, repo_b,
+             CAST(sa.n AS BIGINT) AS n_files_a, CAST(sb.n AS BIGINT) AS n_files_b,
+             round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+           FROM inter
+           JOIN sizes sa ON sa.repo = inter.repo_a
+           JOIN sizes sb ON sb.repo = inter.repo_b
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= ${ForkQ.tau}
+           ORDER BY repo_a, repo_b""",
+    // tagger/mixer: every attribute recomputed from scratch in DuckDB; the
+    // rule/keep/first_fail SQL is interpolated from the SAME MixQ constants
+    // the Spark construction compiles via expr(...).
+    "q_tagger_mix" ->
+      raw"""WITH base AS (
+             SELECT doc_id, coalesce(text, '') AS text FROM documents),
+           attrs AS (
+             SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+               CAST(coalesce(list_max(list_transform(string_split(text, chr(10)),
+                 l -> length(l))), 0) AS BIGINT) AS max_line_len,
+               round(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, chr(10))), 6) AS avg_line_len,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+                 AS n_tokens,
+               CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE round(CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                   AS DOUBLE) / length(text), 6) END AS alnum_ratio,
+               regexp_matches(text, '${graft.pipeline.QualityFilter.autogenPattern}')
+                 AS has_autogen
+             FROM base),
+           mixed AS (
+             SELECT *, ${MixQ.passCols} FROM attrs)
+           SELECT *, (${MixQ.keepSql}) AS keep, ${MixQ.firstFailSql} AS first_fail
+           FROM mixed ORDER BY doc_id""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,

@@ -48,6 +48,8 @@ object Fixtures {
   val pqPath = s"$dir/expected_pq"
   val ivfPqPath = s"$dir/expected_ivf_pq"
   val trainLangIdPath = s"$dir/expected_train_langid"
+  val qualityHeadPath = s"$dir/expected_quality_head"
+  val trainKnPath = s"$dir/expected_train_kn"
 
   /** BPE operating point shared by `q_bpe_tokens` and its fixture. */
   val bpeVocabWords = 500
@@ -87,6 +89,10 @@ object Fixtures {
   final case class ExpectedIvfPq(vec_id: Long, rank: Int, adc: Double)
 
   final case class ExpectedLangId(lang: String, pred: String, cnt: Long)
+
+  final case class ExpectedQualityHead(label: Boolean, pred: Boolean, cnt: Long)
+
+  final case class ExpectedKnPpl(doc_id: Long, trained_ppl: Double)
 
   /** Same rounding as Spark's `round(col, 6)` on doubles (HALF_UP via
     * BigDecimal.valueOf) — both sides round bit-identical inputs, so the
@@ -263,6 +269,47 @@ object Fixtures {
       .sortBy(e => (e.lang, e.pred))
   }
 
+  /** Straight-line mirror of `TextAnalysis.trainQualityHead` + held-out
+    * confusion: labels from the reference verdicts, a 75/25 train/eval
+    * split on `pmod(xxhash64(path), 4)`, the SAME shared
+    * QualityHead.accumulate/step fixed-point GD (bit-identical at any
+    * parallelism — QualityHead scaladoc), predictions on the held-out
+    * quarter. */
+  def qualityHeadConfusion(rows: Seq[FileRow], cfg: FilterConfig)
+      : Seq[ExpectedQualityHead] = {
+    import graft.textmodel.QualityHead
+    val labeled = rows.map(r => (ReferenceOracle.label(r, cfg).keep, r))
+    def isEval(r: FileRow): Boolean = Math.floorMod(xxhash64(r.path), 4L) == 0L
+    val train = labeled.collect { case (y, r) if !isEval(r) => (y, r.content) }
+    val model = QualityHead.fitLocal(train,
+      QualityHead.DefaultIters, QualityHead.DefaultLr)
+    labeled.collect { case (y, r) if isEval(r) => (y, model.predict(r.content)) }
+      .groupBy(identity).toSeq
+      .map { case ((l, p), g) => ExpectedQualityHead(l, p, g.size.toLong) }
+      .sortBy(e => (e.label, e.pred))
+  }
+
+  /** Straight-line mirror of `TextAnalysis.trainKn` + per-doc perplexity:
+    * the SAME per-doc trigram windows into one count table (Long sums,
+    * order-free), the SAME `LangModel.knFromTriCounts` derivation, the
+    * SAME perplexity walk. */
+  def trainKnPpl(docs: Seq[(Long, String)]): Seq[ExpectedKnPpl] = {
+    import graft.textmodel.LangModel
+    val counts = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    docs.foreach { case (_, t) =>
+      var i = 0
+      val end = t.length - 2
+      while (i < end) {
+        val k = LangModel.key3(t.charAt(i), t.charAt(i + 1), t.charAt(i + 2))
+        counts.update(k, counts.getOrElse(k, 0L) + 1L)
+        i += 1
+      }
+    }
+    val model = LangModel.knFromTriCounts(counts.iterator)
+    docs.map { case (id, t) => ExpectedKnPpl(id, round6(model.perplexity(t))) }
+      .sortBy(_.doc_id)
+  }
+
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val cfg = FilterConfig()
@@ -302,6 +349,12 @@ object Fixtures {
       .map(r => (r.getString(0), r.getString(1))).toSeq
     spark.createDataset(trainLangIdConfusion(ldocs)).coalesce(1)
       .write.mode("overwrite").parquet(trainLangIdPath)
+
+    spark.createDataset(qualityHeadConfusion(rows, cfg)).coalesce(1)
+      .write.mode("overwrite").parquet(qualityHeadPath)
+
+    spark.createDataset(trainKnPpl(docs)).coalesce(1)
+      .write.mode("overwrite").parquet(trainKnPath)
 
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").collect()

@@ -1,0 +1,102 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative tagger → attribute-table → mixer curation framework — the
+  * reference's metric→check architecture (metrics computed once, checks
+  * evaluated over the stored metric results; core RegularMetrics →
+  * checks/Checks.scala) re-applied to corpus curation, in the shape
+  * public curation stacks use (taggers writing attribute files, a mixer
+  * filtering by boolean expressions over them — cf. AllenAI Dolma's
+  * tagger/mixer split, arXiv:2402.00159 §3).
+  *
+  * Scale contract:
+  *  - [[tag]] is ONE fused map-only projection — every tagger is a pure
+  *    per-row `Column`, so attribute computation never shuffles and is
+  *    embarrassingly parallel at 10^12 files.
+  *  - [[mix]] rules are ANSI SQL boolean expressions over attribute
+  *    columns, compiled by Catalyst via `expr(...)` — codegen'd, no UDFs,
+  *    and the SAME rule strings run unchanged in any ANSI engine (that is
+  *    what makes the DuckDB oracle drift-proof: one constant, two engines).
+  *  - [[curate]] fuses tag + mix into one projection for the common
+  *    single-job path; [[mixAttributes]] consumes a PRE-MATERIALIZED
+  *    attribute table instead (the Dolma deployment shape: tag once, mix
+  *    many times under different rule sets without touching content) —
+  *    at scale both sides of that join are written bucketed on the doc id
+  *    (CorpusStore's `bucket(N, repo)` layout), so re-mixing shuffles
+  *    nothing (BucketedJoinSpec pins the plan).
+  */
+object TaggerMixer {
+
+  /** A named per-document attribute: `expr` MUST be a pure per-row Column
+    * (the plan gate asserts the tagging pass stays Exchange-free). */
+  final case class Tagger(name: String, expr: Column)
+
+  /** A mix rule: `sql` is a boolean ANSI SQL expression over attribute
+    * names; a document is kept iff EVERY rule passes. Rule order is the
+    * reporting order for `first_fail`. */
+  final case class MixRule(name: String, sql: String)
+
+  /** Reference tagger set over a text column — each one both codegen'd in
+    * Spark and recomputable in ANSI SQL (the q_tagger_mix oracle rebuilds
+    * every attribute from scratch in DuckDB). Floats are rounded to 6
+    * digits INSIDE the attribute so downstream rule comparisons see
+    * identical values in both engines. */
+  def builtinTaggers(text: Column): Seq[Tagger] = {
+    val lines = split(text, "\n", -1)
+    val lineLens = transform(lines, l => length(l))
+    val nTokens = when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+    Seq(
+      Tagger("n_chars", length(text).cast("long")),
+      Tagger("n_lines", size(lines).cast("long")),
+      Tagger("max_line_len",
+        coalesce(array_max(lineLens), lit(0)).cast("long")),
+      Tagger("avg_line_len",
+        round(length(text).cast("double") / size(lines), 6)),
+      Tagger("n_tokens", nTokens),
+      Tagger("alnum_ratio",
+        when(length(text) === 0, lit(0.0)).otherwise(
+          round(length(regexp_replace(text, "[^A-Za-z0-9]", ""))
+            .cast("double") / length(text), 6))),
+      Tagger("has_autogen",
+        text.rlike(graft.pipeline.QualityFilter.autogenPattern)))
+  }
+
+  /** ONE fused projection: id columns + every tagger. Map-only. */
+  def tag(df: DataFrame, idCols: Seq[String], taggers: Seq[Tagger]): DataFrame =
+    df.select(idCols.map(col) ++ taggers.map(t => t.expr.as(t.name)): _*)
+
+  /** Adds per-rule pass booleans, the verdict, and the first failed rule
+    * (rule order) to an attribute frame. */
+  def mix(attrs: DataFrame, rules: Seq[MixRule]): DataFrame = {
+    val passes = rules.map(r => expr(r.sql).as(s"pass_${r.name}"))
+    val withPasses = attrs.select(col("*") +: passes: _*)
+    val keep = rules.map(r => col(s"pass_${r.name}")).reduce(_ && _)
+    val firstFail = coalesce(
+      rules.map(r => when(!col(s"pass_${r.name}"), lit(r.name))) :+
+        lit(null).cast("string"): _*)
+    withPasses
+      .withColumn("keep", keep)
+      .withColumn("first_fail", firstFail)
+  }
+
+  /** Single-job path: tag + mix fused into one map-only projection over the
+    * corpus (content never shuffles; zero Exchange — plan-gated). */
+  def curate(df: DataFrame, idCols: Seq[String], taggers: Seq[Tagger],
+      rules: Seq[MixRule]): DataFrame =
+    mix(tag(df, idCols, taggers), rules)
+
+  /** Dolma deployment path: mix a PRE-MATERIALIZED attribute table (tag
+    * once, re-mix under new rules without re-reading content), then join
+    * the verdict back to the corpus on the id columns. With both tables
+    * bucketed on the join key the join is shuffle-free; at small scale AQE
+    * broadcasts the verdict side. */
+  def mixAttributes(corpus: DataFrame, attrs: DataFrame, idCols: Seq[String],
+      rules: Seq[MixRule]): DataFrame = {
+    val verdict = mix(attrs, rules)
+      .select(idCols.map(col) :+ col("keep") :+ col("first_fail"): _*)
+    corpus.join(verdict, idCols)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** The k smallest DISTINCT longs of a group, as a sorted-ascending
+  * `array<long>` — Broder's bottom-k set sketch (the classic minwise
+  * estimator: "On the resemblance and containment of documents", 1997).
+  *
+  * Two regimes in one aggregate:
+  *  - group has < k distinct values → the result IS the exact distinct set
+  *    (sorted), so exact set algebra (intersection / union / Jaccard)
+  *    downstream is lossless;
+  *  - group overflows k → the k hash-smallest survivors are a uniform
+  *    sample of the set, and `|bottomK(A∪B) ∩ A ∩ B| / k` estimates
+  *    Jaccard with standard error ~ sqrt(j(1-j)/k).
+  *
+  * Why not `collect_set`: its aggregation buffer is unbounded — one
+  * mega-repo (10^7+ files) concentrates an arbitrarily large set in a
+  * single reduce task. This buffer never holds more than k values on
+  * update OR merge, so per-group executor memory is a constant chosen by
+  * the caller, independent of group skew. Same extension point as the
+  * reference's sketch aggregates (SpaceSavingTopN.scala:39-151).
+  *
+  * Buffer: a `java.util.TreeSet` — k is a few hundred thousand at most
+  * (it bounds MEMORY, so callers pick it small); insert/evict are
+  * O(log k) with distinctness for free. Nulls are skipped.
+  */
+case class BottomKDistinct(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, s"bottom_k_distinct requires k > 0, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bottom_k_distinct requires a long column, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  @inline private def offer(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last()) { if (buf.add(v)) { buf.pollLast(); () } }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) offer(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BottomKDistinct =
+    copy(child = newChild)
+
+  override def prettyName: String = "bottom_k_distinct"
+}

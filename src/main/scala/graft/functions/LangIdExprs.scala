@@ -86,3 +86,82 @@ object NbClassifyExpr {
   def apply(c: Column, model: NbLangModel): Column =
     Bridge.column(NbClassifyExpr(Bridge.expression(c), model))
 }
+
+/** Per-document EXACT char-trigram key counts as a map<bigint,bigint>
+  * (key = a<<32|b<<16|c, LangModel.key3 layout) — the doc-granular
+  * compaction step of distributed Kneser-Ney training. Unlike
+  * [[TrigramBucketCountsExpr]] the keys are NOT hashed into buckets: KN's
+  * type/continuation counts (N1+) need exact trigram identity, and the
+  * downstream aggregation is bounded by |trigram types| (saturating
+  * sublinearly in corpus size), not by a chosen bucket width. */
+case class TrigramKeyCountsExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = MapType(LongType, LongType,
+    valueContainsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    var i = 0
+    val end = s.length - 2
+    while (i < end) {
+      val k = graft.textmodel.LangModel.key3(
+        s.charAt(i), s.charAt(i + 1), s.charAt(i + 2))
+      acc.update(k, acc.getOrElse(k, 0L) + 1L)
+      i += 1
+    }
+    val ks = new Array[Long](acc.size)
+    val vs = new Array[Long](acc.size)
+    var j = 0
+    acc.foreach { case (k, v) => ks(j) = k; vs(j) = v; j += 1 }
+    new ArrayBasedMapData(
+      ArrayData.toArrayData(ks), ArrayData.toArrayData(vs))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramKeyCountsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "trigram_key_counts"
+}
+
+object TrigramKeyCountsExpr {
+  def apply(c: Column): Column =
+    Bridge.column(TrigramKeyCountsExpr(Bridge.expression(c)))
+}
+
+/** Perplexity under a corpus-trained Kneser-Ney LM — the trained count
+  * tables ride in the expression; per-row work is the same memoized
+  * trigram walk as the built-in scorer (LangModel.KnLm.perplexity). */
+case class KnPplExpr(child: Expression, model: graft.textmodel.LangModel.KnLm)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.perplexity(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression): KnPplExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "kn_ppl"
+}
+
+object KnPplExpr {
+  def apply(c: Column, model: graft.textmodel.LangModel.KnLm): Column =
+    Bridge.column(KnPplExpr(Bridge.expression(c), model))
+}

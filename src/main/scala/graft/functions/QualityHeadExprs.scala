@@ -1,0 +1,128 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.textmodel.QualityHead
+
+/** One full-batch logistic-regression gradient as a SINGLE aggregation —
+  * the treeAggregate pattern as a Catalyst `TypedImperativeAggregate`: the
+  * buffer is the dense fixed-point gradient vector (long[Dim+1], 256 KB),
+  * each doc adds its quantized contribution map-side, partials merge by
+  * vector addition, and ONE row (array<long>) reaches the driver. No
+  * shuffle of any per-doc rows — an explode+groupBy(bucket) formulation
+  * would exchange |docs|·|distinct-trigrams| rows EVERY iteration.
+  *
+  * Inputs: (features: map<int,long> from `trigram_bucket_counts`,
+  * label: boolean). Weights ride in the expression (256 KB, broadcast with
+  * the task closure). Long sums are exact and order-free — training is
+  * bit-identical at any parallelism (QualityHead scaladoc).
+  */
+case class LogisticGradAgg(
+    left: Expression,   // features: map<int, long>
+    right: Expression,  // label: boolean
+    model: QualityHead.Model,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (MapType(IntegerType, LongType, _), BooleanType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"logistic_grad requires (map<int,long>, boolean), got $other")
+    }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](QualityHead.Dim + 1)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val f = left.eval(input)
+    val y = right.eval(input)
+    if (f != null && y != null) {
+      val keys = f.asInstanceOf[MapData].keyArray()
+      val bs = new Array[Int](keys.numElements())
+      var i = 0
+      while (i < bs.length) { bs(i) = keys.getInt(i); i += 1 }
+      QualityHead.accumulate(buf, bs, y.asInstanceOf[Boolean], model)
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(buf)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LogisticGradAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LogisticGradAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LogisticGradAgg =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "logistic_grad"
+}
+
+object LogisticGradAgg {
+  def apply(feats: Column, label: Column, model: QualityHead.Model): Column =
+    Bridge.column(new LogisticGradAgg(Bridge.expression(feats),
+      Bridge.expression(label), model).toAggregateExpression())
+}
+
+/** P(keep | text) under a trained [[QualityHead.Model]] — one per-row
+  * trigram walk (the same fused shape as `NbClassifyExpr`), map-only. */
+case class LogisticScoreExpr(child: Expression, model: QualityHead.Model)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.score(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression): LogisticScoreExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "logistic_score"
+}
+
+object LogisticScoreExpr {
+  def apply(c: Column, model: QualityHead.Model): Column =
+    Bridge.column(LogisticScoreExpr(Bridge.expression(c), model))
+}

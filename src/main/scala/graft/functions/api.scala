@@ -36,4 +36,11 @@ object api {
   def top_k_pairs(score: Column, id: Column, k: Int): Column =
     Bridge.column(TopKPairs(Bridge.expression(score), Bridge.expression(id), k)
       .toAggregateExpression())
+
+  /** The k smallest DISTINCT longs of the group, sorted ascending — exact
+    * distinct set below k, Broder bottom-k set sketch above it; buffer
+    * memory bounded by k regardless of group skew. */
+  def bottom_k_distinct(c: Column, k: Int): Column =
+    Bridge.column(BottomKDistinct(Bridge.expression(c), k)
+      .toAggregateExpression())
 }

@@ -50,6 +50,68 @@ object TextAnalysis {
   def classifyWith(text: Column, model: graft.textmodel.NbLangModel): Column =
     graft.functions.NbClassifyExpr(text, model)
 
+  /** Distributed training of the binary logistic QUALITY head on a labeled
+    * corpus (QualityHead scaladoc) — full-batch gradient descent where each
+    * iteration is ONE job with NO shuffle: features (compacted per-doc
+    * trigram maps) are persisted once, and the whole gradient travels as a
+    * single dense fixed-point vector through [[graft.functions.LogisticGradAgg]]
+    * (map-side partials, long-exact merge). Training is bit-identical at
+    * any parallelism; the returned model scores map-only via [[scoreWith]].
+    *
+    * At web scale this runs over a bounded labeled SAMPLE (labels are the
+    * scarce resource) — the aggregate itself is O(|docs|) per pass with
+    * 256 KB fixed state per task. */
+  def trainQualityHead(df: org.apache.spark.sql.DataFrame, labelCol: String,
+      textCol: String, iters: Int = 30, lr: Double = 4.0)
+      : graft.textmodel.QualityHead.Model = {
+    import graft.textmodel.QualityHead
+    val feats = df.select(col(labelCol).cast("boolean").as("y"),
+        graft.functions.TrigramBucketCountsExpr(col(textCol)).as("f"))
+      .persist()
+    val n = feats.count()
+    require(n > 0, "trainQualityHead needs a non-empty corpus")
+    var model = QualityHead.empty
+    var it = 0
+    while (it < iters) {
+      val grad = feats
+        .agg(graft.functions.LogisticGradAgg(col("f"), col("y"), model))
+        .head.getSeq[Long](0).toArray
+      model = QualityHead.step(model, grad, n, lr)
+      it += 1
+    }
+    feats.unpersist(blocking = false)
+    model
+  }
+
+  /** P(keep | text) under a trained quality head — map-only. */
+  def scoreWith(text: Column, model: graft.textmodel.QualityHead.Model): Column =
+    graft.functions.LogisticScoreExpr(text, model)
+
+  /** Distributed Kneser-Ney LM training on a corpus (the CCNet recipe,
+    * arXiv:1911.00359 §: LM-based quality scoring needs an LM fit on an
+    * in-domain corpus): per-document trigram counts compact inside
+    * [[graft.functions.TrigramKeyCountsExpr]] (doc-distinct rows, not
+    * corpus chars, hit the explode), ONE partial-aggregated groupBy
+    * reduces to the |trigram types| count table — exact integers, so the
+    * fit is independent of aggregation order — and every other KN
+    * structure derives from that table on the driver
+    * ([[graft.textmodel.LangModel.knFromTriCounts]]). The returned model
+    * scores perplexity map-only via [[pplWith]]. */
+  def trainKn(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : graft.textmodel.LangModel.KnLm = {
+    val counts = df
+      .select(explode(graft.functions.TrigramKeyCountsExpr(col(textCol)))
+        .as(Seq("k", "c")))
+      .groupBy(col("k")).agg(sum(col("c")).as("c"))
+      .collect()
+    graft.textmodel.LangModel.knFromTriCounts(
+      counts.iterator.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** Perplexity under a corpus-trained KN model — map-only. */
+  def pplWith(text: Column, model: graft.textmodel.LangModel.KnLm): Column =
+    graft.functions.KnPplExpr(text, model)
+
   /** Per-group corpus report — the bounded monitoring frame a curation run
     * publishes (doc/char/token totals, exact-duplicate count, mean
     * quality): ONE partial-aggregated pass, |groups| output rows. The mean

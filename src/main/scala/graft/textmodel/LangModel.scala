@@ -38,6 +38,10 @@ object LangModel {
   /** hash a char trigram into a bucket (deterministic, platform-free). */
   @inline def bucketOf(a: Char, b: Char, c: Char): Int = bucket(a, b, c)
 
+  /** exact trigram key, the KnLm count-table layout: a<<32 | b<<16 | c. */
+  @inline def key3(a: Char, b: Char, c: Char): Long =
+    (a.toLong << 32) | (b.toLong << 16) | c.toLong
+
   @inline private def bucket(a: Char, b: Char, c: Char): Int = {
     var h = 1125899906842597L
     h = 31 * h + a; h = 31 * h + b; h = 31 * h + c
@@ -115,7 +119,8 @@ object LangModel {
       contUni: Array[Int],           // N1+(·c)           index: c
       contUniTotal: Long,            // distinct bigram types
       uniCount: Array[Int],          // c(b)              index: b
-      biCtxTypes: Array[Int]) {      // N1+(b·)           index: b
+      biCtxTypes: Array[Int])        // N1+(b·)           index: b
+    extends Serializable {
 
     @inline private def key3(a: Char, b: Char, c: Char): Long =
       (a.toLong << 32) | (b.toLong << 16) | c.toLong
@@ -227,6 +232,50 @@ object LangModel {
           distinctBigrams += 1
         }
         i += 1
+      }
+    }
+    new KnLm(tri, bi, biT, cTri, cUni, distinctBigrams, uni, bCtxT)
+  }
+
+  /** Builds a [[KnLm]] from an aggregated trigram-count table alone.
+    *
+    * Every KN structure is DERIVABLE from c(abc): each trigram window
+    * (a,b,c) increments c(ab·), c(b) and — on first occurrence of the
+    * TYPE — N1+(ab·), N1+(·bc), N1+(b·), N1+(·c) exactly once, so
+    * replaying the count table reproduces the per-window loop's tables
+    * for any window order. That is what makes KN training DISTRIBUTABLE
+    * with a single bounded aggregation: the cluster ships only the
+    * |trigram types| count rows (saturating sublinearly in corpus size —
+    * real text reuses a small trigram vocabulary), never the windows.
+    * Shared by `TextAnalysis.trainKn` and the fixture mirror, so the two
+    * models are identical by construction. Per-type counts clamp at
+    * Int.MaxValue (probability ratios at that magnitude move by < 1e-9;
+    * type-count structures are unaffected). */
+  def knFromTriCounts(entries: Iterator[(Long, Long)]): KnLm = {
+    val tri = new LongIntMap(1 << 16)
+    val bi = new LongIntMap(1 << 14)
+    val biT = new LongIntMap(1 << 14)
+    val cTri = new LongIntMap(1 << 14)
+    val cUni = new Array[Int](1 << 16)
+    val uni = new Array[Int](1 << 16)
+    val bCtxT = new Array[Int](1 << 16)
+    val seenBi = new LongIntMap(1 << 14)
+    var distinctBigrams = 0L
+    entries.foreach { case (k, n0) =>
+      val n = math.min(n0, Int.MaxValue.toLong).toInt
+      val b = ((k >>> 16) & 0xffffL).toInt
+      val c = (k & 0xffffL).toInt
+      val ab = (k >>> 16).toLong         // a<<16|b
+      val bc = k & 0xffffffffL           // b<<16|c
+      tri.put(k, n)
+      bi.addBy(ab, n)
+      uni(b) += n
+      biT.increment(ab)
+      cTri.increment(bc)
+      bCtxT(b) += 1
+      if (seenBi.increment(bc) == 0) {
+        cUni(c) += 1
+        distinctBigrams += 1
       }
     }
     new KnLm(tri, bi, biT, cTri, cUni, distinctBigrams, uni, bCtxT)

@@ -1,0 +1,113 @@
+package graft.textmodel
+
+/** Binary logistic-regression quality head over hashed char-trigram
+  * presence features — the TRAINABLE twin of the heuristic keep/drop rules
+  * (north rule: "fastText-style … softmax head"; binary case). Where
+  * [[NbLangModel]] fits a generative head in closed form, this fits a
+  * discriminative one by full-batch gradient descent, with every piece of
+  * per-document arithmetic shared between the distributed trainer
+  * (`TextAnalysis.trainQualityHead`) and the straight-line fixture mirror
+  * (`Fixtures.qualityHeadConfusion`) so the two are bit-identical.
+  *
+  * Bit-deterministic distributed training — the design constraint:
+  * a float gradient summed across partitions is partition-order-dependent
+  * in the last ulps, which would make the fitted weights (and eventually
+  * a verdict near the 0.5 boundary) flicker across runs/cluster sizes.
+  * Instead each document QUANTIZES its gradient contribution to integer
+  * fixed-point (×2^20, round-to-nearest) and the cluster sums longs —
+  * exact, associative, order-free — so the weight trajectory is identical
+  * at any parallelism. Per-doc quantization error is ≤ 2^-21 ≈ 5e-7 in
+  * residual units — orders below anything the optimizer notices, and —
+  * unlike float-sum nondeterminism — exactly reproducible. Headroom: a
+  * bucket's long sum overflows only past 2^43 ≈ 9e12 training docs.
+  *
+  * Features are PRESENCE bits of the [[LangModel.bucketOf]] trigram
+  * buckets (x_b ∈ {0,1}): binary features keep the gradient scale
+  * independent of document length and make ∂L/∂w_b = Σ_docs∋b residual —
+  * one quantized residual added per active bucket.
+  */
+object QualityHead {
+
+  /** Same bucket space as the langid head (LangModel.bucketOf). */
+  val Dim: Int = 1 << 15
+
+  /** Gradient row index for the intercept. */
+  val BiasBucket: Int = Dim
+
+  /** Fixed-point scale for per-doc gradient quantization. */
+  val Scale: Double = (1L << 20).toDouble
+
+  /** Default training hyperparameters — shared by the distributed trainer
+    * and the fixture mirror so the two fits are the same fit. */
+  val DefaultIters: Int = 30
+  val DefaultLr: Double = 4.0
+
+  final case class Model(w: Array[Double], bias: Double) {
+    /** P(keep | text) — one trigram walk, map-only. */
+    def score(text: String): Double = {
+      val bs = featurize(text)
+      var z = bias
+      var i = 0
+      while (i < bs.length) { z += w(bs(i)); i += 1 }
+      sigmoid(z)
+    }
+    def predict(text: String): Boolean = score(text) >= 0.5
+  }
+
+  def empty: Model = Model(new Array[Double](Dim), 0.0)
+
+  @inline def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Distinct trigram buckets of a text, first-occurrence order (the same
+    * LinkedHashMap walk as `TrigramBucketCountsExpr`, so the expression
+    * path and this path see identical features). */
+  def featurize(text: String): Array[Int] = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+    NbLangModel.bucketCounts(text, acc)
+    val out = new Array[Int](acc.size)
+    var i = 0
+    acc.keysIterator.foreach { b => out(i) = b; i += 1 }
+    out
+  }
+
+  /** Adds one document's QUANTIZED gradient contribution into `buf`
+    * (length Dim+1; slot [[BiasBucket]] is the intercept). Shared verbatim
+    * by the Catalyst aggregate and the fixture mirror. */
+  def accumulate(buf: Array[Long], buckets: Array[Int], y: Boolean,
+      model: Model): Unit = {
+    var z = model.bias
+    var i = 0
+    while (i < buckets.length) { z += model.w(buckets(i)); i += 1 }
+    val r = sigmoid(z) - (if (y) 1.0 else 0.0)
+    val g = math.rint(r * Scale).toLong
+    i = 0
+    while (i < buckets.length) { buf(buckets(i)) += g; i += 1 }
+    buf(BiasBucket) += g
+  }
+
+  /** One gradient-descent step from a summed fixed-point gradient vector:
+    * w ← w − lr·(Σg/Scale)/n. Pure, shared by both trainers. */
+  def step(model: Model, grad: Array[Long], n: Long, lr: Double): Model = {
+    require(grad.length == Dim + 1, s"gradient length ${grad.length} != ${Dim + 1}")
+    val w = new Array[Double](Dim)
+    val c = lr / (Scale * n)
+    var b = 0
+    while (b < Dim) { w(b) = model.w(b) - c * grad(b); b += 1 }
+    Model(w, model.bias - c * grad(BiasBucket))
+  }
+
+  /** Straight-line trainer over an in-memory labeled corpus — the fixture
+    * mirror of `TextAnalysis.trainQualityHead` (same accumulate/step). */
+  def fitLocal(docs: Seq[(Boolean, String)], iters: Int, lr: Double): Model = {
+    val feats = docs.map { case (y, t) => (y, featurize(t)) }
+    var model = empty
+    var it = 0
+    while (it < iters) {
+      val grad = new Array[Long](Dim + 1)
+      feats.foreach { case (y, bs) => accumulate(grad, bs, y, model) }
+      model = step(model, grad, docs.size.toLong, lr)
+      it += 1
+    }
+    model
+  }
+}

@@ -6,7 +6,7 @@ package graft.util
   * Character/Integer boxing dominated the profile.
   * Write-once (build at train time), read-heavy thereafter.
   */
-final class LongIntMap(initialCapacity: Int = 1 << 16) {
+final class LongIntMap(initialCapacity: Int = 1 << 16) extends Serializable {
   private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2 - 1)
   private var mask = cap - 1
   private var keys = new Array[Long](cap)
@@ -57,4 +57,6 @@ final class LongIntMap(initialCapacity: Int = 1 << 16) {
     put(k, prev + 1)
     prev
   }
+
+  def addBy(k: Long, delta: Int): Unit = put(k, get(k, 0) + delta)
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.Exchange
+
+import graft.TestSpark
+import graft.functions.api.bottom_k_distinct
+
+/** Repo-level fork/mirror detection (RepoDedup scaladoc) and its bottom-k
+  * distinct sketch aggregate. */
+class RepoDedupSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bottom_k_distinct: exact sorted distinct set below k") {
+    val df = Seq(5L, 3L, 5L, -9L, 3L, 7L).toDF("v")
+    val got = df.agg(bottom_k_distinct(col("v"), 10)).head.getSeq[Long](0)
+    got shouldBe Seq(-9L, 3L, 5L, 7L)
+  }
+
+  test("bottom_k_distinct: keeps the k smallest under overflow, any partitioning") {
+    val vals = (1L to 1000L).map(v => v * 17 % 997) // shuffled-ish distinct values
+    for (parts <- Seq(1, 7)) {
+      val got = spark.sparkContext.parallelize(vals, parts).toDF("v")
+        .agg(bottom_k_distinct(col("v"), 25)).head.getSeq[Long](0)
+      got shouldBe vals.distinct.sorted.take(25)
+    }
+  }
+
+  test("bottom_k_distinct: nulls skipped, empty group -> empty array") {
+    val got = Seq[Option[Long]](None, Some(4L), None).toDF("v")
+      .agg(bottom_k_distinct(col("v"), 5)).head.getSeq[Long](0)
+    got shouldBe Seq(4L)
+    val empty = Seq.empty[Long].toDF("v")
+      .agg(bottom_k_distinct(col("v"), 5)).head.getSeq[Long](0)
+    empty shouldBe Seq.empty
+  }
+
+  /** 4 repos: a and b share 3 of 5 files (j=3/7), c mirrors a (j=1),
+    * d is disjoint. */
+  private def corpus = {
+    val a = (1 to 5).map(i => ("a", s"file-$i"))
+    val b = (3 to 7).map(i => ("b", s"file-$i"))
+    val c = (1 to 5).map(i => ("c", s"file-$i"))
+    val d = (20 to 24).map(i => ("d", s"file-$i"))
+    (a ++ b ++ c ++ d).toDF("repo", "content")
+  }
+
+  test("forkPairs finds exactly the overlapping pairs with exact jaccard") {
+    val got = RepoDedup.forkPairs(corpus, "repo", "content", tau = 0.4)
+      .select("repo_a", "repo_b", "jaccard", "exact")
+      .orderBy("repo_a", "repo_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    got should contain theSameElementsInOrderAs Seq(
+      ("a", "b", math.rint(3.0 / 7.0 * 1e6) / 1e6, true),
+      ("a", "c", 1.0, true),
+      ("b", "c", math.rint(3.0 / 7.0 * 1e6) / 1e6, true))
+  }
+
+  test("forkPairs tau excludes sub-threshold pairs") {
+    val got = RepoDedup.forkPairs(corpus, "repo", "content", tau = 0.9)
+      .select("repo_a", "repo_b").collect().map(r => (r.getString(0), r.getString(1)))
+    got shouldBe Array(("a", "c"))
+  }
+
+  test("duplicate files within a repo do not inflate the set") {
+    val dup = corpus.union(Seq(("a", "file-1"), ("a", "file-1")).toDF("repo", "content"))
+    val got = RepoDedup.forkPairs(dup, "repo", "content", tau = 0.99)
+      .select("n_files_a", "n_files_b").head
+    (got.getLong(0), got.getLong(1)) shouldBe ((5L, 5L))
+  }
+
+  test("overflowed repos report estimated jaccard with exact=false") {
+    // two identical 40-file repos sketched at k=8: the bottom-8 estimator
+    // over a mirrored pair is exactly 1.0 (every union survivor is shared)
+    val big = (1 to 40).flatMap(i => Seq(("x", s"f-$i"), ("y", s"f-$i")))
+      .toDF("repo", "content")
+    val got = RepoDedup.forkPairs(big, "repo", "content", tau = 0.5, maxFiles = 8)
+      .select("repo_a", "repo_b", "jaccard", "exact").head
+    (got.getString(0), got.getString(1)) shouldBe (("x", "y"))
+    got.getDouble(2) shouldBe 1.0
+    got.getBoolean(3) shouldBe false
+  }
+
+  test("plan: repoProfiles is one partial-aggregated exchange, content never shuffles") {
+    // multi-partition input so the aggregation actually plans its exchange;
+    // AQE off so the Exchange is a real node, not hidden in an
+    // AdaptiveSparkPlanExec leaf
+    val rows = corpus.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val multi = spark.sparkContext.parallelize(rows, 4).toDF("repo", "content")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = RepoDedup.repoProfiles(multi, "repo", "content", lanes = 8)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case e: Exchange => e }
+      exchanges should have size 1
+      // only repo + fixed-width hash/agg buffers cross the wire — the
+      // content column must be reduced to partial-agg state before the
+      // exchange (partial aggregation = map-side combine)
+      exchanges.head.child.output.map(_.name) should not contain "content"
+      exchanges.head.child.toString should include("partial_bottom_k_distinct")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.Exchange
+
+import graft.TestSpark
+import graft.curation.TaggerMixer
+import graft.curation.TaggerMixer.{MixRule, Tagger}
+
+/** Tagger → attribute → mixer curation framework (TaggerMixer scaladoc). */
+class TaggerMixerSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rules = Seq(
+    MixRule("alnum", "alnum_ratio >= 0.5"),
+    MixRule("tokens", "n_tokens >= 2"),
+    MixRule("autogen", "NOT has_autogen"))
+
+  private def docs = Seq(
+    (1L, "hello world"),                       // keeps: clean 2-token doc
+    (2L, ""),                                  // fails alnum (0.0) AND tokens
+    (3L, "a b\ncd efg hi"),                    // multiline, keeps
+    (4L, "!!! ??? ***"),                       // fails alnum only
+    (5L, "x DO NOT EDIT. generated stub ok"),  // fails autogen only
+    (6L, "word")                               // fails tokens only
+  ).toDF("doc_id", "text")
+
+  test("builtin taggers: hand-computed attribute values") {
+    val out = TaggerMixer.tag(docs, Seq("doc_id"),
+      TaggerMixer.builtinTaggers(col("text")))
+      .orderBy("doc_id").collect()
+
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // (1) "hello world": 11 chars, 1 line, 2 tokens, alnum 10/11
+    byId(1L).getLong(1) shouldBe 11L            // n_chars
+    byId(1L).getLong(2) shouldBe 1L             // n_lines
+    byId(1L).getLong(3) shouldBe 11L            // max_line_len
+    byId(1L).getDouble(4) shouldBe 11.0         // avg_line_len
+    byId(1L).getLong(5) shouldBe 2L             // n_tokens
+    byId(1L).getDouble(6) shouldBe (10.0 / 11.0 +- 1e-6)
+    byId(1L).getBoolean(7) shouldBe false
+    // (2) empty text: zero everything, split("") -> [""] = one line
+    byId(2L).getLong(1) shouldBe 0L
+    byId(2L).getLong(2) shouldBe 1L
+    byId(2L).getLong(3) shouldBe 0L
+    byId(2L).getLong(5) shouldBe 0L
+    byId(2L).getDouble(6) shouldBe 0.0
+    // (3) "a b\ncd efg hi": 2 lines, max line len 9, 5 whitespace tokens
+    byId(3L).getLong(2) shouldBe 2L
+    byId(3L).getLong(3) shouldBe 9L
+    byId(3L).getLong(5) shouldBe 5L
+    // (5) autogen marker detected
+    byId(5L).getBoolean(7) shouldBe true
+  }
+
+  test("mix: keep iff every rule passes; first_fail respects rule order") {
+    val out = TaggerMixer.curate(docs, Seq("doc_id"),
+      TaggerMixer.builtinTaggers(col("text")), rules)
+      .select("doc_id", "keep", "first_fail")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2))))
+
+    out should contain theSameElementsInOrderAs Seq(
+      (1L, true, None),
+      (2L, false, Some("alnum")),  // fails alnum AND tokens — order picks alnum
+      (3L, true, None),
+      (4L, false, Some("alnum")),
+      (5L, false, Some("autogen")),
+      (6L, false, Some("tokens")))
+  }
+
+  test("mixAttributes over a pre-materialized attribute table agrees with curate") {
+    val attrs = TaggerMixer.tag(docs, Seq("doc_id"),
+      TaggerMixer.builtinTaggers(col("text")))
+    val joined = TaggerMixer.mixAttributes(docs, attrs, Seq("doc_id"), rules)
+      .select("doc_id", "keep").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val fused = TaggerMixer.curate(docs, Seq("doc_id"),
+      TaggerMixer.builtinTaggers(col("text")), rules)
+      .select("doc_id", "keep").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    joined should contain theSameElementsInOrderAs fused
+  }
+
+  test("plan gate: fused tag+mix is map-only — zero Exchange") {
+    val plan = TaggerMixer.curate(docs, Seq("doc_id"),
+      TaggerMixer.builtinTaggers(col("text")), rules)
+      .queryExecution.executedPlan
+    plan.collect { case e: Exchange => e } shouldBe empty
+  }
+
+  test("custom taggers compose with builtins in one pass") {
+    val custom = Tagger("has_digit", col("text").rlike("[0-9]"))
+    val out = TaggerMixer.tag(docs.withColumn("text", concat(col("text"), lit(" 42"))),
+      Seq("doc_id"), Seq(custom))
+      .orderBy("doc_id").collect()
+    all(out.map(_.getBoolean(1))) shouldBe true
+  }
+}

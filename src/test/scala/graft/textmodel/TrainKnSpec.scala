@@ -1,0 +1,73 @@
+package graft.textmodel
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.operators.TextAnalysis
+
+/** Distributed Kneser-Ney training (TextAnalysis.trainKn): the count-table
+  * derivation must reproduce the per-window loop exactly, at any
+  * partitioning. */
+class TrainKnSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat ate the rat"),
+    (3L, "a very different document entirely"),
+    (4L, "th"), // sub-trigram: contributes nothing
+    (5L, ""))
+
+  /** per-window reference build over the same docs (the lazy-val knLm loop
+    * shape), for equivalence with the count-table derivation. */
+  private def perWindowModel: LangModel.KnLm = {
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    docs.foreach { case (_, t) =>
+      var i = 0
+      while (i < t.length - 2) {
+        counts.updateWith(LangModel.key3(t.charAt(i), t.charAt(i + 1),
+          t.charAt(i + 2)))(c => Some(c.getOrElse(0L) + 1L))
+        i += 1
+      }
+    }
+    LangModel.knFromTriCounts(counts.iterator)
+  }
+
+  test("distributed fit == straight-line fit, bit-identical ppl, any partitioning") {
+    val want = docs.map { case (_, t) => perWindowModel.perplexity(t) }
+    for (parts <- Seq(1, 5)) {
+      val df = spark.sparkContext.parallelize(docs, parts).toDF("doc_id", "text")
+      val m = TextAnalysis.trainKn(df, "text")
+      val got = docs.map { case (_, t) => m.perplexity(t) }
+      got shouldBe want // exact doubles — same counts, same walk
+    }
+  }
+
+  test("trained model prefers in-domain text") {
+    val df = docs.toDF("doc_id", "text")
+    val m = TextAnalysis.trainKn(df, "text")
+    m.perplexity("the cat sat") should be < m.perplexity("zqxj wvvk pzzt")
+  }
+
+  test("count-table derivation matches KN probability axioms") {
+    val m = perWindowModel
+    // P(c | "th") sums to ~1 over observed continuations + backoff mass
+    val ctx = "th"
+    val chars = ('a' to 'z') ++ Seq(' ')
+    val mass = chars.map(c => m.prob(ctx.charAt(0), ctx.charAt(1), c)).sum
+    mass should be <= 1.000001
+    mass should be > 0.5 // most probability lands on ascii letters+space here
+  }
+
+  test("perplexity expression is map-only") {
+    val df = docs.toDF("doc_id", "text")
+    val m = TextAnalysis.trainKn(df, "text")
+    val plan = df.select(TextAnalysis.pplWith(col("text"), m))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+}
