@@ -1,0 +1,24 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+/** Times the named SparkEntry queries on a sf dir — quick per-query cost
+  * probe (Bench runs the whole suite; this runs a subset). */
+object OneQueryTimer {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkEntry.queries("q1_agg")(spark, dir).count() // warmup
+    args.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      println(f"TIMER $name ${(System.nanoTime() - t0) / 1e9}%.2f s  rows=$n")
+    }
+    spark.stop()
+  }
+}

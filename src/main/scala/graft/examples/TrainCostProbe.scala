@@ -1,0 +1,51 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object TrainCostProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.corpus.{CorpusGen, CorpusSpec}
+    import graft.pipeline.QualityFilter
+    import graft.textmodel.QualityHead
+    for (run <- 1 to 3) {
+      var t0 = System.nanoTime()
+      def lap(tag: String): Unit = {
+        println(f"TIMER run$run $tag ${(System.nanoTime()-t0)/1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
+      val corpus = CorpusGen.corpus(spark, CorpusSpec(nFiles = 2000)).toDF
+      val labeled = QualityFilter.withMetrics(corpus)
+        .select(col("path"), col("content"), col("keep"))
+      val isEval = pmod(xxhash64(col("path")), lit(4L)) === 0
+      val raw = labeled.filter(!isEval)
+        .select(col("keep").cast("boolean").as("y"),
+          graft.functions.TrigramBucketCountsExpr(col("content")).as("f"))
+        .persist()
+      val n = raw.count()
+      lap("featurize+count")
+      val parts = raw.rdd.getNumPartitions
+      val ideal = math.max(1, math.min(parts, math.ceil(n / 2000.0).toInt))
+      val feats = raw.coalesce(ideal).localCheckpoint(true)
+      raw.unpersist(blocking = false)
+      lap(s"checkpoint($ideal)")
+      var model = QualityHead.empty
+      for (it <- 1 to 30) {
+        val grad = feats
+          .agg(graft.functions.LogisticGradAgg(col("f"), col("y"), model))
+          .head.getSeq[Long](0).toArray
+        model = QualityHead.step(model, grad, n, 4.0)
+        if (it <= 3 || it % 10 == 0) lap(s"iter$it") else t0 = System.nanoTime()
+      }
+      val cnt = labeled.filter(isEval)
+        .select((graft.operators.TextAnalysis.scoreWith(col("content"), model) >= 0.5).as("p"))
+        .groupBy("p").count().collect()
+      lap(s"eval ${cnt.mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** All `lanes` MinHash lane minima of a group in ONE aggregate: lane i's
+  * value for an element h is `xxh64(h, seed = i)` and the buffer keeps the
+  * per-lane minimum — the set-MinHash signature of the group
+  * (min-wise hashing, Broder 1997).
+  *
+  * One aggregate replaces `lanes` separate `min(xxhash64(h, i))` columns:
+  * the physical plan carries ONE buffer instead of 32 aggregate
+  * expressions (32x less codegen — the separate-columns form dominated
+  * RepoDedup's cold-start), and update is a tight loop over a primitive
+  * array. Fixed 8·lanes-byte state per group, map-side partial merge.
+  */
+case class MinHashLanesAgg(
+    child: Expression,
+    lanes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(lanes > 0 && lanes <= 1024, s"lanes must be in 1..1024, got $lanes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"min_hash_lanes requires a long column, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(lanes)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < lanes) {
+        val lv = XXH64.hashLong(h, i)
+        if (lv < buf(i)) buf(i) = lv
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < lanes) { if (other(i) < buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(lanes * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](lanes)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(buf)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashLanesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashLanesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashLanesAgg =
+    copy(child = newChild)
+
+  override def prettyName: String = "min_hash_lanes"
+}

@@ -37,6 +37,12 @@ object api {
     Bridge.column(TopKPairs(Bridge.expression(score), Bridge.expression(id), k)
       .toAggregateExpression())
 
+  /** All MinHash lane minima of the group in one pass:
+    * `array<long>` of length `lanes` (lane i = min of xxh64(h, seed=i)). */
+  def min_hash_lanes(c: Column, lanes: Int): Column =
+    Bridge.column(MinHashLanesAgg(Bridge.expression(c), lanes)
+      .toAggregateExpression())
+
   /** The k smallest DISTINCT longs of the group, sorted ascending — exact
     * distinct set below k, Broder bottom-k set sketch above it; buffer
     * memory bounded by k regardless of group skew. */

@@ -40,18 +40,22 @@ import graft.functions.VectorTextExprs
   */
 object RepoDedup {
 
-  /** Per-repo profile: `(repo, n_files, hashes, m0..m{lanes-1})` from ONE
-    * partial-aggregated pass. `hashes` is the sorted bottom-`maxFiles`
-    * distinct content-hash set (exact iff `n_files < maxFiles`);
-    * `n_files` counts distinct contents exactly below the cap (it is
-    * `size(hashes)` — a separate count-distinct would force an Expand). */
+  /** Per-repo profile: `(repo, n_files, hashes, lanes)` from ONE
+    * partial-aggregated pass of exactly TWO aggregates — the bottom-k
+    * verification sketch and all MinHash lane minima fused into one
+    * buffer each ([[graft.functions.MinHashLanesAgg]]; the earlier
+    * 32-separate-`min(xxhash64)`-columns form paid 32x the codegen).
+    * `hashes` is the sorted bottom-`maxFiles` distinct content-hash set
+    * (exact iff `n_files < maxFiles`); `n_files` counts distinct contents
+    * exactly below the cap (it is `size(hashes)` — a separate
+    * count-distinct would force an Expand). */
   def repoProfiles(files: DataFrame, repoCol: String, contentCol: String,
       lanes: Int = 32, maxFiles: Int = 100000): DataFrame = {
     require(lanes > 0 && lanes <= 256, s"lanes must be in 1..256, got $lanes")
     val h = xxhash64(col(contentCol))
-    val laneMins = (0 until lanes).map(l => min(xxhash64(h, lit(l))).as(s"m$l"))
     files.groupBy(col(repoCol).as("repo"))
-      .agg(bottom_k_distinct(h, maxFiles).as("hashes"), laneMins: _*)
+      .agg(bottom_k_distinct(h, maxFiles).as("hashes"),
+        graft.functions.api.min_hash_lanes(h, lanes).as("lanes"))
       .withColumn("n_files", size(col("hashes")).cast("long"))
   }
 
@@ -65,8 +69,8 @@ object RepoDedup {
       s"lanes ($lanes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val b = lanes / rowsPerBand
     val bandKeys = (0 until b).map { j =>
-      val laneCols: Seq[Column] =
-        (0 until rowsPerBand).map(o => col(s"m${j * rowsPerBand + o}"))
+      val laneCols: Seq[Column] = (0 until rowsPerBand)
+        .map(o => element_at(col("lanes"), j * rowsPerBand + o + 1))
       xxhash64(lit(j) +: laneCols: _*)
     }
     val ids = col("ids")

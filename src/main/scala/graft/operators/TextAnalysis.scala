@@ -65,11 +65,24 @@ object TextAnalysis {
       textCol: String, iters: Int = 30, lr: Double = 4.0)
       : graft.textmodel.QualityHead.Model = {
     import graft.textmodel.QualityHead
-    val feats = df.select(col(labelCol).cast("boolean").as("y"),
+    val raw = df.select(col(labelCol).cast("boolean").as("y"),
         graft.functions.TrigramBucketCountsExpr(col(textCol)).as("f"))
       .persist()
-    val n = feats.count()
+    val n = raw.count()
     require(n > 0, "trainQualityHead needs a non-empty corpus")
+    // every iteration ships one dense 256 KB gradient partial PER PARTITION
+    // (plus the weights in each task binary), so on a small labeled corpus
+    // the fixed per-partition serde dwarfs the compute — coalesce the
+    // features toward ~2000 docs/partition (results are partitioning-
+    // independent by construction: QualityHeadSpec proves bit-identity).
+    // localCheckpoint, NOT persist: a persisted coalesce(raw) is
+    // invalidated when raw is unpersisted (Spark re-caches by plan), which
+    // would silently recompute the corpus featurization EVERY iteration —
+    // checkpointing cuts the lineage so the release of raw cannot reach it.
+    val parts = raw.rdd.getNumPartitions
+    val ideal = math.max(1, math.min(parts, math.ceil(n / 2000.0).toInt))
+    val feats = raw.coalesce(ideal).localCheckpoint(eager = true)
+    raw.unpersist(blocking = false)
     var model = QualityHead.empty
     var it = 0
     while (it < iters) {
@@ -79,7 +92,8 @@ object TextAnalysis {
       model = QualityHead.step(model, grad, n, lr)
       it += 1
     }
-    feats.unpersist(blocking = false)
+    // feats is localCheckpointed — its blocks are released by the
+    // ContextCleaner once the frame goes out of scope
     model
   }
 
