@@ -671,6 +671,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_train_kn_lang" -> ((s, dir) => {
+      // PER-LANGUAGE KN training (the CCNet deployment shape — one LM per
+      // language) in one bounded aggregation; each row scored under its
+      // OWN language's model, map-only. Oracle: Fixtures.trainKnByLangPpl
+      // straight-line mirror.
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents")
+      val models = TextAnalysis.trainKnByLang(docs, "lang", "text")
+      docs.select(col("doc_id"), col("lang"),
+          round(TextAnalysis.pplWithByLang(col("lang"), col("text"), models), 6)
+            .as("lang_ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      // sketch-based decontamination (contaminationBloom scaladoc): the
+      // benchmark n-gram set collapses to a Bloom filter and the corpus
+      // side is a pure map — no joins, no exchanges before the final
+      // 1-row aggregate. Self-validating against the EXACT path: bloom
+      // recall is structurally 1 (no false negatives), and total
+      // false-positive probes must stay within 3x the fpp budget (+10
+      // slack for tiny corpora); the exact contaminated count is
+      // recomputed independently in DuckDB.
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      val fpp = 0.01
+      val est = TextAnalysis.contaminationBloom(
+          docs, "doc_id", "text", bench, "text", n = 5, fpp = fpp)
+        .withColumnRenamed("total_ngrams", "est_total")
+      val exact = TextAnalysis.contamination(
+        docs, "doc_id", "text", bench, "text", n = 5)
+      est.join(exact, "id").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("contamination") >= 0.5, 1L).otherwise(0L))
+          .as("n_contaminated_exact"),
+        (sum(when(col("est_hits") < col("contaminated_ngrams"), 1L)
+          .otherwise(0L)) === 0).as("recall_ok"),
+        (sum((col("est_hits") - col("contaminated_ngrams")).cast("double")) <=
+          lit(3.0 * fpp) *
+            sum((col("total_ngrams") - col("contaminated_ngrams")).cast("double"))
+            + 10.0).as("fp_budget_ok"))
+    }),
+
     "q_corpus_report" -> ((s, dir) => {
       // bounded per-language monitoring frame: one partial-agg'd pass,
       // order-independent micro-unit quality mean, hash-based dup count
@@ -1562,6 +1606,31 @@ object SparkEntry {
       s"""SELECT doc_id, trained_ppl
           FROM '${graft.corpus.Fixtures.trainKnPath}/*.parquet'
           ORDER BY doc_id""",
+    "q_train_kn_lang" ->
+      s"""SELECT doc_id, lang, lang_ppl
+          FROM '${graft.corpus.Fixtures.trainKnLangPath}/*.parquet'
+          ORDER BY doc_id""",
+    // bloom decontamination: exact term recomputed from scratch (the same
+    // 5-gram CTE as q_decontaminate); the two sketch properties are
+    // structural (recall) / bounded (fp budget) booleans, so the oracle
+    // pins them to constant true
+    "q_decontaminate_bloom" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+                  string_split(text, ' ')[i+4])) AS s
+           FROM documents),
+         bench AS (SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0)),
+         hits AS (SELECT doc_id, count(*) AS cnt
+                  FROM (SELECT doc_id, unnest(s) AS g FROM sh) x JOIN bench USING (g)
+                  GROUP BY doc_id)
+         SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN CAST(coalesce(h.cnt, 0) AS DOUBLE) / nullif(len(d.s), 0) >= 0.5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated_exact,
+           true AS recall_ok, true AS fp_budget_ok
+         FROM sh d LEFT JOIN hits h USING (doc_id)""",
     "q_corpus_report" ->
       s"""WITH t AS (SELECT lang, text,
              CASE WHEN length(trim(text)) = 0 THEN 0

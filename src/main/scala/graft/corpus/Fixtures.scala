@@ -50,6 +50,7 @@ object Fixtures {
   val trainLangIdPath = s"$dir/expected_train_langid"
   val qualityHeadPath = s"$dir/expected_quality_head"
   val trainKnPath = s"$dir/expected_train_kn"
+  val trainKnLangPath = s"$dir/expected_train_kn_lang"
 
   /** BPE operating point shared by `q_bpe_tokens` and its fixture. */
   val bpeVocabWords = 500
@@ -93,6 +94,8 @@ object Fixtures {
   final case class ExpectedQualityHead(label: Boolean, pred: Boolean, cnt: Long)
 
   final case class ExpectedKnPpl(doc_id: Long, trained_ppl: Double)
+
+  final case class ExpectedKnLangPpl(doc_id: Long, lang: String, lang_ppl: Double)
 
   /** Same rounding as Spark's `round(col, 6)` on doubles (HALF_UP via
     * BigDecimal.valueOf) — both sides round bit-identical inputs, so the
@@ -310,6 +313,30 @@ object Fixtures {
       .sortBy(_.doc_id)
   }
 
+  /** Straight-line mirror of `TextAnalysis.trainKnByLang` + per-doc
+    * own-language perplexity (same per-lang count tables, same
+    * knFromTriCounts derivation, same walk). */
+  def trainKnByLangPpl(docs: Seq[(Long, String, String)]): Seq[ExpectedKnLangPpl] = {
+    import graft.textmodel.LangModel
+    val byLang = docs.groupBy(_._2)
+    val models = byLang.map { case (lang, rows) =>
+      val counts = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      rows.foreach { case (_, _, t) =>
+        var i = 0
+        val end = t.length - 2
+        while (i < end) {
+          val k = LangModel.key3(t.charAt(i), t.charAt(i + 1), t.charAt(i + 2))
+          counts.update(k, counts.getOrElse(k, 0L) + 1L)
+          i += 1
+        }
+      }
+      lang -> LangModel.knFromTriCounts(counts.iterator)
+    }
+    docs.map { case (id, lang, t) =>
+      ExpectedKnLangPpl(id, lang, round6(models(lang).perplexity(t)))
+    }.sortBy(_.doc_id)
+  }
+
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val cfg = FilterConfig()
@@ -355,6 +382,12 @@ object Fixtures {
 
     spark.createDataset(trainKnPpl(docs)).coalesce(1)
       .write.mode("overwrite").parquet(trainKnPath)
+
+    val langDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    spark.createDataset(trainKnByLangPpl(langDocs)).coalesce(1)
+      .write.mode("overwrite").parquet(trainKnLangPath)
 
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").collect()

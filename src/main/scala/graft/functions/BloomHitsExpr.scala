@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Counts how many longs of an array MIGHT be members of a Bloom filter —
+  * the map-side membership probe of sketch-based decontamination
+  * (`TextAnalysis.contaminationBloom`): the filter rides in the expression
+  * as its serialized bytes (deserialized once per executor via a transient
+  * lazy, NOT per row) and the probe is a tight loop with zero allocation.
+  * Returns struct<hits:int, total:int>. Bloom guarantees hits ≥ the true
+  * member count (no false negatives), so any downstream "contaminated"
+  * flag derived from hits is a SUPERSET of the exact flag by construction.
+  */
+case class BloomHitsExpr(child: Expression, bloomBytes: Array[Byte])
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("hits", IntegerType, nullable = false),
+    StructField("total", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_hits requires array<long>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (bloom.mightContainLong(arr.getLong(i))) hits += 1
+      i += 1
+    }
+    InternalRow(hits, n)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomHitsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_hits"
+}
+
+object BloomHitsExpr {
+  def apply(c: Column, bloom: BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    Bridge.column(BloomHitsExpr(Bridge.expression(c), bos.toByteArray))
+  }
+}

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -164,4 +164,41 @@ case class KnPplExpr(child: Expression, model: graft.textmodel.LangModel.KnLm)
 object KnPplExpr {
   def apply(c: Column, model: graft.textmodel.LangModel.KnLm): Column =
     Bridge.column(KnPplExpr(Bridge.expression(c), model))
+}
+
+/** Perplexity under the row's OWN language's corpus-trained KN model —
+  * per-language LM routing in one map-only expression (the CCNet shape:
+  * one LM per language). Rows whose language has no model score null. */
+case class KnPplByLangExpr(left: Expression, right: Expression,
+    models: Map[String, graft.textmodel.LangModel.KnLm])
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def nullSafeEval(lang: Any, text: Any): Any =
+    models.get(lang.asInstanceOf[UTF8String].toString) match {
+      case Some(m) => m.perplexity(text.asInstanceOf[UTF8String].toString)
+      case None => null
+    }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KnPplByLangExpr =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "kn_ppl_by_lang"
+}
+
+object KnPplByLangExpr {
+  def apply(lang: Column, text: Column,
+      models: Map[String, graft.textmodel.LangModel.KnLm]): Column =
+    Bridge.column(KnPplByLangExpr(Bridge.expression(lang),
+      Bridge.expression(text), models))
 }

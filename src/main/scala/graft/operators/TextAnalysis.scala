@@ -126,6 +126,33 @@ object TextAnalysis {
   def pplWith(text: Column, model: graft.textmodel.LangModel.KnLm): Column =
     graft.functions.KnPplExpr(text, model)
 
+  /** PER-LANGUAGE Kneser-Ney training — the actual CCNet deployment shape
+    * (arXiv:1911.00359 trains one LM per language; a pooled model scores
+    * minority languages against majority-language statistics). Same single
+    * bounded aggregation as [[trainKn]] with the language as an extra group
+    * key: ≤ |langs| × |trigram types| rows reach the driver, corpus
+    * characters never shuffle. Score with [[pplWithByLang]], which routes
+    * each row to its own language's model in one map-only pass. */
+  def trainKnByLang(df: org.apache.spark.sql.DataFrame, langCol: String,
+      textCol: String): Map[String, graft.textmodel.LangModel.KnLm] = {
+    val counts = df
+      .select(col(langCol).as("lang"),
+        explode(graft.functions.TrigramKeyCountsExpr(col(textCol)))
+          .as(Seq("k", "c")))
+      .groupBy(col("lang"), col("k")).agg(sum(col("c")).as("c"))
+      .collect()
+    counts.groupBy(_.getString(0)).map { case (lang, rows) =>
+      lang -> graft.textmodel.LangModel.knFromTriCounts(
+        rows.iterator.map(r => (r.getLong(1), r.getLong(2))))
+    }
+  }
+
+  /** Perplexity under the row's own language model (null for languages
+    * without one) — map-only. */
+  def pplWithByLang(lang: Column, text: Column,
+      models: Map[String, graft.textmodel.LangModel.KnLm]): Column =
+    graft.functions.KnPplByLangExpr(lang, text, models)
+
   /** Per-group corpus report — the bounded monitoring frame a curation run
     * publishes (doc/char/token totals, exact-duplicate count, mean
     * quality): ONE partial-aggregated pass, |groups| output rows. The mean
@@ -296,6 +323,35 @@ object TextAnalysis {
         when(col("total_ngrams") > 0,
           round(col("contaminated_ngrams").cast("double") /
             col("total_ngrams").cast("double"), 6)).as("contamination"))
+  }
+
+  /** Sketch-based decontamination — the no-shuffle twin of
+    * [[contamination]] for benchmark sets too large to broadcast exactly:
+    * the benchmark's distinct n-gram hashes collapse into a Bloom filter
+    * (built by Spark's own distributed sketch aggregation — deterministic:
+    * fixed hash seeds, bit-OR merge), and the corpus side becomes a PURE
+    * MAP — one shingling walk + one membership probe per n-gram, zero
+    * joins, zero exchanges (at 10^12 files the [[contamination]] variant
+    * still shuffles one compacted row per document for its groupBy; this
+    * one shuffles nothing). The price is one-sided error: `est_hits ≥`
+    * the true hit count always (no false negatives — a contaminated doc
+    * can never be missed), with ≈ fpp false-positive probes per clean
+    * n-gram; callers threshold on the hit FRACTION, where fpp vanishes.
+    * Output: (id, est_hits, total_ngrams). */
+  def contaminationBloom(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.VectorTextExprs.shingle_hashes
+    val benchGrams = bench
+      .select(explode(shingle_hashes(col(benchTextCol), n)).as("h")).distinct()
+    val items = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("h", items, fpp)
+    corpus.select(col(idCol).as("id"),
+        graft.functions.BloomHitsExpr(
+          coalesce(shingle_hashes(col(textCol), n),
+            array().cast("array<long>")), bloom).as("b"))
+      .select(col("id"), col("b.hits").as("est_hits"),
+        col("b.total").as("total_ngrams"))
   }
 
   /** N-gram-heuristic language id for natural-language text: per-language

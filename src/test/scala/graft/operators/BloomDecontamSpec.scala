@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Sketch-based decontamination (TextAnalysis.contaminationBloom) and the
+  * per-language KN trainer. */
+class BloomDecontamSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"), // clone of 1
+    (3L, "one two three four five six seven eight nine"),
+    (4L, "totally unrelated words that share no grams at all ok"),
+    (5L, "tiny")) // sub-5-gram: one whole-text shingle (ShingleHashes)
+    .toDF("doc_id", "text")
+
+  test("bloom flags are a superset of exact hits, exact on this tiny set") {
+    val bench = corpus.filter(col("doc_id") === 1)
+    val est = TextAnalysis.contaminationBloom(
+      corpus, "doc_id", "text", bench, "text", n = 5, fpp = 0.001)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val exact = TextAnalysis.contamination(
+      corpus, "doc_id", "text", bench, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    corpus.collect().map(_.getLong(0)).foreach { id =>
+      est(id)._1.toLong should be >= exact(id) // no false negatives, ever
+    }
+    // doc 1 and its clone are fully contaminated; doc 5's single
+    // whole-text shingle is not in the bench set
+    est(1L)._1 shouldBe est(1L)._2
+    est(2L)._1 shouldBe est(2L)._2
+    est(5L) shouldBe ((0, 1))
+  }
+
+  test("bloom corpus side is a pure map — zero exchanges") {
+    val bench = corpus.filter(col("doc_id") === 1)
+    val plan = TextAnalysis.contaminationBloom(
+      corpus, "doc_id", "text", bench, "text").queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  test("bloom probe is deterministic across partitionings") {
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val bench = corpus.filter(col("doc_id") === 1)
+    val a = TextAnalysis.contaminationBloom(
+      spark.sparkContext.parallelize(rows, 1).toDF("doc_id", "text"),
+      "doc_id", "text", bench, "text").orderBy("id").collect().toSeq
+    val b = TextAnalysis.contaminationBloom(
+      spark.sparkContext.parallelize(rows, 4).toDF("doc_id", "text"),
+      "doc_id", "text", bench, "text").orderBy("id").collect().toSeq
+    a shouldBe b
+  }
+
+  test("per-language KN: each row scored under its own model; pooled differs") {
+    val docs = Seq(
+      (1L, "aa", "the cat sat on the mat near the cat"),
+      (2L, "aa", "the cat ate the mat and the rat"),
+      (3L, "bb", "zzz yyy xxx www vvv uuu zzz yyy"),
+      (4L, "bb", "zzz www yyy uuu xxx vvv yyy zzz")).toDF("doc_id", "lang", "text")
+    val models = TextAnalysis.trainKnByLang(docs, "lang", "text")
+    models.keySet shouldBe Set("aa", "bb")
+    // own-language ppl must beat the other language's model on its text
+    val t1 = "the cat sat"
+    models("aa").perplexity(t1) should be < models("bb").perplexity(t1)
+    // routing expression: per-row own-model score matches driver-side call
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.pplWithByLang(col("lang"), col("text"), models).as("p"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val want = docs.collect().map(r =>
+      (r.getLong(0), models(r.getString(1)).perplexity(r.getString(2))))
+      .sortBy(_._1)
+    got shouldBe want
+    // unknown language -> null
+    val nulls = Seq((9L, "cc", "whatever text")).toDF("doc_id", "lang", "text")
+      .select(TextAnalysis.pplWithByLang(col("lang"), col("text"), models))
+      .head
+    nulls.isNullAt(0) shouldBe true
+  }
+}
