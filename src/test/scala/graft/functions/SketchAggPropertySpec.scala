@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Property checks of the round-4 sketch aggregates' buffer algebra
+  * against straight-line oracles — update/merge must form a commutative
+  * monoid on buffers (that is exactly what Spark's partial aggregation
+  * assumes), and eval must match the brute-force definition. Driverless:
+  * the buffers are plain JVM objects, so the properties run without a
+  * Spark job (the Spark-side integration is covered by RepoDedupSpec). */
+class SketchAggPropertySpec extends AnyFunSuite with Matchers {
+
+  private def sampled[T](g: Gen[T], seed: Long = 42L): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val valsGen = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+
+  test("BottomKDistinct buffer: any split/merge order == sorted distinct take k") {
+    val agg = BottomKDistinct(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), k = 8)
+    val cases = sampled(Gen.listOfN(60, Gen.zip(valsGen, Gen.chooseNum(1, 5))))
+    cases.foreach { case (vals, nChunks) =>
+      val want = vals.distinct.sorted.take(8)
+      // partition into chunks, build a buffer per chunk, merge in order
+      val chunks = vals.grouped(math.max(1, math.ceil(vals.size / nChunks.toDouble).toInt))
+        .toList.padTo(1, Nil)
+      val partials = chunks.map { c =>
+        val b = agg.createAggregationBuffer()
+        c.foreach { v => // mirror update() via the same offer path
+          if (b.size < 8) b.add(v)
+          else if (v < b.last()) { if (b.add(v)) b.pollLast() }
+        }
+        b
+      }
+      val merged = partials.reduce(agg.merge)
+      import scala.jdk.CollectionConverters._
+      merged.iterator().asScala.map(_.longValue()).toList shouldBe want
+    }
+  }
+
+  test("MinHashLanesAgg buffer: merge of chunk minima == global minima, any split") {
+    val agg = MinHashLanesAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), lanes = 16)
+    def laneMins(vals: Seq[Long]): Array[Long] = {
+      val m = Array.fill(16)(Long.MaxValue)
+      vals.foreach { h =>
+        var i = 0
+        while (i < 16) {
+          val lv = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, i)
+          if (lv < m(i)) m(i) = lv
+          i += 1
+        }
+      }
+      m
+    }
+    val cases = sampled(Gen.listOfN(40, Gen.zip(valsGen, Gen.chooseNum(1, 4))), 7L)
+    cases.foreach { case (vals, nChunks) =>
+      val want = laneMins(vals)
+      val chunks = vals.grouped(math.max(1, math.ceil(vals.size / nChunks.toDouble).toInt))
+        .toList.padTo(1, Nil)
+      val merged = chunks.map(laneMins(_)).reduce(agg.merge)
+      merged shouldBe want
+    }
+  }
+
+  test("MinHash lane agreement estimates set Jaccard (sanity at 256 lanes)") {
+    val agg = MinHashLanesAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), lanes = 256)
+    def sig(vals: Seq[Long]): Array[Long] = {
+      val m = Array.fill(256)(Long.MaxValue)
+      vals.foreach { h =>
+        var i = 0
+        while (i < 256) {
+          val lv = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, i)
+          if (lv < m(i)) m(i) = lv
+          i += 1
+        }
+      }
+      m
+    }
+    val a = (1L to 300L).toSeq
+    val b = (101L to 400L).toSeq // jaccard = 200/400 = 0.5
+    val (sa, sb) = (sig(a), sig(b))
+    val agree = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+    agree shouldBe (0.5 +- 0.12) // ±~4σ at k=256
+    agg.lanes shouldBe 256
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.TestSpark
+import graft.curation.TaggerMixer
+import graft.curation.TaggerMixer.MixRule
+
+/** The tagger/mixer pass is stateless per-row, so it lifts onto Structured
+  * Streaming unchanged — the streaming twin of the Dolma-style curation
+  * pass (dedup-free rule mixing on ingest). This spec pins stream == batch
+  * verdicts, the property that makes the batch oracle transfer. */
+class TaggerMixerStreamSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  test("streaming curate emits exactly the batch verdicts") {
+    val tmp = Files.createTempDirectory("graft-tagmix").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    docs.write.mode("overwrite").parquet(s"$tmp/in")
+
+    val rules = Seq(
+      MixRule("alnum", "alnum_ratio >= 0.80"),
+      MixRule("tokens", "n_tokens >= 12"))
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      TaggerMixer.curate(df, Seq("doc_id"),
+        TaggerMixer.builtinTaggers(col("text")), rules)
+
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$tmp/in")
+    val q = curate(stream).writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tagmix").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("tagmix")
+      .select("doc_id", "keep", "first_fail").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2))))
+    val want = curate(docs)
+      .select("doc_id", "keep", "first_fail").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2))))
+    got should contain theSameElementsInOrderAs want
+    want.exists(_._2) shouldBe true   // both verdicts occur in the data
+    want.exists(!_._2) shouldBe true
+  }
+}
