@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.checks.TrendChecks
+import graft.corpus.{CorpusGen, CorpusSpec}
+import graft.metrics.TrendMetrics
+import graft.storage.ParquetDqStorage
+
+/** Curation runs publishing through the DQ-storage model
+  * (CurationMetrics scaladoc): verdict metrics counted correctly, and the
+  * existing trend-check machinery catching a keep-rate collapse across
+  * runs with zero new code. */
+class CurationMetricsSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  private lazy val verdicts = {
+    val corpus = CorpusGen.corpus(spark, CorpusSpec(nFiles = 300)).toDF
+    QualityFilter.verdicts(corpus)
+  }
+
+  test("verdict metrics match direct counts; reason list is complete") {
+    val results = CurationMetrics.verdictResults(verdicts, "corpus")
+      .map(r => r.metricId -> r.value).toMap
+    val files = verdicts.count().toDouble
+    val kept = verdicts.filter("keep").count().toDouble
+    results("curation_files") shouldBe files
+    results("curation_kept") shouldBe kept
+    results("curation_keep_rate") shouldBe (kept / files)
+    // per-reason counts recomputed via explode agree, and every emitted
+    // reason id is covered by the fused pass
+    import org.apache.spark.sql.functions._
+    val byReason = verdicts
+      .select(explode(col("drop_reasons")).as("r")).groupBy("r").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    byReason.foreach { case (r, c) =>
+      results(s"curation_drop_$r") shouldBe c
+    }
+    byReason.nonEmpty shouldBe true
+  }
+
+  test("empty verdict frame publishes zeros, not nulls") {
+    val results = CurationMetrics
+      .verdictResults(verdicts.filter("1 = 0"), "corpus")
+      .map(r => r.metricId -> r.value).toMap
+    results("curation_files") shouldBe 0.0
+    results("curation_kept") shouldBe 0.0
+    results("curation_keep_rate") shouldBe 0.0
+    QualityFilter.dropReasonNames.foreach { r =>
+      results(s"curation_drop_$r") shouldBe 0.0
+    }
+  }
+
+  test("keep-rate collapse across runs fails the stock AVERAGE_BOUND trend check") {
+    val dir = Files.createTempDirectory("graft-curation-dq").toString
+    val storage = new ParquetDqStorage(spark, dir)
+    val t0 = Instant.parse("2026-01-01T00:00:00Z")
+    // three healthy runs at keep_rate ~0.8
+    (0 to 2).foreach { i =>
+      CurationMetrics.publish(storage, "curation", t0.plusSeconds(i * 86400),
+        Seq(graft.metrics.MetricResult("curation_keep_rate", "KEEP_RATE",
+          "corpus", Nil, 0.80 + 0.01 * i)))
+    }
+    val now = t0.plusSeconds(4 * 86400)
+    val history = storage.metricHistory("curation", "curation_keep_rate", now)
+    history should have size 3
+
+    def check(rate: Double) = TrendChecks.averageBound("kr_guard",
+      graft.metrics.MetricResult("curation_keep_rate", "KEEP_RATE", "corpus",
+        Nil, rate),
+      history, TrendMetrics.ByRecords(3), threshold = 0.1,
+      TrendChecks.BoundKind.Full, now)
+
+    check(0.79).status shouldBe true   // healthy run passes
+    check(0.30).status shouldBe false  // crawl-quality collapse caught
+  }
+}
