@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+/** AQE skew handling — the north rule's "AQE-tuned shuffles" claim, pinned
+  * at the plan level: a mega-repo-shaped hot key must make AQE split the
+  * skewed shuffle partition (`skew=true` in the final adaptive plan)
+  * instead of serializing the whole hot key through one task. This is the
+  * runtime complement to the WRITE-side salting (`CorpusStore`'s
+  * `pmod(xxhash64(path), saltBuckets)`): salting fixes layout skew ahead
+  * of time, AQE fixes join skew discovered at run time. */
+class AqeSkewJoinSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hot-key join splits the skewed partition at runtime") {
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one mega-repo holds 95% of the files; the dim side is repo metadata
+      val files = spark.range(100000).select(
+        when(col("id") % 20 =!= 0, "org/mega")
+          .otherwise(concat(lit("r"), col("id") % 997)).as("repo"),
+        concat(lit("some file content padding "), col("id")).as("content"))
+      val repos = spark.range(1000).select(
+        concat(lit("r"), col("id")).as("repo"), lit("meta").as("m"))
+        .union(Seq(("org/mega", "meta")).toDF("repo", "m"))
+      val joined = files.join(repos, "repo")
+      // collect() drives THIS QueryExecution (count() would build its own,
+      // leaving joined's adaptive plan unexecuted and skew-unmarked)
+      joined.collect().length shouldBe 100000
+      val plan = joined.queryExecution.executedPlan.toString
+      withClue(plan.take(2000)) { plan should include("skew=true") }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

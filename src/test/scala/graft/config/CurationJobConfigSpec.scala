@@ -1,0 +1,109 @@
+package graft.config
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Config-driven curation jobs (CurationJobConfig): JSON and HOCON specs
+  * drive the tagger/mixer engine end-to-end with identical results, and
+  * validation collects ALL errors. */
+class CurationJobConfigSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  private val srcPath = "/root/testdata/sf0.001/documents.parquet"
+
+  private def jsonConf(kept: String, metrics: String): String =
+    s"""{
+       |  "jobId": "curate_docs",
+       |  "source": {"kind": "parquet", "path": "$srcPath"},
+       |  "idCols": ["doc_id"],
+       |  "textCol": "text",
+       |  "rules": [
+       |    {"name": "alnum", "sql": "alnum_ratio >= 0.80"},
+       |    {"name": "tokens", "sql": "n_tokens >= 12"}
+       |  ],
+       |  "keptPath": "$kept",
+       |  "metricsStorage": {"kind": "parquet", "location": "$metrics"}
+       |}""".stripMargin
+
+  test("JSON job: run counts match direct computation; kept rows written; metrics stored") {
+    val tmp = Files.createTempDirectory("graft-curjob").toString
+    val conf = CurationJobConfig.parse(jsonConf(s"$tmp/kept", s"$tmp/dq"))
+    CurationJobConfig.validate(conf) shouldBe empty
+    val result = CurationJobConfig.run(spark, conf)
+
+    // direct recomputation through the library API
+    import org.apache.spark.sql.functions._
+    import graft.curation.TaggerMixer
+    val docs = spark.read.parquet(srcPath)
+    val direct = TaggerMixer.curate(docs, Seq("doc_id"),
+      TaggerMixer.builtinTaggers(col("text")),
+      Seq(TaggerMixer.MixRule("alnum", "alnum_ratio >= 0.80"),
+        TaggerMixer.MixRule("tokens", "n_tokens >= 12")))
+    result.files shouldBe docs.count()
+    result.kept shouldBe direct.filter("keep").count()
+    result.kept should be > 0L
+    result.kept should be < result.files
+    result.perRuleFails("alnum") shouldBe direct.filter("NOT pass_alnum").count()
+
+    // kept corpus preserves the ORIGINAL schema and exactly the kept rows
+    val kept = spark.read.parquet(s"$tmp/kept")
+    kept.columns.sorted shouldBe docs.columns.sorted
+    kept.count() shouldBe result.kept
+
+    // metrics landed in the standard DQ storage
+    val storage = new graft.storage.ParquetDqStorage(spark, s"$tmp/dq")
+    val hist = storage.metricHistory("curate_docs", "curate_docs_keep_rate",
+      java.time.Instant.parse("2100-01-01T00:00:00Z"))
+    hist should have size 1
+    hist.head.value shouldBe (result.kept.toDouble / result.files)
+  }
+
+  test("HOCON spec parses to the same job and the same results") {
+    val tmp = Files.createTempDirectory("graft-curjob-h").toString
+    val hocon =
+      s"""jobId = curate_docs
+         |source { kind = parquet, path = "$srcPath" }
+         |idCols = [doc_id]
+         |textCol = text
+         |rules = [
+         |  { name = alnum, sql = "alnum_ratio >= 0.80" }
+         |  { name = tokens, sql = "n_tokens >= 12" }
+         |]
+         |""".stripMargin
+    val hc = CurationJobConfig.parseHocon(hocon)
+    val jc = CurationJobConfig.parse(jsonConf(s"$tmp/k", s"$tmp/m"))
+      .copy(keptPath = None, metricsStorage = None)
+    hc shouldBe jc
+    CurationJobConfig.run(spark, hc) shouldBe CurationJobConfig.run(spark, jc)
+  }
+
+  test("validation collects ALL errors, not just the first") {
+    val bad = CurationJobConfig.Conf("", "avro", "", Nil, "text",
+      Seq(CurationJobConfig.TaggerConf("t", "n_tokens +"),
+        CurationJobConfig.TaggerConf("t", "1")),
+      Nil, None, None)
+    val errs = CurationJobConfig.validate(bad)
+    errs.exists(_.contains("jobId")) shouldBe true
+    errs.exists(_.contains("source kind")) shouldBe true
+    errs.exists(_.contains("source.path")) shouldBe true
+    errs.exists(_.contains("idCols")) shouldBe true
+    errs.exists(_.contains("mix rule")) shouldBe true
+    errs.exists(_.contains("duplicate tagger")) shouldBe true
+    errs.exists(_.contains("does not parse")) shouldBe true
+    errs.size should be >= 7
+  }
+
+  test("custom SQL taggers replace the builtin set") {
+    val conf = CurationJobConfig.Conf("j", "parquet", srcPath, Seq("doc_id"),
+      "text",
+      Seq(CurationJobConfig.TaggerConf("len", "length(text)")),
+      Seq(CurationJobConfig.RuleConf("short", "len <= 100")), None, None)
+    val r = CurationJobConfig.run(spark, conf)
+    val want = spark.read.parquet(srcPath).filter("length(text) <= 100").count()
+    r.kept shouldBe want
+  }
+}
