@@ -1,0 +1,34 @@
+package graft.examples
+
+import graft.corpus.{CorpusGen, CorpusSpec, ReferenceOracle}
+import graft.pipeline.FilterConfig
+import graft.textmodel.QualityHead
+
+/** Driver-side hyperparameter sweep for the logistic quality head on the
+  * fixture corpus (labels = reference verdicts, 75/25 split on
+  * xxhash64(path) like q_train_quality). */
+object QualityHeadTune {
+  def main(args: Array[String]): Unit = {
+    val spec = CorpusSpec(nFiles = 2000)
+    val rows = (0L until spec.nFiles).map(i => CorpusGen.fileAt(spec, i))
+    val cfg = FilterConfig()
+    val labeled = rows.map(r => (ReferenceOracle.label(r, cfg).keep, r))
+    def evalHash(s: String): Long = {
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+    }
+    def isEval(p: String) = Math.floorMod(evalHash(p), 4L) == 0L
+    val train = labeled.collect { case (y, r) if !isEval(r.path) => (y, r.content) }
+    val ev = labeled.collect { case (y, r) if isEval(r.path) => (y, r.content) }
+    for (iters <- Seq(15, 30, 60, 120); lr <- Seq(2.0, 4.0, 8.0, 16.0)) {
+      val m = QualityHead.fitLocal(train, iters, lr)
+      val (tp, fp, fn, tn) = ev.foldLeft((0, 0, 0, 0)) { case ((a, b, c, d), (y, t)) =>
+        val p = m.predict(t)
+        (a + (if (y && p) 1 else 0), b + (if (!y && p) 1 else 0),
+         c + (if (y && !p) 1 else 0), d + (if (!y && !p) 1 else 0))
+      }
+      val f1 = 2.0 * tp / (2.0 * tp + fp + fn)
+      println(f"TUNE iters=$iters%3d lr=$lr%5.1f F1=$f1%.4f tp=$tp fp=$fp fn=$fn tn=$tn")
+    }
+  }
+}
