@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import graft.config.JobConfig
+import graft.config.{CurationJobConfig, JobConfig}
 import graft.storage.DqStorage
 
 /** REST surface for config validation and storage queries — the
@@ -72,6 +72,19 @@ final class DqApiServer(storage: Option[DqStorage], port: Int = 0) {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val errors =
         try JobConfig.validate(JobConfig.parse(body))
+        catch { case e: Exception => Seq(s"parse error: ${e.getMessage}") }
+      val errJson = errors.map(e => "\"" + jsonEscape(e) + "\"").mkString("[", ",", "]")
+      respond(ex, 200, s"""{"valid":${errors.isEmpty},"errors":$errJson}""")
+    }
+  })
+
+  // curation-job twin of /api/jobs/validate (CurationJobConfig model)
+  server.createContext("/api/curation/validate", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
+    else {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val errors =
+        try CurationJobConfig.validate(CurationJobConfig.parse(body))
         catch { case e: Exception => Seq(s"parse error: ${e.getMessage}") }
       val errJson = errors.map(e => "\"" + jsonEscape(e) + "\"").mkString("[", ",", "]")
       respond(ex, 200, s"""{"valid":${errors.isEmpty},"errors":$errJson}""")

@@ -66,6 +66,20 @@ class DqApiServerSpec extends AnyFunSuite with Matchers {
       val (_, notJson) = post(s"$base/api/jobs/validate", "{nope")
       notJson should include(""""valid":false""")
 
+      // curation twin: a good spec validates, a broken rule is reported
+      val curGood =
+        """{"jobId":"cj","source":{"kind":"parquet","path":"/tmp/x"},
+          |"rules":[{"name":"r1","sql":"n_tokens >= 1"}]}""".stripMargin
+      val (ccode, cbody) = post(s"$base/api/curation/validate", curGood)
+      ccode shouldBe 200
+      cbody should include(""""valid":true""")
+      val curBad =
+        """{"jobId":"cj","source":{"kind":"parquet","path":"/tmp/x"},
+          |"rules":[{"name":"r1","sql":"n_tokens >="}]}""".stripMargin
+      val (_, cbadBody) = post(s"$base/api/curation/validate", curBad)
+      cbadBody should include(""""valid":false""")
+      cbadBody should include("does not parse")
+
       val (hCode, hBody) = get(
         s"$base/api/storage/metrics/history?jobId=job1&metricId=m1")
       hCode shouldBe 200
