@@ -63,6 +63,24 @@ class TrainKnSpec extends AnyFunSuite with Matchers {
     mass should be > 0.5 // most probability lands on ascii letters+space here
   }
 
+  test("training aggregation is partial-aggregated — doc-distinct rows, not corpus chars, shuffle") {
+    val df = spark.sparkContext.parallelize(docs, 3).toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = df
+        .select(explode(graft.functions.TrigramKeyCountsExpr(col("text")))
+          .as(Seq("k", "c")))
+        .groupBy(col("k")).agg(sum(col("c")).as("c"))
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+      exchanges should have size 1
+      // map-side combine runs BEFORE the exchange: the wire carries
+      // per-partition-distinct (key, partial sum) rows
+      exchanges.head.child.toString should include("partial_sum")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("perplexity expression is map-only") {
     val df = docs.toDF("doc_id", "text")
     val m = TextAnalysis.trainKn(df, "text")
