@@ -671,6 +671,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_group_gate" -> ((s, dir) => {
+      // GROUP-granularity quality gate (Sampling.groupMeanGate scaladoc):
+      // whole derived repos are dropped when their micro-unit mean quality
+      // sits below GateQ.minMean; a 2-doc "tiny" repo is exempted by
+      // minCount. The oracle recomputes the identical integer-micro-unit
+      // means in DuckDB from the SAME GateQ constants.
+      import graft.operators.{Sampling, TextAnalysis}
+      val docs = t(s, dir, "documents")
+        .withColumn("repo",
+          when(col("doc_id") < 2, lit("tiny"))
+            .otherwise(concat(lit("r"), pmod(col("doc_id"), lit(GateQ.nRepos.toLong)))))
+        .withColumn("score", TextAnalysis.qualityScore(col("text")))
+      Sampling.groupMeanGate(docs, "repo", "score",
+          minMean = GateQ.minMean, minCount = GateQ.minCount)
+        .groupBy(col("repo")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("repo"))
+    }),
+
     "q_train_kn_lang" -> ((s, dir) => {
       // PER-LANGUAGE KN training (the CCNet deployment shape — one LM per
       // language) in one bounded aggregation; each row scored under its
@@ -1178,6 +1196,16 @@ object SparkEntry {
     val tau = 0.5
   }
 
+  /** Shared constants for `q_group_gate`: 0.7375 splits the derived-repo
+    * mean-quality spread at sf0.01 (means 0.692–0.765) AND sf0.1
+    * (0.730–0.748); comparisons are exact integer-micro-unit rationals in
+    * both engines, so any threshold is deterministic. */
+  private object GateQ {
+    val nRepos = 12
+    val minMean = 0.7375
+    val minCount = 5L
+  }
+
   private object MixQ {
     import graft.curation.TaggerMixer.MixRule
     val rules = Seq(
@@ -1602,6 +1630,23 @@ object SparkEntry {
       s"""SELECT label, pred, cnt
           FROM '${graft.corpus.Fixtures.qualityHeadPath}/*.parquet'
           ORDER BY label, pred""",
+    "q_group_gate" ->
+      s"""WITH s AS (
+           SELECT doc_id,
+             CASE WHEN doc_id < 2 THEN 'tiny'
+                  ELSE 'r' || (doc_id % ${GateQ.nRepos}) END AS repo,
+             $qualityScoreSql AS score
+           FROM documents),
+         g AS (SELECT repo, count(*) AS n, count(score) AS scored,
+                 sum(CAST(round(score * 1e6, 0) AS BIGINT)) AS micro
+               FROM s GROUP BY 1),
+         kept AS (SELECT repo FROM g
+                  WHERE n < ${GateQ.minCount}
+                     OR (scored > 0 AND (CAST(micro AS DOUBLE) / scored) / 1e6
+                          >= ${GateQ.minMean}))
+         SELECT s.repo, count(*) AS cnt
+         FROM s JOIN kept ON s.repo = kept.repo
+         GROUP BY 1 ORDER BY 1""",
     "q_train_kn" ->
       s"""SELECT doc_id, trained_ppl
           FROM '${graft.corpus.Fixtures.trainKnPath}/*.parquet'

@@ -190,6 +190,36 @@ object Sampling {
     kept.drop("__thr")
   }
 
+  /** GROUP-granularity quality gate — drop entire low-quality groups
+    * (code-corpus practice: whole repos are excluded when their aggregate
+    * signals are bad — cf. The Stack's repo-level filtering,
+    * arXiv:2211.15533 §3 — because a repo whose MEAN quality is junk is
+    * junk even where individual files pass per-file rules). Keeps every
+    * row of groups whose mean score ≥ `minMean`; `minCount` exempts tiny
+    * groups from the gate (their mean is noise).
+    *
+    * Scale shape (the [[quantileFilter]] pattern at group granularity):
+    * means come from ONE partial-aggregated |groups|-row pass — summed in
+    * integer micro-units so the verdict is independent of aggregation
+    * order (a double mean flips borderline groups per partitioning) —
+    * broadcast back as a map-side semi-join filter. The corpus itself
+    * never shuffles. Null scores count toward `minCount` but not the
+    * mean (group with ONLY nulls -> mean undefined -> kept iff exempted
+    * by minCount, else dropped). */
+  def groupMeanGate(df: DataFrame, groupCol: String, scoreCol: String,
+      minMean: Double, minCount: Long = 1L): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      count(col(scoreCol)).as("__scored"),
+      sum(round(col(scoreCol) * 1e6, 0).cast("long")).as("__micro"))
+    val kept = stats.filter(
+      col("__n") < minCount ||
+        (col("__scored") > 0 &&
+          (col("__micro").cast("double") / col("__scored")) / 1e6 >= minMean))
+      .select(col(groupCol))
+    df.join(broadcast(kept), Seq(groupCol), "left_semi")
+  }
+
   /** Per-group quantile BUCKETING — CCNet's head/middle/tail split
     * (arXiv:1911.00359 §4.3: per-language perplexity terciles stratify the
     * corpus into quality tiers) generalized to any cut points: adds a

@@ -11,6 +11,32 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("groupMeanGate: drops low-mean groups, exempts tiny ones, ignores null scores in the mean") {
+    val rows = Seq(
+      ("good", 1L, Some(0.9)), ("good", 2L, Some(0.8)), ("good", 3L, Some(0.7)),
+      ("bad", 4L, Some(0.1)), ("bad", 5L, Some(0.2)), ("bad", 6L, Some(0.3)),
+      // nulls count toward size but not the mean: (0.9+0.9)/2 ≥ 0.5 keeps it
+      ("nully", 7L, Some(0.9)), ("nully", 8L, None), ("nully", 9L, Some(0.9)),
+      // 2-row group under minCount=3: exempt despite terrible mean
+      ("tiny", 10L, Some(0.0)), ("tiny", 11L, Some(0.0)),
+      // all-null group of size >= minCount: undefined mean -> dropped
+      ("ghost", 12L, None), ("ghost", 13L, None), ("ghost", 14L, None))
+      .toDF("repo", "id", "score")
+    val kept = Sampling.groupMeanGate(rows, "repo", "score",
+      minMean = 0.5, minCount = 3L)
+      .select("repo").distinct().collect().map(_.getString(0)).sorted
+    kept shouldBe Array("good", "nully", "tiny")
+  }
+
+  test("groupMeanGate plans a broadcast semi-join — the corpus never shuffles") {
+    val rows = (1 to 100).map(i => (s"r${i % 5}", i.toLong, i / 100.0))
+      .toDF("repo", "id", "score")
+    val plan = Sampling.groupMeanGate(rows, "repo", "score", 0.3)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftSemi")
+  }
+
   lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
 
   test("exact dedup keeps min id per duplicate group") {
