@@ -935,6 +935,28 @@ object SparkEntry {
         .orderBy(col("repo_a"), col("repo_b"))
     }),
 
+    "q_repo_forks_drop" -> ((s, dir) => {
+      // the fork-removal ACTION over the same derived corpus as
+      // q_repo_forks: components over the pair graph, canonical (minimum
+      // repo name) survives, every other member's files dropped. DuckDB
+      // replays the pair set exactly (banding miss ≤ 2e-10) and closes it
+      // transitively with a recursive CTE.
+      import graft.operators.RepoDedup
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val rep = pmod(col("doc_id"), lit(ForkQ.nRepos.toLong))
+      val base = docs.select(concat(lit("r"), rep).as("repo"), col("text"))
+      val forks = docs
+        .filter(rep < ForkQ.nForks && pmod(col("doc_id"), lit(4L)) =!= 0)
+        .select(concat(lit("f"), rep).as("repo"), col("text"))
+      val mirror = docs.filter(rep === ForkQ.mirrorOf)
+        .select(lit("mirror").as("repo"), col("text"))
+      val corpus = base.unionByName(forks).unionByName(mirror)
+      RepoDedup.dropForks(corpus, "repo", "text", tau = ForkQ.tau)
+        .agg(countDistinct(col("repo")).as("kept_repos"),
+          count(lit(1)).as("kept_files"))
+    }),
+
     "q_tagger_mix" -> ((s, dir) => {
       // Dolma-style tagger → mixer curation (TaggerMixer scaladoc): every
       // attribute from ONE fused map-only projection, mix rules as ANSI SQL
@@ -1869,6 +1891,40 @@ object SparkEntry {
            JOIN sizes sb ON sb.repo = inter.repo_b
            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= ${ForkQ.tau}
            ORDER BY repo_a, repo_b""",
+    // fork-removal action: identical pair set (see q_repo_forks), closed
+    // transitively with a recursive CTE; canonical = min repo name
+    "q_repo_forks_drop" ->
+      raw"""WITH RECURSIVE docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+           corpus AS (
+             SELECT 'r' || (doc_id % ${ForkQ.nRepos}) AS repo, text FROM docs
+             UNION ALL
+             SELECT 'f' || (doc_id % ${ForkQ.nRepos}) AS repo, text FROM docs
+             WHERE doc_id % ${ForkQ.nRepos} < ${ForkQ.nForks} AND doc_id % 4 <> 0
+             UNION ALL
+             SELECT 'mirror' AS repo, text FROM docs
+             WHERE doc_id % ${ForkQ.nRepos} = ${ForkQ.mirrorOf}),
+           fs AS (SELECT DISTINCT repo, text FROM corpus),
+           sizes AS (SELECT repo, count(*) AS n FROM fs GROUP BY 1),
+           inter AS (
+             SELECT least(a.repo, b.repo) AS repo_a,
+                    greatest(a.repo, b.repo) AS repo_b, count(*) AS i
+             FROM fs a JOIN fs b ON a.text = b.text AND a.repo < b.repo
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT repo_a, repo_b FROM inter
+             JOIN sizes sa ON sa.repo = inter.repo_a
+             JOIN sizes sb ON sb.repo = inter.repo_b
+             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= ${ForkQ.tau}),
+           edges AS (SELECT repo_a AS a, repo_b AS b FROM pairs
+                     UNION SELECT repo_b, repo_a FROM pairs),
+           reach AS (SELECT a, b FROM edges
+                     UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           labels AS (SELECT a AS id, least(a, min(b)) AS label
+                      FROM reach GROUP BY a),
+           dropped AS (SELECT id AS repo FROM labels WHERE id <> label)
+           SELECT CAST(count(DISTINCT c.repo) AS BIGINT) AS kept_repos,
+                  count(*) AS kept_files
+           FROM corpus c ANTI JOIN dropped d ON c.repo = d.repo""",
     // tagger/mixer: every attribute recomputed from scratch in DuckDB; the
     // rule/keep/first_fail SQL is interpolated from the SAME MixQ constants
     // the Spark construction compiles via expr(...).

@@ -88,6 +88,26 @@ object RepoDedup {
       .distinct()
   }
 
+  /** Fork-removal ACTION on top of [[forkPairs]]: connected components
+    * over the (tiny) repo-pair graph, then every repo EXCEPT the
+    * lexicographically-smallest of its cluster is dropped with all its
+    * files — the repo-level analogue of the corpus dedup stage's
+    * canonical-only rule (QualityFilter.verdictsWithDedup). The flagged
+    * set is |forked repos| rows — broadcast into a map-side anti-join, so
+    * the corpus itself never shuffles for the removal. */
+  def dropForks(files: DataFrame, repoCol: String, contentCol: String,
+      tau: Double, lanes: Int = 32, rowsPerBand: Int = 1,
+      maxBucket: Int = 200, maxFiles: Int = 100000): DataFrame = {
+    val pairs = forkPairs(files, repoCol, contentCol, tau, lanes,
+      rowsPerBand, maxBucket, maxFiles)
+    val edges = pairs.select(col("repo_a").as("a"), col("repo_b").as("b"))
+    // min-label components: the label IS the canonical repo of the cluster
+    val labels = Dedup.connectedComponentsAuto(edges)
+    val dropped = labels.filter(col("id") =!= col("label"))
+      .select(col("id").as(repoCol))
+    files.join(broadcast(dropped), Seq(repoCol), "left_anti")
+  }
+
   /** All repo pairs with file-set Jaccard ≥ tau:
     * `(repo_a, repo_b, n_files_a, n_files_b, jaccard, exact)`.
     * `jaccard` is rounded to 6 digits AFTER the ≥ tau filter on the raw

@@ -85,6 +85,17 @@ class RepoDedupSpec extends AnyFunSuite with Matchers {
     got.getBoolean(3) shouldBe false
   }
 
+  test("dropForks keeps each cluster's canonical repo plus untouched repos") {
+    // {a,b,c} form one cluster (a–c mirror, a–b/b–c at 3/7): canonical 'a';
+    // 'd' is disjoint and untouched
+    val kept = RepoDedup.dropForks(corpus, "repo", "content", tau = 0.4)
+      .select("repo").distinct().collect().map(_.getString(0)).sorted
+    kept shouldBe Array("a", "d")
+    // all of the canonical repo's files survive
+    RepoDedup.dropForks(corpus, "repo", "content", tau = 0.4)
+      .filter($"repo" === "a").count() shouldBe 5L
+  }
+
   test("plan: repoProfiles is one partial-aggregated exchange, content never shuffles") {
     // multi-partition input so the aggregation actually plans its exchange;
     // AQE off so the Exchange is a real node, not hidden in an
