@@ -921,15 +921,7 @@ object SparkEntry {
       import graft.operators.RepoDedup
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
-      val rep = pmod(col("doc_id"), lit(ForkQ.nRepos.toLong))
-      val base = docs.select(concat(lit("r"), rep).as("repo"), col("text"))
-      val forks = docs
-        .filter(rep < ForkQ.nForks && pmod(col("doc_id"), lit(4L)) =!= 0)
-        .select(concat(lit("f"), rep).as("repo"), col("text"))
-      val mirror = docs.filter(rep === ForkQ.mirrorOf)
-        .select(lit("mirror").as("repo"), col("text"))
-      val corpus = base.unionByName(forks).unionByName(mirror)
-      RepoDedup.forkPairs(corpus, "repo", "text", tau = ForkQ.tau)
+      RepoDedup.forkPairs(forkCorpus(docs), "repo", "text", tau = ForkQ.tau)
         .select(col("repo_a"), col("repo_b"), col("n_files_a"),
           col("n_files_b"), col("jaccard"))
         .orderBy(col("repo_a"), col("repo_b"))
@@ -944,15 +936,7 @@ object SparkEntry {
       import graft.operators.RepoDedup
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
-      val rep = pmod(col("doc_id"), lit(ForkQ.nRepos.toLong))
-      val base = docs.select(concat(lit("r"), rep).as("repo"), col("text"))
-      val forks = docs
-        .filter(rep < ForkQ.nForks && pmod(col("doc_id"), lit(4L)) =!= 0)
-        .select(concat(lit("f"), rep).as("repo"), col("text"))
-      val mirror = docs.filter(rep === ForkQ.mirrorOf)
-        .select(lit("mirror").as("repo"), col("text"))
-      val corpus = base.unionByName(forks).unionByName(mirror)
-      RepoDedup.dropForks(corpus, "repo", "text", tau = ForkQ.tau)
+      RepoDedup.dropForks(forkCorpus(docs), "repo", "text", tau = ForkQ.tau)
         .agg(countDistinct(col("repo")).as("kept_repos"),
           count(lit(1)).as("kept_files"))
     }),
@@ -1198,24 +1182,30 @@ object SparkEntry {
     val splitToken = " table"
   }
 
-  /** Shared constants for `q_license_id`: injected license headers (the
-    * corpus has none) and the SPDX tag regex — one source for the Spark
-    * construction and the DuckDB oracle. */
-  /** Shared rule set for `q_tagger_mix`: the SAME ANSI SQL strings compile
-    * via Catalyst `expr(...)` in Spark AND interpolate verbatim into the
-    * DuckDB oracle — one constant, two engines, no drift (Qfh lesson).
-    * Thresholds chosen to split the test corpus (alnum spans .795–.855,
-    * doc length 48–553 chars) so both verdicts and several first_fail
-    * branches actually occur. */
-  /** Shared constants for `q_repo_forks`: the derived fork-corpus recipe,
-    * interpolated into BOTH the Spark construction and the DuckDB oracle.
-    * tau=0.5 sits well below the fork overlap (~0.75) and the mirror (1.0)
-    * and well above incidental cross-repo overlap from exact-dup texts. */
+  /** Shared constants for `q_repo_forks`/`q_repo_forks_drop`: the derived
+    * fork-corpus recipe, interpolated into BOTH the Spark construction and
+    * the DuckDB oracle. tau=0.5 sits well below the fork overlap (~0.75)
+    * and the mirror (1.0) and well above incidental cross-repo overlap
+    * from exact-dup texts. */
   private object ForkQ {
     val nRepos = 20
     val nForks = 3
     val mirrorOf = 5
     val tau = 0.5
+  }
+
+  /** The derived fork corpus (ForkQ recipe) — ONE construction shared by
+    * `q_repo_forks` and `q_repo_forks_drop` so the two queries cannot
+    * drift from each other (their oracles embed the same recipe). */
+  private def forkCorpus(docs: DataFrame): DataFrame = {
+    val rep = pmod(col("doc_id"), lit(ForkQ.nRepos.toLong))
+    val base = docs.select(concat(lit("r"), rep).as("repo"), col("text"))
+    val forks = docs
+      .filter(rep < ForkQ.nForks && pmod(col("doc_id"), lit(4L)) =!= 0)
+      .select(concat(lit("f"), rep).as("repo"), col("text"))
+    val mirror = docs.filter(rep === ForkQ.mirrorOf)
+      .select(lit("mirror").as("repo"), col("text"))
+    base.unionByName(forks).unionByName(mirror)
   }
 
   /** Shared constants for `q_group_gate`: 0.7375 splits the derived-repo
@@ -1228,6 +1218,12 @@ object SparkEntry {
     val minCount = 5L
   }
 
+  /** Shared rule set for `q_tagger_mix`: the SAME ANSI SQL strings compile
+    * via Catalyst `expr(...)` in Spark AND interpolate verbatim into the
+    * DuckDB oracle — one constant, two engines, no drift (Qfh lesson).
+    * Thresholds chosen to split the test corpus (alnum spans .795–.855,
+    * doc length 48–553 chars) so both verdicts and several first_fail
+    * branches actually occur. */
   private object MixQ {
     import graft.curation.TaggerMixer.MixRule
     val rules = Seq(
@@ -1243,6 +1239,9 @@ object SparkEntry {
         .mkString(" ") + " ELSE NULL END"
   }
 
+  /** Shared constants for `q_license_id`: injected license headers (the
+    * corpus has none) — one source for the Spark construction and the
+    * DuckDB oracle. */
   private object Lic {
     val spdx = "// SPDX-License-Identifier: Apache-2.0"
     val mit = "/* Permission is hereby granted, free of charge */"

@@ -59,8 +59,11 @@ object CurationJobConfig {
       textCol = str(root, "textCol", Some("text")),
       taggers = arr("taggers").map(t => TaggerConf(str(t, "name"), str(t, "expr"))),
       rules = arr("rules").map(r => RuleConf(str(r, "name"), str(r, "sql"))),
-      keptPath = Option(root.get("keptPath")).map(_.asText()),
-      metricsStorage = Option(root.get("metricsStorage")).map(s =>
+      // filterNot(isNull): an explicit JSON `null` must mean absence —
+      // NullNode.asText() is the string "null", which would silently
+      // become a write to a relative path named 'null'
+      keptPath = Option(root.get("keptPath")).filterNot(_.isNull).map(_.asText()),
+      metricsStorage = Option(root.get("metricsStorage")).filterNot(_.isNull).map(s =>
         JobConfig.StorageConf(str(s, "kind", Some("parquet")), str(s, "location"))))
   }
 
@@ -109,9 +112,13 @@ object CurationJobConfig {
     val taggers: Seq[Tagger] =
       if (c.taggers.isEmpty) TaggerMixer.builtinTaggers(col(c.textCol))
       else c.taggers.map(t => Tagger(t.name, expr(t.expr)))
-    val curated = TaggerMixer.curate(
+    val curated0 = TaggerMixer.curate(
       corpus.withColumn("__row", struct(corpus.columns.map(col): _*)),
       c.idCols :+ "__row", taggers, c.rules.map(r => MixRule(r.name, r.sql)))
+    // persisted iff BOTH the kept-rows write and the counts aggregate
+    // consume it — without the cache the whole read+tag+mix pipeline runs
+    // twice (the dominant cost of the job at corpus scale)
+    val curated = if (c.keptPath.isDefined) curated0.persist() else curated0
 
     c.keptPath.foreach { p =>
       curated.filter(col("keep")).select(col("__row.*"))
@@ -125,6 +132,7 @@ object CurationJobConfig {
       coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("kept")) ++
       failCols
     val row = curated.agg(aggs.head, aggs.tail: _*).head
+    if (c.keptPath.isDefined) curated.unpersist(blocking = false)
     val result = CurationRunResult(row.getLong(0), row.getLong(1),
       c.rules.zipWithIndex.map { case (r, i) => r.name -> row.getLong(2 + i) }.toMap)
 

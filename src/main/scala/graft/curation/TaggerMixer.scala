@@ -71,6 +71,9 @@ object TaggerMixer {
   /** Adds per-rule pass booleans, the verdict, and the first failed rule
     * (rule order) to an attribute frame. */
   def mix(attrs: DataFrame, rules: Seq[MixRule]): DataFrame = {
+    require(rules.nonEmpty,
+      "mix requires at least one rule (an empty rule set would reduce to " +
+        "keep-everything — make that intent explicit with a literal rule)")
     val passes = rules.map(r => expr(r.sql).as(s"pass_${r.name}"))
     val withPasses = attrs.select(col("*") +: passes: _*)
     val keep = rules.map(r => col(s"pass_${r.name}")).reduce(_ && _)

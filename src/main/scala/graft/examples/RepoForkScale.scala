@@ -26,7 +26,8 @@ object RepoForkScale {
       concat(lit("r"), (col("id") / filesPerRepo).cast("long")).as("repo"),
       concat(lit("c-"), (col("id") / filesPerRepo).cast("long"), lit("-"),
         pmod(col("id"), lit(filesPerRepo.toLong))).as("content"))
-    // fork f mirrors repo f, keeping slots 0..89 of 100 (jaccard 9/11 ≈ .818)
+    // fork f mirrors repo f, keeping slots 0..89 of 100: a strict subset,
+    // so intersection = 90, union = 100 -> jaccard 0.9
     val forks = spark.range(nForks.toLong * filesPerRepo)
       .filter(pmod(col("id"), lit(filesPerRepo.toLong)) < 90)
       .select(

@@ -342,10 +342,16 @@ object TextAnalysis {
       bench: DataFrame, benchTextCol: String, n: Int = 5,
       fpp: Double = 0.01): DataFrame = {
     import graft.functions.VectorTextExprs.shingle_hashes
+    // persisted: count() (sizing the filter) and bloomFilter() (building
+    // it) would otherwise EACH re-shingle + re-distinct the whole
+    // benchmark set — a second full pass over exactly the large-bench case
+    // this operator exists for
     val benchGrams = bench
       .select(explode(shingle_hashes(col(benchTextCol), n)).as("h")).distinct()
+      .persist()
     val items = math.max(benchGrams.count(), 1L)
     val bloom = benchGrams.stat.bloomFilter("h", items, fpp)
+    benchGrams.unpersist(blocking = false)
     corpus.select(col(idCol).as("id"),
         graft.functions.BloomHitsExpr(
           coalesce(shingle_hashes(col(textCol), n),

@@ -248,10 +248,19 @@ object LangModel {
     * |trigram types| count rows (saturating sublinearly in corpus size —
     * real text reuses a small trigram vocabulary), never the windows.
     * Shared by `TextAnalysis.trainKn` and the fixture mirror, so the two
-    * models are identical by construction. Per-type counts clamp at
-    * Int.MaxValue (probability ratios at that magnitude move by < 1e-9;
-    * type-count structures are unaffected). */
+    * models are identical by construction. ALL occurrence counts — per-type
+    * AND the summed window/unigram totals — saturate at Int.MaxValue
+    * (KnLm's tables are Int-backed): without the saturating adds a
+    * corpus-scale total (any common middle char passes 2^31 windows on a
+    * multi-GB corpus) would wrap NEGATIVE and silently poison every
+    * probability; with them the affected ratios flatten toward each other
+    * gracefully while type counts (what KN smoothing actually leans on)
+    * stay exact. Saturation is deterministic, so fixture parity holds. */
   def knFromTriCounts(entries: Iterator[(Long, Long)]): KnLm = {
+    @inline def sat(a: Int, b: Int): Int = {
+      val s = a.toLong + b.toLong
+      if (s > Int.MaxValue) Int.MaxValue else s.toInt
+    }
     val tri = new LongIntMap(1 << 16)
     val bi = new LongIntMap(1 << 14)
     val biT = new LongIntMap(1 << 14)
@@ -268,8 +277,8 @@ object LangModel {
       val ab = (k >>> 16).toLong         // a<<16|b
       val bc = k & 0xffffffffL           // b<<16|c
       tri.put(k, n)
-      bi.addBy(ab, n)
-      uni(b) += n
+      bi.put(ab, sat(bi.get(ab, 0), n))
+      uni(b) = sat(uni(b), n)
       biT.increment(ab)
       cTri.increment(bc)
       bCtxT(b) += 1

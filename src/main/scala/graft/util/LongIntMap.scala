@@ -57,6 +57,4 @@ final class LongIntMap(initialCapacity: Int = 1 << 16) extends Serializable {
     put(k, prev + 1)
     prev
   }
-
-  def addBy(k: Long, delta: Int): Unit = put(k, get(k, 0) + delta)
 }

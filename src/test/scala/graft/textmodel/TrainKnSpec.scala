@@ -22,19 +22,39 @@ class TrainKnSpec extends AnyFunSuite with Matchers {
     (4L, "th"), // sub-trigram: contributes nothing
     (5L, ""))
 
-  /** per-window reference build over the same docs (the lazy-val knLm loop
-    * shape), for equivalence with the count-table derivation. */
+  /** INDEPENDENT per-window reference build over the same docs — the
+    * lazy-val knLm loop replicated verbatim (one increment of every table
+    * per window), deliberately NOT via knFromTriCounts: a derivation bug
+    * in the code under test must not be able to hide in its own mirror. */
   private def perWindowModel: LangModel.KnLm = {
-    val counts = scala.collection.mutable.Map.empty[Long, Long]
-    docs.foreach { case (_, t) =>
+    import graft.util.LongIntMap
+    val tri = new LongIntMap(1 << 10); val bi = new LongIntMap(1 << 10)
+    val biT = new LongIntMap(1 << 10); val cTri = new LongIntMap(1 << 10)
+    val cUni = new Array[Int](1 << 16); val uni = new Array[Int](1 << 16)
+    val bCtxT = new Array[Int](1 << 16)
+    val seenBi = new LongIntMap(1 << 10)
+    var distinctBigrams = 0L
+    def key2(a: Char, b: Char): Long = (a.toLong << 16) | b.toLong
+    docs.foreach { case (_, s) =>
       var i = 0
-      while (i < t.length - 2) {
-        counts.updateWith(LangModel.key3(t.charAt(i), t.charAt(i + 1),
-          t.charAt(i + 2)))(c => Some(c.getOrElse(0L) + 1L))
+      while (i < s.length - 2) {
+        val a = s.charAt(i); val b = s.charAt(i + 1); val c = s.charAt(i + 2)
+        val prev = tri.increment(LangModel.key3(a, b, c))
+        bi.increment(key2(a, b))
+        uni(b) += 1
+        if (prev == 0) {
+          biT.increment(key2(a, b))
+          cTri.increment(key2(b, c))
+          bCtxT(b) += 1
+        }
+        if (seenBi.increment(key2(b, c)) == 0) {
+          cUni(c) += 1
+          distinctBigrams += 1
+        }
         i += 1
       }
     }
-    LangModel.knFromTriCounts(counts.iterator)
+    new LangModel.KnLm(tri, bi, biT, cTri, cUni, distinctBigrams, uni, bCtxT)
   }
 
   test("distributed fit == straight-line fit, bit-identical ppl, any partitioning") {
