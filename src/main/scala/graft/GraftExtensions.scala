@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("repetition_stats",
         "_FUNC_(text) - Gopher repetition signals (n_tokens, top_word_share, dup_3gram_frac)"),
       (es: Seq[Expression]) => RepetitionStatsExpr(es.head)))
+    ext.injectFunction((FunctionIdentifier("code_stats"),
+      info("code_stats",
+        "_FUNC_(lang, content) - code-corpus signals (n_lines, comment_line_frac, base64_frac, hex_frac, is_xml)"),
+      (es: Seq[Expression]) => CodeStatsExpr(es.head, es(1))))
     ext.injectFunction((FunctionIdentifier("score_doc"),
       info("score_doc", "_FUNC_(text) - langid + KN perplexity"),
       (es: Seq[Expression]) => ScoreDoc(es.head)))

@@ -872,6 +872,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_code_stats" -> ((s, dir) => {
+      // The Stack / StarCoder code-filter signals (comment-line fraction
+      // routed by language, >=64-char base64/hex blob runs, xml prolog)
+      // over derived code-shaped content — the CodeQ constants drive BOTH
+      // this construction and the DuckDB oracle. Exercises # vs // vs
+      // default marker routing, tab/space-indented comment lines, xml
+      // prologs behind leading whitespace, and docs hitting several
+      // injection strides at once. One compiled per-row pass, map-only.
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents").select(
+          col("doc_id"), codeLang.as("lang"),
+          TextAnalysis.codeStats(codeLang, codeContent).as("cs"))
+        .select(col("doc_id"), col("lang"),
+          col("cs.n_lines").as("n_lines"),
+          round(col("cs.comment_line_frac"), 6).as("comment_line_frac"),
+          round(col("cs.base64_frac"), 6).as("base64_frac"),
+          round(col("cs.hex_frac"), 6).as("hex_frac"),
+          col("cs.is_xml").as("is_xml"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_quality_score" -> ((s, dir) => {
       import graft.operators.TextAnalysis
       val qc = TextAnalysis.qualityColumns(col("text"))
@@ -1257,6 +1278,77 @@ object SparkEntry {
     * has none) — one source for the Spark construction and the DuckDB
     * oracle. Phrase 7 has two hits, 11 tests upper-case + inflection
     * suffix, 13 one plain hit; all other docs stay clean. */
+  /** Shared constants for `q_code_stats`: deterministic lang assignment and
+    * injected code-shaped blocks — drives BOTH the Spark construction and
+    * the DuckDB oracle (single-source-of-truth, the Tox/MixQ pattern). All
+    * literals are single-quote-free; newlines are rendered into SQL via
+    * [[CodeQ.sqlStr]]'s chr(10) concatenation. The marker CASE is generated
+    * from [[graft.functions.CodeStatsExpr.markers]] so the comment-routing
+    * table has exactly one definition. */
+  private object CodeQ {
+    val langs: Vector[String] =
+      Vector("scala", "python", "java", "javascript", "go", "c")
+    val xmlPrefix = "  <?xml version=1.0 encoding=utf-8 ?>\n"
+    val slashBlock = "\n// generated section\n\t// tab-indented note\ncall();"
+    val hashBlock = "\n# pragma block\n   # spaced comment\nvalue = 1"
+    // 72 base64-class chars / 80 hex-class chars — both past the 64-char
+    // blob threshold (the hex blob is also base64-class: the alphabets
+    // overlap, and both engines count it in both fractions)
+    val b64Blob = "\n" + ("QWJjZDEyMzQ1Njc4OTArLw==" * 3)
+    val hexBlob = "\n" + ("0123456789abcdef" * 5)
+    val sXml = 5; val sSlash = 7; val sHash = 11; val sB64 = 13; val sHex = 17
+
+    /** Render a Scala string as a DuckDB SQL expression: quotes doubled,
+      * newlines as chr(10) concatenation (tabs are literal-safe). */
+    def sqlStr(s: String): String =
+      s.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'")
+        .mkString(" || chr(10) || ")
+
+    def langCaseSql: String =
+      s"CASE CAST(doc_id % ${langs.size} AS INT) " +
+        langs.zipWithIndex.map { case (l, i) => s"WHEN $i THEN '$l'" }
+          .mkString(" ") + " END"
+
+    /** Per-line comment test over `lang` and the lead-trimmed line `lt`,
+      * generated from the expression's own marker table. */
+    def markerCaseSql: String = {
+      import graft.functions.CodeStatsExpr
+      def test(ms: Seq[String]): String =
+        ms.map(m => s"starts_with(lt, '$m')").mkString("(", " OR ", ")")
+      "CASE lang " +
+        CodeStatsExpr.markers.map { case (l, ms) => s"WHEN '$l' THEN ${test(ms)}" }
+          .mkString(" ") +
+        s" ELSE ${test(CodeStatsExpr.defaultMarkers)} END"
+    }
+
+    def contentSql: String =
+      s"(CASE WHEN doc_id % $sXml = 0 THEN ${sqlStr(xmlPrefix)} ELSE '' END)" +
+        s" || coalesce(text, '') ||\n" +
+        s"(CASE WHEN doc_id % $sSlash = 0 THEN ${sqlStr(slashBlock)} ELSE '' END) ||\n" +
+        s"(CASE WHEN doc_id % $sHash = 0 THEN ${sqlStr(hashBlock)} ELSE '' END) ||\n" +
+        s"(CASE WHEN doc_id % $sB64 = 0 THEN ${sqlStr(b64Blob)} ELSE '' END) ||\n" +
+        s"(CASE WHEN doc_id % $sHex = 0 THEN ${sqlStr(hexBlob)} ELSE '' END)"
+  }
+
+  /** Derived code-shaped content for `q_code_stats` (see [[CodeQ]]). */
+  private def codeContent: Column = {
+    import CodeQ._
+    concat(
+      when(col("doc_id") % sXml === 0, lit(xmlPrefix)).otherwise(lit("")),
+      coalesce(col("text"), lit("")),
+      when(col("doc_id") % sSlash === 0, lit(slashBlock)).otherwise(lit("")),
+      when(col("doc_id") % sHash === 0, lit(hashBlock)).otherwise(lit("")),
+      when(col("doc_id") % sB64 === 0, lit(b64Blob)).otherwise(lit("")),
+      when(col("doc_id") % sHex === 0, lit(hexBlob)).otherwise(lit("")))
+  }
+
+  /** Deterministic per-doc language assignment for `q_code_stats`. */
+  private def codeLang: Column = {
+    import CodeQ._
+    element_at(array(langs.map(lit): _*),
+      (col("doc_id") % langs.size).cast("int") + 1)
+  }
+
   private object Tox {
     val p7 = " This damn code is total crap"
     val p11 = " FUCKING legacy hack"
@@ -1788,6 +1880,40 @@ object SparkEntry {
            t.top_word_share, d.dup_3gram_frac
          FROM base b LEFT JOIN tops t USING (doc_id) LEFT JOIN dup d USING (doc_id)
          ORDER BY b.doc_id""",
+    "q_code_stats" ->
+      raw"""WITH d AS (
+             SELECT doc_id, ${CodeQ.langCaseSql} AS lang,
+               ${CodeQ.contentSql} AS content
+             FROM documents),
+           lines AS (
+             SELECT doc_id, lang,
+               unnest(string_split(content, chr(10))) AS line
+             FROM d),
+           cl AS (
+             SELECT doc_id,
+               count(*) AS n_lines,
+               sum(CASE WHEN ${CodeQ.markerCaseSql} THEN 1 ELSE 0 END) AS n_comment
+             FROM (SELECT doc_id, lang, ltrim(line, ' ' || chr(9)) AS lt FROM lines)
+             GROUP BY doc_id),
+           b AS (
+             SELECT doc_id,
+               CASE WHEN length(content) = 0 THEN 0.0 ELSE
+                 coalesce(list_sum(list_transform(
+                   regexp_extract_all(content, '[A-Za-z0-9+/=]{64,}'), x -> length(x))), 0)
+                 / CAST(length(content) AS DOUBLE) END AS b64,
+               CASE WHEN length(content) = 0 THEN 0.0 ELSE
+                 coalesce(list_sum(list_transform(
+                   regexp_extract_all(content, '[0-9a-fA-F]{64,}'), x -> length(x))), 0)
+                 / CAST(length(content) AS DOUBLE) END AS hex,
+               starts_with(ltrim(content, ' ' || chr(9) || chr(10) || chr(13)), '<?xml') AS is_xml
+             FROM d)
+           SELECT d.doc_id, d.lang, CAST(cl.n_lines AS INT) AS n_lines,
+             round(cl.n_comment / CAST(cl.n_lines AS DOUBLE), 6) AS comment_line_frac,
+             round(b.b64, 6) AS base64_frac,
+             round(b.hex, 6) AS hex_frac,
+             b.is_xml AS is_xml
+           FROM d JOIN cl USING (doc_id) JOIN b USING (doc_id)
+           ORDER BY d.doc_id""",
     "q_quality_score" ->
       raw"""SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,

@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst scalar expression: code-specific quality signals from the
+  * published code-LLM data recipes (The Stack, arXiv:2211.15533 §4;
+  * StarCoder, arXiv:2305.06161 App. A — both public), complementing
+  * [[DocStatsExpr]]'s generic heuristics (line lengths, alnum ratio,
+  * duplicate lines, autogen markers) with the filters those papers apply
+  * specifically to SOURCE CODE:
+  *
+  *  - `comment_line_frac` — fraction of lines that are line comments for
+  *    the file's language (StarCoder drops files with near-zero OR
+  *    near-total comment ratios: data files masquerading as code, or
+  *    licence-only stubs). Line = `\n`-separated segment including a
+  *    trailing empty segment (DuckDB `str_split` semantics, so the oracle
+  *    recomputes it verbatim); a line is a comment when, after stripping
+  *    leading spaces/tabs, it starts with one of the language's
+  *    line-comment markers ([[CodeStatsExpr.markers]]).
+  *  - `base64_frac` / `hex_frac` — fraction of characters sitting inside
+  *    long uninterrupted base64- / hex-alphabet runs (≥ [[CodeStatsExpr.minRun]]
+  *    chars): embedded binary blobs and compiled artefacts (StarCoder's
+  *    "encoded data" filter). A maximal-run scan — identical to what the
+  *    greedy RE2 patterns `[A-Za-z0-9+/=]{64,}` / `[0-9a-fA-F]{64,}`
+  *    match, which is how the oracle recomputes it.
+  *  - `is_xml` — content starts with `<?xml` after leading whitespace
+  *    (StarCoder's XML detector; generated data files, not code).
+  *
+  * Returns struct<n_lines:int, comment_line_frac:double,
+  * base64_frac:double, hex_frac:double, is_xml:boolean>; fractions are 0.0
+  * (not null) on empty content — an empty file simply has no blob/comment
+  * mass.
+  *
+  * Scale shape: a pure per-row function of (lang, content) — map-only,
+  * fused into the scan; no token explode, no shuffle (the same plan class
+  * as [[DocStatsExpr]] / [[RepetitionStatsExpr]]).
+  */
+case class CodeStatsExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = CodeStatsExpr.schema
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (lang string, content string), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  @inline private def isB64(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '+' || c == '/' || c == '='
+
+  @inline private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Sum of lengths of maximal runs of `pred`-chars with length >= minRun —
+    * exactly the total match length of the greedy regex `[class]{minRun,}`. */
+  private def runMass(text: String, pred: Char => Boolean): Long = {
+    var mass = 0L
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      if (pred(text.charAt(i))) {
+        val start = i
+        while (i < len && pred(text.charAt(i))) i += 1
+        if (i - start >= CodeStatsExpr.minRun) mass += (i - start)
+      } else i += 1
+    }
+    mass
+  }
+
+  override def nullSafeEval(langAny: Any, contentAny: Any): Any = {
+    val lang = langAny.asInstanceOf[UTF8String].toString
+    val text = contentAny.asInstanceOf[UTF8String].toString
+    val markers = CodeStatsExpr.markersFor(lang)
+    val len = text.length
+
+    // line scan: segments between '\n', INCLUDING a trailing empty segment
+    // (n_lines = count('\n') + 1 — DuckDB str_split semantics)
+    var nLines = 0
+    var nComment = 0
+    var lineStart = 0
+    def processLine(start: Int, end: Int): Unit = {
+      nLines += 1
+      var j = start
+      while (j < end && (text.charAt(j) == ' ' || text.charAt(j) == '\t')) j += 1
+      var m = 0
+      var hit = false
+      while (!hit && m < markers.length) {
+        val mk = markers(m)
+        hit = j + mk.length <= end && text.startsWith(mk, j)
+        m += 1
+      }
+      if (hit) nComment += 1
+    }
+    var i = 0
+    while (i < len) {
+      if (text.charAt(i) == '\n') { processLine(lineStart, i); lineStart = i + 1 }
+      i += 1
+    }
+    processLine(lineStart, len)
+
+    // blob mass over maximal alphabet runs; denominators in CODEPOINTS so
+    // the fractions match DuckDB's length() on astral-plane content (run
+    // chars are ASCII — their UTF-16 and codepoint lengths agree)
+    val nCp = text.codePointCount(0, len)
+    val b64 = if (nCp == 0) 0.0 else runMass(text, isB64).toDouble / nCp
+    val hex = if (nCp == 0) 0.0 else runMass(text, isHex).toDouble / nCp
+
+    // XML prolog after leading whitespace (spaces/tabs/newlines/CR)
+    var k = 0
+    while (k < len && (text.charAt(k) == ' ' || text.charAt(k) == '\t' ||
+      text.charAt(k) == '\n' || text.charAt(k) == '\r')) k += 1
+    val isXml = text.startsWith("<?xml", k)
+
+    InternalRow(nLines, nComment.toDouble / nLines, b64, hex, isXml)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CodeStatsExpr =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "code_stats"
+}
+
+object CodeStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("comment_line_frac", DoubleType, nullable = false),
+    StructField("base64_frac", DoubleType, nullable = false),
+    StructField("hex_frac", DoubleType, nullable = false),
+    StructField("is_xml", BooleanType, nullable = false)))
+
+  /** Minimum uninterrupted run length before a base64/hex stretch counts as
+    * an embedded blob — long enough that identifiers, hashes-in-comments and
+    * short literals never trip it (a 64-char run is a 48-byte payload). */
+  val minRun: Int = 64
+
+  /** Line-comment markers by (lower-cased) language. The oracle SQL is
+    * generated from THIS table (see `SparkEntry.CodeQ`) — keep it the single
+    * source of truth. Languages not listed fall back to the generic pair. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "python" -> Seq("#"),
+    "ruby" -> Seq("#"),
+    "shell" -> Seq("#"),
+    "yaml" -> Seq("#"),
+    "scala" -> Seq("//"),
+    "java" -> Seq("//"),
+    "javascript" -> Seq("//"),
+    "typescript" -> Seq("//"),
+    "go" -> Seq("//"),
+    "c" -> Seq("//"),
+    "cpp" -> Seq("//"),
+    "rust" -> Seq("//"),
+    "sql" -> Seq("--"),
+    "lua" -> Seq("--"),
+    "haskell" -> Seq("--"))
+
+  val defaultMarkers: Seq[String] = Seq("#", "//")
+
+  private val markerMap: Map[String, Array[String]] =
+    markers.map { case (l, ms) => l -> ms.toArray }.toMap
+
+  def markersFor(lang: String): Array[String] =
+    markerMap.getOrElse(lang.toLowerCase(java.util.Locale.ROOT), defaultArr)
+
+  private val defaultArr: Array[String] = defaultMarkers.toArray
+
+  def apply(lang: Column, content: Column): Column =
+    Bridge.column(CodeStatsExpr(Bridge.expression(lang), Bridge.expression(content)))
+}

@@ -33,6 +33,8 @@ object GraftFunctions {
       es => DocStatsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("repetition_stats",
       es => RepetitionStatsExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("code_stats",
+      es => CodeStatsExpr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("score_doc",
       es => ScoreDoc(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",

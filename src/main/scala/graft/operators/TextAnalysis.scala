@@ -18,6 +18,13 @@ object TextAnalysis {
   def repetitionStats(text: Column): Column =
     graft.functions.RepetitionStatsExpr(text)
 
+  /** Code-specific quality signals (The Stack / StarCoder data-recipe
+    * filters) in one compiled per-row pass —
+    * struct<n_lines, comment_line_frac, base64_frac, hex_frac, is_xml>
+    * (see [[graft.functions.CodeStatsExpr]]). */
+  def codeStats(lang: Column, content: Column): Column =
+    graft.functions.CodeStatsExpr(lang, content)
+
   /** BPE-ish subword count: word-piece-style regex — words, numbers,
     * punctuation runs each count as tokens (a cheap deterministic proxy for
     * a real BPE vocab; the Spark plumbing is what matters at scale). */

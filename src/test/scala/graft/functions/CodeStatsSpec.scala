@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+class CodeStatsSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def stats(lang: String, content: String) = {
+    val r = Seq((lang, content)).toDF("lang", "content")
+      .select(CodeStatsExpr(col("lang"), col("content")).as("s"))
+      .select("s.*").collect().head
+    (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+  }
+
+  test("comment lines route by language marker") {
+    // scala: // counts, # does not
+    val (n, frac, _, _, _) = stats("scala", "// a\ncode()\n  // b\n# not scala")
+    n shouldBe 4
+    frac shouldBe 0.5
+    // python: # counts, // does not
+    val (_, pf, _, _, _) = stats("python", "// a\ncode()\n  // b\n# yes")
+    pf shouldBe 0.25
+    // unknown language: generic pair (# OR //)
+    val (_, uf, _, _, _) = stats("brainfuck", "// a\n# b\ncode")
+    uf shouldBe (2.0 / 3.0)
+  }
+
+  test("line semantics match DuckDB str_split: trailing newline adds an empty line") {
+    val (n, frac, _, _, _) = stats("c", "// only\n")
+    n shouldBe 2 // "// only" and ""
+    frac shouldBe 0.5
+    stats("c", "")._1 shouldBe 1 // empty content = one empty line
+    stats("c", "")._2 shouldBe 0.0
+  }
+
+  test("tab/space indentation is stripped before the marker test") {
+    val (_, f, _, _, _) = stats("go", "\t \t// indented\nx")
+    f shouldBe 0.5
+  }
+
+  test("blob fractions count only maximal runs >= 64 chars, in codepoints") {
+    val blob = "Q" * 64 // 'Q' is base64-class but not hex-class
+    val (_, _, b64, hexF, _) = stats("c", blob)
+    b64 shouldBe 1.0
+    hexF shouldBe 0.0
+    val short = "A" * 63 + " " + "b" * 10
+    stats("c", short)._3 shouldBe 0.0 // no run reaches 64
+    // hex run that is also base64-class counts in both
+    val hx = "0123456789abcdef" * 4 // 64 chars
+    val (_, _, b2, h2, _) = stats("c", hx)
+    b2 shouldBe 1.0
+    h2 shouldBe 1.0
+    // astral-plane chars: denominators are codepoints (DuckDB length())
+    val astral = "😀" * 8 // 8 codepoints, 16 UTF-16 chars
+    val (_, _, b3, h3, _) = stats("c", astral + ("Q" * 64))
+    b3 shouldBe (64.0 / 72.0)
+    h3 shouldBe 0.0
+  }
+
+  test("a newline interrupts a blob run") {
+    val half = "Q" * 40
+    stats("c", half + "\n" + half)._3 shouldBe 0.0
+  }
+
+  test("is_xml looks through leading whitespace only") {
+    stats("c", "  \n\t<?xml version=1.0?>\nx")._5 shouldBe true
+    stats("c", "x <?xml")._5 shouldBe false
+    stats("c", "<?xm")._5 shouldBe false
+  }
+
+  test("hex-class 'A' counts as hex (case-insensitive hex alphabet)") {
+    // regression pin for the blob test above: 64 x 'A' is BOTH alphabets
+    val (_, _, b64, hexF, _) = stats("c", "A" * 64)
+    b64 shouldBe 1.0
+    hexF shouldBe 1.0
+  }
+
+  test("null inputs propagate null") {
+    val r = Seq((Option.empty[String], Option("x")), (Option("c"), Option.empty[String]))
+      .toDF("lang", "content")
+      .select(CodeStatsExpr(col("lang"), col("content")).as("s")).collect()
+    r.foreach(_.isNullAt(0) shouldBe true)
+  }
+
+  test("callable from SQL and map-only (no Exchange) over a table scan") {
+    GraftFunctions.register(spark)
+    Seq(("python", "# c\nx")).toDF("lang", "content").createOrReplaceTempView("cs_t")
+    val df = spark.sql("SELECT code_stats(lang, content) AS s FROM cs_t")
+    df.collect().head.getStruct(0).getInt(0) shouldBe 2
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+}
