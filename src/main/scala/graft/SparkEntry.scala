@@ -1274,10 +1274,6 @@ object SparkEntry {
     val strideBsd = 13
   }
 
-  /** Shared constants for `q_toxicity`: injected toxic phrases (the corpus
-    * has none) — one source for the Spark construction and the DuckDB
-    * oracle. Phrase 7 has two hits, 11 tests upper-case + inflection
-    * suffix, 13 one plain hit; all other docs stay clean. */
   /** Shared constants for `q_code_stats`: deterministic lang assignment and
     * injected code-shaped blocks — drives BOTH the Spark construction and
     * the DuckDB oracle (single-source-of-truth, the Tox/MixQ pattern). All
@@ -1349,6 +1345,10 @@ object SparkEntry {
       (col("doc_id") % langs.size).cast("int") + 1)
   }
 
+  /** Shared constants for `q_toxicity`: injected toxic phrases (the corpus
+    * has none) — one source for the Spark construction and the DuckDB
+    * oracle. Phrase 7 has two hits, 11 tests upper-case + inflection
+    * suffix, 13 one plain hit; all other docs stay clean. */
   private object Tox {
     val p7 = " This damn code is total crap"
     val p11 = " FUCKING legacy hack"
