@@ -597,6 +597,21 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_unimax" -> ((s, dir) => {
+      // UniMax epoch-capped budget waterfilling over the document languages
+      // (arXiv:2304.09151): one |groups|-row aggregate, closed-form window
+      // solve. The UnimaxQ constants drive BOTH engines, and the oracle SQL
+      // replays the identical window arithmetic (capacities are multiples
+      // of 0.5 — every sum is exact, so the capped/uncapped boundary
+      // cannot drift between engines). Budget 600 / cap 1.5 epochs hits
+      // different solution regimes across the sf dirs: all-capped at
+      // sf0.001, mixed capped+level at sf0.01, level-dominant at sf0.1.
+      import graft.operators.Sampling
+      Sampling.unimaxQuotas(t(s, dir, "documents"), "lang",
+        budget = UnimaxQ.budget, maxEpochs = UnimaxQ.maxEpochs)
+        .orderBy(col("group"))
+    }),
+
     "q_quantile_filter" -> ((s, dir) => {
       // per-language bottom-decile quality cut: one threshold aggregate
       // (|groups| rows) broadcast back into a map-side filter — the corpus
@@ -1233,6 +1248,13 @@ object SparkEntry {
     * mean-quality spread at sf0.01 (means 0.692–0.765) AND sf0.1
     * (0.730–0.748); comparisons are exact integer-micro-unit rationals in
     * both engines, so any threshold is deterministic. */
+  /** Shared constants for `q_unimax` — one source for the Spark call and
+    * the DuckDB oracle's interpolated literals. */
+  private object UnimaxQ {
+    val budget = 600.0
+    val maxEpochs = 1.5
+  }
+
   private object GateQ {
     val nRepos = 12
     val minMean = 0.7375
@@ -1728,6 +1750,32 @@ object SparkEntry {
            round(coalesce(t.tshare, 0.0) * tot.tot / c.n, 6) AS weight
          FROM c CROSS JOIN tot LEFT JOIN t USING (lang) ORDER BY c.lang"""
     },
+    "q_unimax" ->
+      s"""WITH g AS (SELECT CAST(lang AS VARCHAR) AS grp, CAST(count(*) AS BIGINT) AS n
+                     FROM documents GROUP BY 1),
+         s AS (SELECT grp, n, CAST(n AS DOUBLE) * ${UnimaxQ.maxEpochs} AS capacity FROM g),
+         o AS (SELECT grp, n, capacity,
+                 row_number() OVER (ORDER BY capacity, grp) AS i,
+                 sum(capacity) OVER (ORDER BY capacity, grp
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 count(*) OVER () AS k
+               FROM s),
+         c AS (SELECT *,
+                 (capacity * (k - i + 1) <= ${UnimaxQ.budget} - (cum - capacity)) AS capped
+               FROM o),
+         sol AS (SELECT *,
+                 sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS m,
+                 coalesce(max(CASE WHEN capped THEN cum END) OVER (), 0.0) AS cumm
+               FROM c),
+         raw AS (SELECT grp, n, capacity,
+                 greatest(0.0, CASE WHEN capped THEN capacity
+                   ELSE CASE WHEN k = m THEN 0.0
+                        ELSE (${UnimaxQ.budget} - cumm) / CAST(k - m AS DOUBLE) END
+                   END) AS q
+               FROM sol)
+         SELECT grp AS "group", n, capacity,
+           round(q, 6) AS quota, round(q / n, 6) AS epochs
+         FROM raw ORDER BY grp""",
     "q_quantile_filter" ->
       s"""WITH q AS (SELECT doc_id, lang, $qualityScoreSql AS score FROM documents),
          t AS (SELECT lang, quantile_cont(score, 0.1) AS thr FROM q GROUP BY 1)

@@ -252,6 +252,93 @@ object Sampling {
     joined.withColumn("bucket", labeled).drop(qs.indices.map(i => s"__thr$i"): _*)
   }
 
+  /** UniMax language-budget allocation (Chung et al., arXiv:2304.09151):
+    * distribute a total example budget across groups (languages) as
+    * uniformly as possible subject to a per-group repetition cap —
+    * capacity(g) = n(g) * maxEpochs; low-resource groups are capped at
+    * `maxEpochs` passes over their data, and the budget they cannot absorb
+    * spills uniformly into the remaining groups (waterfilling). This is the
+    * mixture rule UniMax shows beats fixed temperature sampling: no
+    * language is over-repeated, none is starved.
+    *
+    * Computed in CLOSED FORM rather than the paper's per-group loop: with
+    * groups sorted ascending by capacity, a group is fully capped iff
+    * cap_i * (k - i + 1) <= B - cum_{i-1} (the prefix-monotone waterfilling
+    * condition); the water level for the rest is
+    * L = (B - sum of capped capacities) / (number of uncapped groups) and
+    * quota_i = min(cap_i, L). The oracle SQL replays the IDENTICAL
+    * window-function arithmetic, so the two engines agree bit-for-bit.
+    *
+    * Scale shape: ONE partial-aggregated groupBy over the corpus →
+    * |groups| rows; the waterfill itself is window functions over those
+    * |groups| rows (a single tiny partition — |languages|-sized by
+    * construction). The corpus is scanned once and never shuffles.
+    *
+    * Returns (group, n, capacity, quota, epochs = quota/n), quota/epochs
+    * rounded to 1e-6. Budget <= 0 → all-zero quotas; budget >= total
+    * capacity → every group fully capped (quota = capacity). */
+  def unimaxQuotas(df: DataFrame, groupCol: String,
+      budget: Double, maxEpochs: Double): DataFrame = {
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("capacity", col("n").cast("double") * maxEpochs)
+    val ord = Window.orderBy(col("capacity"), col("group"))
+    val all = Window.partitionBy(lit(1))
+    val o = g.select(col("group"), col("n"), col("capacity"),
+      row_number().over(ord).as("i"),
+      sum(col("capacity"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"),
+      count(lit(1)).over(all).as("k"))
+      .withColumn("capped",
+        col("capacity") * (col("k") - col("i") + 1) <=
+          lit(budget) - (col("cum") - col("capacity")))
+    val solved = o
+      .withColumn("m", sum(when(col("capped"), 1L).otherwise(0L)).over(all))
+      .withColumn("cumM",
+        coalesce(max(when(col("capped"), col("cum"))).over(all), lit(0.0)))
+      .withColumn("level",
+        when(col("k") === col("m"), lit(0.0))
+          .otherwise((lit(budget) - col("cumM")) /
+            (col("k") - col("m")).cast("double")))
+      .withColumn("quota",
+        greatest(lit(0.0),
+          when(col("capped"), col("capacity")).otherwise(col("level"))))
+    solved.select(col("group"), col("n"), col("capacity"),
+      round(col("quota"), 6).as("quota"),
+      round(col("quota") / col("n"), 6).as("epochs"))
+  }
+
+  /** Materialize a [[unimaxQuotas]] allocation: emit each kept document
+    * once per epoch, with an `epoch` column (1-based). A group with
+    * epochs = e gets floor(e) full passes over its data plus a
+    * deterministic hash-keyed (e - floor(e))-fraction extra pass —
+    * id-keyed like every sampling decision here, so membership is
+    * reproducible and growth-stable.
+    *
+    * Scale shape: the |groups| quota frame broadcasts back into ONE
+    * map-only generate over a single corpus scan (floor(e)+1 output rows
+    * max per input row) — the corpus never shuffles. */
+  def unimaxSample(df: DataFrame, groupCol: String, idCol: String,
+      budget: Double, maxEpochs: Double, salt: Long = 0L): DataFrame = {
+    val quotas = unimaxQuotas(df, groupCol, budget, maxEpochs)
+      .select(col("group"), col("epochs"))
+    val joined = df.join(broadcast(quotas),
+      df(groupCol).cast("string") === quotas("group"))
+    val full = floor(col("epochs")).cast("int")
+    val frac = col("epochs") - floor(col("epochs"))
+    val extra = when(
+      bucket(col(idCol), salt) < round(frac * Buckets, 0).cast("long"), 1)
+      .otherwise(0)
+    joined
+      .withColumn("__copies", full + extra)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(1), col("__copies"))))
+      .drop("__copies", "group", "epochs")
+  }
+
   /** DSIR importance resampling (Xie et al., arXiv:2302.03169): select k
     * documents from the raw corpus distributed like a TARGET corpus, by
     * (1) fitting hashed-ngram multinomials to bounded samples of both,

@@ -341,6 +341,66 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     s1.queryExecution.executedPlan.toString should not include "Exchange"
   }
 
+  test("unimaxQuotas: waterfilling hand-case, budget conservation, regimes") {
+    // caps at 2 epochs: a=20, b=200, c=2000; budget 500:
+    // a capped (20*3=60<=500), b capped (200*2=400<=480), c gets the
+    // remaining level L=(500-220)/1=280 -> 0.28 epochs
+    val rows = (1 to 10).map(i => ("a", i.toLong)) ++
+      (1 to 100).map(i => ("b", 100L + i)) ++
+      (1 to 1000).map(i => ("c", 10000L + i))
+    val df = rows.toDF("lang", "id")
+    val q = Sampling.unimaxQuotas(df, "lang", budget = 500.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    q("a") shouldBe ((10L, 20.0, 20.0, 2.0))
+    q("b") shouldBe ((100L, 200.0, 200.0, 2.0))
+    q("c") shouldBe ((1000L, 2000.0, 280.0, 0.28))
+    // budget conservation in the mixed regime
+    q.values.map(_._3).sum shouldBe 500.0 +- 1e-6
+    // budget >= total capacity: everyone fully capped
+    val capAll = Sampling.unimaxQuotas(df, "lang", budget = 1e9, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    capAll shouldBe Map("a" -> 20.0, "b" -> 200.0, "c" -> 2000.0)
+    // budget too small for any cap: uniform level across all groups
+    val uni = Sampling.unimaxQuotas(df, "lang", budget = 30.0, maxEpochs = 2.0)
+      .collect().map(_.getDouble(3)).toSet
+    uni shouldBe Set(10.0)
+    // epochs never exceed the cap
+    Sampling.unimaxQuotas(docs, "lang", budget = 1e9, maxEpochs = 1.5)
+      .collect().foreach(_.getDouble(4) should be <= 1.5)
+  }
+
+  test("unimaxSample: exact full epochs, 5-sigma fractional pass, deterministic, no corpus shuffle") {
+    val rows = (1 to 40).map(i => ("a", i.toLong)) ++
+      (1 to 400).map(i => ("b", 1000L + i))
+    val df = rows.toDF("lang", "id")
+    // caps at 3 epochs: a=120, b=1200; budget 360: a capped (120*2=240<=360),
+    // b level (360-120)/1=240 -> 0.6 epochs
+    val out = Sampling.unimaxSample(df, "lang", "id", budget = 360.0, maxEpochs = 3.0)
+    val byLang = out.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang("a") shouldBe 120L // exactly 3 full epochs, every doc 3 copies
+    out.filter(col("lang") === "a").groupBy(col("id")).count()
+      .collect().foreach(_.getLong(1) shouldBe 3L)
+    // fractional group: binomial around 240 of 400 docs (0.6 rate)
+    math.abs(byLang("b").toDouble / 400 - 0.6) should be <=
+      5.0 * math.sqrt(0.6 * 0.4 / 400)
+    // epoch column is 1-based and dense per doc
+    out.filter(col("lang") === "a").groupBy(col("id"))
+      .agg(min(col("epoch")).as("lo"), max(col("epoch")).as("hi"))
+      .collect().foreach { r => r.getInt(1) shouldBe 1; r.getInt(2) shouldBe 3 }
+    // deterministic under repartitioning
+    val again = Sampling.unimaxSample(df.repartition(7), "lang", "id",
+      budget = 360.0, maxEpochs = 3.0)
+    again.select(col("id"), col("epoch")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet shouldBe
+      out.select(col("id"), col("epoch")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // the quota frame broadcasts back — the corpus side never shuffles
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
   test("quantileFilter: per-group threshold semantics, nulls dropped, broadcast plan") {
     val df = Seq(
       ("g1", 1L, Some(1.0)), ("g1", 2L, Some(2.0)), ("g1", 3L, Some(3.0)),
