@@ -1074,6 +1074,9 @@ object SparkEntry {
     "q_trend_metrics" -> ((s, _) => {
       import graft.metrics.TrendMetrics
       import TrendMetrics._
+      // self-materializing: Bench runs queries without Verify's writeAll,
+      // so the deterministic 12-row history is written here if absent
+      graft.corpus.Fixtures.ensureTrendStorage(s)
       val st = new graft.storage.ParquetDqStorage(s,
         graft.corpus.Fixtures.trendStoragePath)
       val ref = java.time.Instant.parse("2026-08-01T12:00:00Z")

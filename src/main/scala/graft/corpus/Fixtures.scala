@@ -26,7 +26,7 @@ object Fixtures {
     * because the driver's DuckDB process embeds it in oracle SQL and runs
     * with its own cwd. Round 3 hardcoded /root/repo, silently breaking any
     * other checkout location (ADVICE r3). */
-  val dir: String = {
+  private val baseDir: String = {
     val raw = sys.env.get("GRAFT_FIXTURE_DIR")
       .orElse(sys.props.get("graft.fixture.dir"))
       .getOrElse("target/fixtures")
@@ -36,21 +36,37 @@ object Fixtures {
     if (raw.contains(":/")) raw else new java.io.File(raw).getAbsolutePath
   }
 
-  val verdictsPath = s"$dir/expected_verdicts"
-  val verdictsDedupPath = s"$dir/expected_verdicts_dedup"
-  val simhashPath = s"$dir/expected_simhash_pairs"
-  val mediaPath = s"$dir/media"
+  /** Scale-factor scope: [[writeAll]] pins the fixture tree to an
+    * sf-named subdir so SEQUENTIAL Verify runs at different SFs never
+    * clobber each other's fixtures (without it, comparing sf A's oracle
+    * SQL after regenerating for sf B reads 10x-sized expected frames —
+    * every fixture-mirror query "fails" with rows 500 vs 5000). Unscoped
+    * (specs writing individual fixtures) everything lands in baseDir,
+    * exactly as before. Paths are defs: `oracleSql` renders AFTER
+    * writeAll in Verify, so the embedded paths always match the scope
+    * the fixtures were just written under. */
+  @volatile private var sfTag: String = ""
+  def scopeTo(sfDir: String): Unit =
+    sfTag = "/" + new java.io.File(sfDir).getName
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+
+  def dir: String = baseDir + sfTag
+
+  def verdictsPath = s"$dir/expected_verdicts"
+  def verdictsDedupPath = s"$dir/expected_verdicts_dedup"
+  def simhashPath = s"$dir/expected_simhash_pairs"
+  def mediaPath = s"$dir/media"
   /** Deterministic metric-result history written through the REAL
     * ParquetDqStorage — the trend-metric oracle reads the same parquet. */
-  val trendStoragePath = s"$dir/trend_storage"
-  val dsirPath = s"$dir/expected_dsir"
-  val bpePath = s"$dir/expected_bpe"
-  val pqPath = s"$dir/expected_pq"
-  val ivfPqPath = s"$dir/expected_ivf_pq"
-  val trainLangIdPath = s"$dir/expected_train_langid"
-  val qualityHeadPath = s"$dir/expected_quality_head"
-  val trainKnPath = s"$dir/expected_train_kn"
-  val trainKnLangPath = s"$dir/expected_train_kn_lang"
+  def trendStoragePath = s"$dir/trend_storage"
+  def dsirPath = s"$dir/expected_dsir"
+  def bpePath = s"$dir/expected_bpe"
+  def pqPath = s"$dir/expected_pq"
+  def ivfPqPath = s"$dir/expected_ivf_pq"
+  def trainLangIdPath = s"$dir/expected_train_langid"
+  def qualityHeadPath = s"$dir/expected_quality_head"
+  def trainKnPath = s"$dir/expected_train_kn"
+  def trainKnLangPath = s"$dir/expected_train_kn_lang"
 
   /** BPE operating point shared by `q_bpe_tokens` and its fixture. */
   val bpeVocabWords = 500
@@ -338,6 +354,7 @@ object Fixtures {
   }
 
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
+    scopeTo(sfDir)
     import spark.implicits._
     val cfg = FilterConfig()
     val spec = CorpusSpec(nFiles = 2000)
@@ -397,8 +414,16 @@ object Fixtures {
     spark.createDataset(ivfPqTopK(vecs, 50)).coalesce(1)
       .write.mode("overwrite").parquet(ivfPqPath)
 
-    // trend history through the real storage WRITE path (saveMetrics
-    // appends, so wipe first to stay deterministic across Verify runs)
+    writeTrendStorage(spark)
+  }
+
+  /** Trend history through the real storage WRITE path (saveMetrics
+    * appends, so wipe first to stay deterministic across runs). Factored
+    * out of [[writeAll]] because `q_trend_metrics`'s SPARK side reads this
+    * storage too — Bench (which never runs writeAll) materializes it
+    * idempotently via [[ensureTrendStorage]] instead of depending on a
+    * prior Verify run having left fixtures behind. */
+  def writeTrendStorage(spark: SparkSession): Unit = {
     def rmRf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmRf)
       f.delete()
@@ -410,4 +435,9 @@ object Fixtures {
         Seq(graft.metrics.MetricResult("m_rows", "ROW_COUNT", "src", Nil, v)))
     }
   }
+
+  /** Write the trend storage only if absent (12 deterministic rows). */
+  def ensureTrendStorage(spark: SparkSession): Unit =
+    if (!new java.io.File(trendStoragePath).isDirectory)
+      writeTrendStorage(spark)
 }
