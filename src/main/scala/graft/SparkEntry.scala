@@ -1016,6 +1016,29 @@ object SparkEntry {
         .orderBy(col("license"))
     }),
 
+    "q_governance" -> ((s, dir) => {
+      // governance ACTION leg: per-repo license resolution (min precedence
+      // rank over member files) + allowed-license gate + opt-out removal,
+      // run through the REAL governanceFilter semi-join; the GovQ/Lic
+      // constants drive BOTH this construction and the DuckDB oracle.
+      // Output: one row per repo with its resolved license, file count,
+      // and how many files the gate admitted (0 when the repo is dropped).
+      import graft.operators.TextAnalysis
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("r"), (col("doc_id") % GovQ.nRepos).cast("string")).as("repo"),
+        licContent.as("content"))
+      val optOut = GovQ.optOut.toDF("repo")
+      val kept = TextAnalysis.governanceFilter(
+        docs, "repo", "content", GovQ.allowed.toSet, optOut)
+      TextAnalysis.repoLicense(docs, "repo", "content")
+        .join(docs.groupBy(col("repo")).agg(count(lit(1)).as("n_files")), Seq("repo"))
+        .join(kept.groupBy(col("repo")).agg(count(lit(1)).as("n_kept")),
+          Seq("repo"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .orderBy(col("repo"))
+    }),
+
     "q_multimodal_features" -> ((s, _) => {
       // real pure-JVM codecs (BMP/WAV/frame container): width/height/rate
       // are decoded from the binary payload, not echoed metadata — the
@@ -1288,6 +1311,32 @@ object SparkEntry {
   /** Shared constants for `q_license_id`: injected license headers (the
     * corpus has none) — one source for the Spark construction and the
     * DuckDB oracle. */
+  /** Shared constants for `q_governance`: repo striding, the allowed
+    * license set and the opt-out list — one source for the Spark call and
+    * the DuckDB oracle's interpolated literals (license header injection
+    * and the label CASE reuse the [[Lic]] constants / q_license_id text). */
+  private object GovQ {
+    val nRepos = 20
+    val allowed = Seq("apache-2.0", "mit", "bsd")
+    val optOut = Seq("r3", "r17")
+    def allowedSql: String = allowed.map(l => s"'$l'").mkString(", ")
+    def optOutSql: String = optOut.map(r => s"'$r'").mkString(", ")
+    /** rank CASE / label CASE generated from licensePrecedence so the
+      * repo-resolution rule has exactly one definition. */
+    def rankCaseSql: String = {
+      val prec = graft.operators.TextAnalysis.licensePrecedence
+      "CASE license " +
+        prec.zipWithIndex.map { case (l, i) => s"WHEN '$l' THEN $i" }.mkString(" ") +
+        s" ELSE ${prec.size} END"
+    }
+    def labelCaseSql: String = {
+      val prec = graft.operators.TextAnalysis.licensePrecedence
+      "CASE best " +
+        prec.zipWithIndex.map { case (l, i) => s"WHEN $i THEN '$l'" }.mkString(" ") +
+        " ELSE 'unknown' END"
+    }
+  }
+
   private object Lic {
     val spdx = "// SPDX-License-Identifier: Apache-2.0"
     val mit = "/* Permission is hereby granted, free of charge */"
@@ -1506,6 +1555,33 @@ object SparkEntry {
              ELSE 'unknown' END AS license
            FROM c)
          SELECT license, count(*) AS cnt FROM l GROUP BY 1 ORDER BY 1""",
+    "q_governance" ->
+      raw"""WITH c AS (SELECT doc_id,
+             'r' || CAST(doc_id % ${GovQ.nRepos} AS VARCHAR) AS repo,
+             (CASE WHEN doc_id % ${Lic.strideSpdx} = 0 THEN '${Lic.spdx}' || chr(10)
+                   WHEN doc_id % ${Lic.strideMit} = 0 THEN '${Lic.mit}' || chr(10)
+                   WHEN doc_id % ${Lic.strideGpl} = 0 THEN '${Lic.gpl}' || chr(10)
+                   WHEN doc_id % ${Lic.strideBsd} = 0 THEN '${Lic.bsd}' || chr(10)
+                   ELSE '' END) || text AS content
+           FROM documents),
+         l AS (SELECT repo, CASE
+             WHEN regexp_extract(content, 'SPDX-License-Identifier:\s*([A-Za-z0-9.\-+]+)', 1) <> ''
+               THEN lower(regexp_extract(content, 'SPDX-License-Identifier:\s*([A-Za-z0-9.\-+]+)', 1))
+             WHEN contains(content, 'Apache License, Version 2.0') THEN 'apache-2.0'
+             WHEN contains(content, 'Permission is hereby granted, free of charge') THEN 'mit'
+             WHEN contains(content, 'GNU General Public License') THEN 'gpl'
+             WHEN contains(content, 'Redistribution and use in source and binary forms') THEN 'bsd'
+             ELSE 'unknown' END AS license
+           FROM c),
+         r AS (SELECT repo, min(${GovQ.rankCaseSql}) AS best,
+                 CAST(count(*) AS BIGINT) AS n_files
+               FROM l GROUP BY 1),
+         rl AS (SELECT repo, n_files, ${GovQ.labelCaseSql} AS repo_license FROM r)
+         SELECT repo, repo_license, n_files,
+           CAST(CASE WHEN repo_license IN (${GovQ.allowedSql})
+                      AND repo NOT IN (${GovQ.optOutSql})
+                THEN n_files ELSE 0 END AS BIGINT) AS n_kept
+         FROM rl ORDER BY repo""",
     // decoded-from-payload features must equal the generator-stamped
     // metadata columns of the media fixture
     "q_multimodal_features" ->

@@ -253,6 +253,61 @@ object TextAnalysis {
     *     (apache-2.0, mit, gpl, bsd),
     *  3. else "unknown".
     */
+  /** Precedence for resolving ONE license per REPO from its member files'
+    * [[licenseHeuristic]] labels: the most permissive identified license
+    * wins (index 0 strongest); repos whose files are all "unknown" (or
+    * carry only unlisted SPDX tags) resolve to "unknown". A real pipeline
+    * keys on the LICENSE file's label; this rank-min rule is its
+    * order-free distributed equivalent and errs permissive-first, matching
+    * The Stack's per-repo license gating (arXiv:2211.15533 §3). */
+  val licensePrecedence: Vector[String] =
+    Vector("apache-2.0", "mit", "bsd", "gpl")
+
+  /** One license label per repo — min precedence rank over the repo's
+    * files. Scale shape: ONE partial-aggregated groupBy(repo) carrying a
+    * single int min (content never shuffles — the label is computed
+    * map-side); output is |repos| rows. */
+  def repoLicense(df: org.apache.spark.sql.DataFrame, repoCol: String,
+      contentCol: String): org.apache.spark.sql.DataFrame = {
+    val lab = licenseHeuristic(col(contentCol))
+    val rank = licensePrecedence.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, (l, i)) =>
+        Some(acc.map(_.when(lab === l, i)).getOrElse(when(lab === l, i)))
+      }.get.otherwise(lit(licensePrecedence.size))
+    df.select(col(repoCol).cast("string").as("repo"), rank.as("__rank"))
+      .groupBy(col("repo")).agg(min(col("__rank")).as("__best"))
+      .select(col("repo"),
+        when(col("__best") < licensePrecedence.size,
+          element_at(typedlit(licensePrecedence), col("__best").cast("int") + 1))
+          .otherwise(lit("unknown")).as("repo_license"))
+  }
+
+  /** Governance gate — the ACTION leg of license identification plus the
+    * author opt-out removal every public code-corpus pipeline honors (The
+    * Stack §3 permissive-license filtering; its v2 opt-out process): keeps
+    * exactly the files of repos whose resolved [[repoLicense]] is in
+    * `allowed` AND that are not on the opt-out list.
+    *
+    * Scale shape: the admitted-repo set is derived entirely on the
+    * |repos|-row frame (filter + anti-join against the opt-out table, both
+    * tiny-side), then semi-joined back — the [[graft.operators.Sampling.groupMeanGate]]
+    * pattern: the corpus itself never shuffles; on a corpus bucketed by
+    * repo hash (the 100-TB layout) the semi-join is exchange-free even
+    * without the broadcast. */
+  def governanceFilter(df: org.apache.spark.sql.DataFrame, repoCol: String,
+      contentCol: String, allowed: Set[String],
+      optOutRepos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    require(allowed.nonEmpty, "allowed license set must be non-empty")
+    val oo = optOutRepos.select(
+      col(optOutRepos.columns.head).cast("string").as("repo"))
+    val admitted = repoLicense(df, repoCol, contentCol)
+      .filter(col("repo_license").isInCollection(allowed.toSeq))
+      .join(oo, Seq("repo"), "left_anti")
+      .select(col("repo").as("__adm_repo"))
+    df.join(broadcast(admitted),
+      df(repoCol).cast("string") === col("__adm_repo"), "left_semi")
+  }
+
   def licenseHeuristic(content: Column): Column = {
     val spdx = regexp_extract(content,
       "SPDX-License-Identifier:\\s*([A-Za-z0-9.\\-+]+)", 1)

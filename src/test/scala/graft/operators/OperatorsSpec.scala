@@ -796,6 +796,44 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     got.toSeq shouldBe cases.map(_._2)
   }
 
+  test("repoLicense: most-permissive member file wins; unknown-only repos stay unknown") {
+    val rows = Seq(
+      // mixed repo: mit beats gpl in the precedence
+      ("perm", 1L, "under the terms of the GNU General Public License"),
+      ("perm", 2L, "Permission is hereby granted, free of charge to use"),
+      ("gplonly", 3L, "under the terms of the GNU General Public License"),
+      ("dark", 4L, "just some code with no license text"),
+      // SPDX tag resolves case-insensitively to a precedence label
+      ("optout", 5L, "// SPDX-License-Identifier: Apache-2.0\ncode"),
+      // unlisted SPDX tag (gpl-3.0 is not a precedence label) -> unknown
+      ("odd", 6L, "// SPDX-License-Identifier: GPL-3.0\ncode"))
+      .toDF("repo", "id", "content")
+    val lic = TextAnalysis.repoLicense(rows, "repo", "content")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    lic shouldBe Map("perm" -> "mit", "gplonly" -> "gpl",
+      "dark" -> "unknown", "optout" -> "apache-2.0", "odd" -> "unknown")
+  }
+
+  test("governanceFilter: allowed-license repos minus opt-outs, all member files, broadcast semi") {
+    val rows = Seq(
+      ("perm", 1L, "under the terms of the GNU General Public License"),
+      ("perm", 2L, "Permission is hereby granted, free of charge to use"),
+      ("gplonly", 3L, "under the terms of the GNU General Public License"),
+      ("dark", 4L, "no license text"),
+      ("optout", 5L, "// SPDX-License-Identifier: Apache-2.0\ncode"))
+      .toDF("repo", "id", "content")
+    val optOut = Seq("optout").toDF("repo")
+    val kept = TextAnalysis.governanceFilter(rows, "repo", "content",
+      Set("apache-2.0", "mit"), optOut)
+    // repo-level admit keeps ALL member files — including perm's
+    // gpl-phrased file (the repo's resolved license is mit)
+    kept.select("id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+    // the corpus side is a broadcast left-semi join — no corpus shuffle
+    val plan = kept.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftSemi")
+  }
+
   test("toxicity mask: case-insensitive, suffix-inflected, clean rows byte-identical") {
     val cases = Seq(
       ("this damn code", 1, "this <TOX> code"),
