@@ -109,16 +109,31 @@ object Bench {
     // own projections.
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     (1 to 3).foreach { _ =>
       named.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
-        val sec = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        // a failed sample must NOT feed min(): a throwing query exits in
+        // ~0 ms and a swallowed failure would publish as an ultra-fast
+        // query, silently DEFLATING the suite total (shipped once:
+        // r4c_night_run1 recorded q_trend_metrics 0.000 for exactly this)
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        if (ok) {
+          val sec = (System.nanoTime() - t0) / 1e9
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        } else failed += name
       }
     }
-    val results = named.map { case (name, _) => name -> best(name) }
+    // queries with zero successful samples carry -1.0 — unambiguous in the
+    // artifact (a real time is never negative) and listed in "failed";
+    // partially-failed queries keep their successful min (stderr logs the
+    // failing samples)
+    val results = named.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
+    val failedJson = failed.filterNot(best.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     tableCaches.foreach(_.unpersist())
 
     // ---- phase 2: pipeline scaling, same corpus at 8 vs 32 cores ----
@@ -170,9 +185,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"files":$benchFiles,"bytes":$bytes,"files_per_sec_c2":$fps2%.1f,"files_per_sec_c8":$fps8%.1f,"files_per_sec_c32":$fps32%.1f,"mb_per_sec_c32":$mbps32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"thread_scaling_ceiling_8_32":$ceiling832%.3f}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","pipeline":{"files":$benchFiles,"bytes":$bytes,"files_per_sec_c2":$fps2%.1f,"files_per_sec_c8":$fps8%.1f,"files_per_sec_c32":$fps32%.1f,"mb_per_sec_c32":$mbps32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"thread_scaling_ceiling_8_32":$ceiling832%.3f}}"""
     // machine-readable copy: BENCH_r01's JSON line drowned in sbt log noise
     // and the driver recorded parsed:null — the file survives regardless
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LAST.json")

@@ -1029,9 +1029,12 @@ object SparkEntry {
         concat(lit("r"), (col("doc_id") % GovQ.nRepos).cast("string")).as("repo"),
         licContent.as("content"))
       val optOut = GovQ.optOut.toDF("repo")
-      val kept = TextAnalysis.governanceFilter(
-        docs, "repo", "content", GovQ.allowed.toSet, optOut)
-      TextAnalysis.repoLicense(docs, "repo", "content")
+      // resolve licenses ONCE and feed both the gate and the report —
+      // governanceFilterWith exists so consumers never aggregate twice
+      val lic = TextAnalysis.repoLicense(docs, "repo", "content")
+      val kept = TextAnalysis.governanceFilterWith(
+        docs, "repo", lic, GovQ.allowed.toSet, optOut)
+      lic
         .join(docs.groupBy(col("repo")).agg(count(lit(1)).as("n_files")), Seq("repo"))
         .join(kept.groupBy(col("repo")).agg(count(lit(1)).as("n_kept")),
           Seq("repo"), "left")

@@ -424,11 +424,14 @@ object Fixtures {
     * idempotently via [[ensureTrendStorage]] instead of depending on a
     * prior Verify run having left fixtures behind. */
   def writeTrendStorage(spark: SparkSession): Unit = {
-    def rmRf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmRf)
-      f.delete()
-    }
-    rmRf(new java.io.File(trendStoragePath))
+    // Hadoop FS, not java.io.File: the fixture dir may be a URI
+    // (GRAFT_FIXTURE_DIR=s3a://..., file:/...) which java.io.File can
+    // neither test nor delete — and since saveMetrics APPENDS, a wipe
+    // that silently no-ops would grow the 12-row history on every call
+    // and make q_trend_metrics nondeterministic across passes
+    val p = new org.apache.hadoop.fs.Path(trendStoragePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
     val storage = new graft.storage.ParquetDqStorage(spark, trendStoragePath)
     trendHistory.foreach { case (ts, v) =>
       storage.saveMetrics("trend_job", ts,
@@ -437,7 +440,9 @@ object Fixtures {
   }
 
   /** Write the trend storage only if absent (12 deterministic rows). */
-  def ensureTrendStorage(spark: SparkSession): Unit =
-    if (!new java.io.File(trendStoragePath).isDirectory)
-      writeTrendStorage(spark)
+  def ensureTrendStorage(spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(trendStoragePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) writeTrendStorage(spark)
+  }
 }

@@ -323,12 +323,18 @@ object Sampling {
     * max per input row) — the corpus never shuffles. */
   def unimaxSample(df: DataFrame, groupCol: String, idCol: String,
       budget: Double, maxEpochs: Double, salt: Long = 0L): DataFrame = {
+    // quota-frame columns ride under __-prefixed aliases so a caller whose
+    // corpus already has "group"/"epochs" columns neither loses data to the
+    // final drop nor hits join ambiguity; "epoch" is the one NEW column the
+    // output contract adds, so an existing one is rejected, not overwritten
+    require(!df.columns.contains("epoch"),
+      "unimaxSample adds an 'epoch' column; input already has one")
     val quotas = unimaxQuotas(df, groupCol, budget, maxEpochs)
-      .select(col("group"), col("epochs"))
+      .select(col("group").as("__umx_g"), col("epochs").as("__umx_e"))
     val joined = df.join(broadcast(quotas),
-      df(groupCol).cast("string") === quotas("group"))
-    val full = floor(col("epochs")).cast("int")
-    val frac = col("epochs") - floor(col("epochs"))
+      df(groupCol).cast("string") === col("__umx_g"))
+    val full = floor(col("__umx_e")).cast("int")
+    val frac = col("__umx_e") - floor(col("__umx_e"))
     val extra = when(
       bucket(col(idCol), salt) < round(frac * Buckets, 0).cast("long"), 1)
       .otherwise(0)
@@ -336,7 +342,7 @@ object Sampling {
       .withColumn("__copies", full + extra)
       .filter(col("__copies") > 0)
       .withColumn("epoch", explode(sequence(lit(1), col("__copies"))))
-      .drop("__copies", "group", "epochs")
+      .drop("__copies", "__umx_g", "__umx_e")
   }
 
   /** DSIR importance resampling (Xie et al., arXiv:2302.03169): select k

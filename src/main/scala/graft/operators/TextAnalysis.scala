@@ -296,11 +296,21 @@ object TextAnalysis {
     * without the broadcast. */
   def governanceFilter(df: org.apache.spark.sql.DataFrame, repoCol: String,
       contentCol: String, allowed: Set[String],
+      optOutRepos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    governanceFilterWith(df, repoCol, repoLicense(df, repoCol, contentCol),
+      allowed, optOutRepos)
+
+  /** [[governanceFilter]] over a PRECOMPUTED (repo, repo_license) frame —
+    * a caller that also reports the resolved licenses (as any audit job
+    * does) passes the same frame here so the full-corpus license
+    * aggregation runs ONCE, not once per consumer. */
+  def governanceFilterWith(df: org.apache.spark.sql.DataFrame, repoCol: String,
+      licenses: org.apache.spark.sql.DataFrame, allowed: Set[String],
       optOutRepos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     require(allowed.nonEmpty, "allowed license set must be non-empty")
     val oo = optOutRepos.select(
       col(optOutRepos.columns.head).cast("string").as("repo"))
-    val admitted = repoLicense(df, repoCol, contentCol)
+    val admitted = licenses
       .filter(col("repo_license").isInCollection(allowed.toSeq))
       .join(oo, Seq("repo"), "left_anti")
       .select(col("repo").as("__adm_repo"))
