@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("code_stats",
         "_FUNC_(lang, content) - code-corpus signals (n_lines, comment_line_frac, base64_frac, hex_frac, is_xml)"),
       (es: Seq[Expression]) => CodeStatsExpr(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("secret_stats"),
+      info("secret_stats",
+        "_FUNC_(content) - entropy-based secret scan (n_candidates, n_flagged, max_entropy)"),
+      (es: Seq[Expression]) => SecretStatsExpr(es.head)))
     ext.injectFunction((FunctionIdentifier("score_doc"),
       info("score_doc", "_FUNC_(text) - langid + KN perplexity"),
       (es: Seq[Expression]) => ScoreDoc(es.head)))

@@ -908,6 +908,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_secret_stats" -> ((s, dir) => {
+      // entropy-based secret scan over deterministically injected tokens
+      // (the SecQ constants drive BOTH this construction and the DuckDB
+      // oracle): a 40-char mixed key (flagged, H≈5.2), a 24-char 3-symbol
+      // pad (candidate, NOT flagged, H≈1.6), a 72-char repeated-base64
+      // blob (flagged, H≈4.6) — plus whatever natural-text candidates the
+      // corpus itself carries, scored identically in both engines. One
+      // compiled per-row pass, map-only.
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.secretStats(secContent).as("ss"))
+        .select(col("doc_id"),
+          col("ss.n_candidates").as("n_candidates"),
+          col("ss.n_flagged").as("n_flagged"),
+          col("ss.max_entropy").as("max_entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_quality_score" -> ((s, dir) => {
       import graft.operators.TextAnalysis
       val qc = TextAnalysis.qualityColumns(col("text"))
@@ -1349,6 +1367,30 @@ object SparkEntry {
     val strideMit = 7
     val strideGpl = 11
     val strideBsd = 13
+  }
+
+  /** Shared constants for `q_secret_stats`: injected secret-shaped tokens
+    * (quote-delimited so the candidate run is exactly the token) — one
+    * source for the Spark construction and the DuckDB oracle. Entropies
+    * sit far from the 4.0 bits/char threshold so a last-ulp transcendental
+    * difference between engines cannot flip a verdict. */
+  private object SecQ {
+    val key = "kJ8mQ2vX9aR4tZ7bN1cP6wE3yU5oL0dF8hS2gK4j" // 40 chars, ~37 distinct
+    val pad = "aaaabbbbccccaaaabbbbcccc" // 24 chars, 3 distinct
+    val blob = "QWJjZDEyMzQ1Njc4OTArLw==" * 3 // 72 chars, 24 distinct
+    val sKey = 7; val sPad = 11; val sBlob = 13
+  }
+
+  /** Derived content for `q_secret_stats` (see [[SecQ]]). */
+  private def secContent: Column = {
+    import SecQ._
+    concat(coalesce(col("text"), lit("")),
+      when(col("doc_id") % sKey === 0,
+        lit(" deploy token \"" + key + "\"")).otherwise(lit("")),
+      when(col("doc_id") % sPad === 0,
+        lit(" padding \"" + pad + "\"")).otherwise(lit("")),
+      when(col("doc_id") % sBlob === 0,
+        lit(" blob \"" + blob + "\"")).otherwise(lit("")))
   }
 
   /** Shared constants for `q_code_stats`: deterministic lang assignment and
@@ -2044,6 +2086,33 @@ object SparkEntry {
              b.is_xml AS is_xml
            FROM d JOIN cl USING (doc_id) JOIN b USING (doc_id)
            ORDER BY d.doc_id""",
+    "q_secret_stats" -> {
+      import graft.functions.SecretStatsExpr.{candidatePattern, entropyThreshold}
+      raw"""WITH c AS (SELECT doc_id, coalesce(text, '') ||
+             (CASE WHEN doc_id % ${SecQ.sKey} = 0 THEN ' deploy token "${SecQ.key}"' ELSE '' END) ||
+             (CASE WHEN doc_id % ${SecQ.sPad} = 0 THEN ' padding "${SecQ.pad}"' ELSE '' END) ||
+             (CASE WHEN doc_id % ${SecQ.sBlob} = 0 THEN ' blob "${SecQ.blob}"' ELSE '' END)
+             AS content
+           FROM documents),
+         t AS (SELECT doc_id,
+                 unnest(regexp_extract_all(content, '$candidatePattern')) AS tok
+               FROM c),
+         h AS (SELECT doc_id,
+                 round( log2(length(tok)) -
+                   list_sum(list_transform(
+                     list_sort(list_distinct(regexp_extract_all(tok, '.'))),
+                     x -> len(list_filter(regexp_extract_all(tok, '.'), ch -> ch = x))
+                          * log2(len(list_filter(regexp_extract_all(tok, '.'), ch -> ch = x))) ))
+                   / length(tok), 6) AS ent
+               FROM t),
+         a AS (SELECT doc_id, CAST(count(*) AS INT) AS n_candidates,
+                 CAST(sum(CASE WHEN ent >= $entropyThreshold THEN 1 ELSE 0 END) AS INT) AS n_flagged,
+                 max(ent) AS max_entropy
+               FROM h GROUP BY 1)
+         SELECT c.doc_id, coalesce(a.n_candidates, 0) AS n_candidates,
+           coalesce(a.n_flagged, 0) AS n_flagged, a.max_entropy
+         FROM c LEFT JOIN a USING (doc_id) ORDER BY c.doc_id"""
+    },
     "q_quality_score" ->
       raw"""SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,

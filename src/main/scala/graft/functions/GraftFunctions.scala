@@ -35,6 +35,8 @@ object GraftFunctions {
       es => RepetitionStatsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("code_stats",
       es => CodeStatsExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("secret_stats",
+      es => SecretStatsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("score_doc",
       es => ScoreDoc(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",

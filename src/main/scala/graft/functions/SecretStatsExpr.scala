@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst scalar expression: entropy-based secret detection — the
+  * truffleHog-style scanner (public technique: flag high-Shannon-entropy
+  * string constants) that complements the PII scrub's PATTERN rules
+  * (emails, AWS ids, JWTs): a generic API key or random token matches no
+  * fixed pattern, but its character distribution is near-uniform where
+  * identifiers and words are not. Code corpora run exactly this scan
+  * before publication (cf. The Stack's PII/secret pass).
+  *
+  * Per row, one pass:
+  *  1. candidates = maximal runs of the token alphabet
+  *     `[A-Za-z0-9+/=_-]` with length >= [[SecretStatsExpr.minLen]]
+  *     (identical to what the greedy RE2 pattern
+  *     `[A-Za-z0-9+/=_-]{20,}` matches — the oracle's form);
+  *  2. per candidate, Shannon entropy in bits/char computed ORDER-PINNED:
+  *     H = log2(L) - (sum over distinct chars ASCENDING of c*log2(c)) / L
+  *     — both engines sum the same doubles in the same order, so the
+  *     flagging boundary cannot drift;
+  *  3. flagged iff round(H, 6) >= [[SecretStatsExpr.entropyThreshold]]
+  *     (rounding BEFORE the compare keeps the threshold decision a
+  *     function of the published 6-decimal value).
+  *
+  * Returns struct<n_candidates:int, n_flagged:int, max_entropy:double
+  * (null when no candidates)>. Random 20+-char keys sit near
+  * log2(min(L, |alphabet|)) >= 4.3 bits/char; English words, repeated
+  * padding and identifiers sit well below 4.0.
+  *
+  * Scale shape: a pure per-row function — map-only, fused into the scan
+  * (the [[DocStatsExpr]] plan class); no token explode, no shuffle.
+  */
+case class SecretStatsExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = SecretStatsExpr.schema
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
+  @inline private def isTok(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '+' || c == '/' || c == '=' ||
+      c == '_' || c == '-'
+
+  private val log2 = math.log(2.0)
+
+  /** Entropy of text[start, end): ascending-char-code summation — the
+    * exact order the oracle's list_sort(list_distinct(chars)) produces. */
+  private def entropy(text: String, start: Int, end: Int): Double = {
+    val counts = new Array[Int](128)
+    var i = start
+    while (i < end) { counts(text.charAt(i)) += 1; i += 1 }
+    val len = (end - start).toDouble
+    var sum = 0.0
+    var c = 0
+    while (c < 128) {
+      val n = counts(c)
+      if (n > 0) sum += n * (math.log(n.toDouble) / log2)
+      c += 1
+    }
+    math.log(len) / log2 - sum / len
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val len = text.length
+    var nCand = 0
+    var nFlag = 0
+    var maxH = Double.NegativeInfinity
+    var i = 0
+    while (i < len) {
+      if (isTok(text.charAt(i))) {
+        val start = i
+        while (i < len && isTok(text.charAt(i))) i += 1
+        if (i - start >= SecretStatsExpr.minLen) {
+          nCand += 1
+          val h = round6(entropy(text, start, i))
+          if (h > maxH) maxH = h
+          if (h >= SecretStatsExpr.entropyThreshold) nFlag += 1
+        }
+      } else i += 1
+    }
+    InternalRow(nCand, nFlag,
+      if (nCand == 0) null else maxH)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SecretStatsExpr =
+    copy(child = c)
+
+  override def prettyName: String = "secret_stats"
+}
+
+object SecretStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_candidates", IntegerType, nullable = false),
+    StructField("n_flagged", IntegerType, nullable = false),
+    StructField("max_entropy", DoubleType, nullable = true)))
+
+  /** Candidate token minimum length: shorter runs (identifiers, words)
+    * cannot carry enough entropy mass to be a credential. */
+  val minLen: Int = 20
+
+  /** Flagging threshold in bits/char on the ROUNDED entropy: random
+    * base64/hex material of 20+ chars clears it, natural identifiers and
+    * padding stay under. */
+  val entropyThreshold: Double = 4.0
+
+  /** The RE2/Java-identical candidate pattern ('-' last so it is literal). */
+  val candidatePattern: String = s"[A-Za-z0-9+/=_-]{$minLen,}"
+
+  def apply(c: Column): Column =
+    Bridge.column(SecretStatsExpr(Bridge.expression(c)))
+}

@@ -25,6 +25,12 @@ object TextAnalysis {
   def codeStats(lang: Column, content: Column): Column =
     graft.functions.CodeStatsExpr(lang, content)
 
+  /** Entropy-based secret scan (truffleHog-style) in one compiled per-row
+    * pass — struct<n_candidates, n_flagged, max_entropy>
+    * (see [[graft.functions.SecretStatsExpr]]). */
+  def secretStats(content: Column): Column =
+    graft.functions.SecretStatsExpr(content)
+
   /** BPE-ish subword count: word-piece-style regex — words, numbers,
     * punctuation runs each count as tokens (a cheap deterministic proxy for
     * a real BPE vocab; the Spark plumbing is what matters at scale). */

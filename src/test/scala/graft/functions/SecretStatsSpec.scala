@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+class SecretStatsSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def stats(content: String) = {
+    val r = Seq(content).toDF("content")
+      .select(SecretStatsExpr(col("content")).as("s"))
+      .select("s.*").collect().head
+    (r.getInt(0), r.getInt(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+  }
+
+  test("hand-computed entropies: random key flagged, repeated padding not") {
+    val key = "kJ8mQ2vX9aR4tZ7bN1cP6wE3yU5oL0dF8hS2gK4j"
+    stats(s"""deploy token "$key"""") shouldBe ((1, 1, Some(5.171928)))
+    val pad = "aaaabbbbccccaaaabbbbcccc"
+    stats(s"""padding "$pad"""") shouldBe ((1, 0, Some(1.584963)))
+    val blob = "QWJjZDEyMzQ1Njc4OTArLw==" * 3
+    stats(s"""blob "$blob"""") shouldBe ((1, 1, Some(4.334963)))
+  }
+
+  test("candidate length gate: 19 chars is no candidate, 20 is") {
+    stats("x \"" + "Ab1" * 6 + "C" + "\"")._1 shouldBe 0 // 19 chars
+    stats("x \"" + "Ab1" * 6 + "Cd" + "\"")._1 shouldBe 1 // 20 chars
+  }
+
+  test("no candidates: zero counts, null max entropy") {
+    stats("plain short words only") shouldBe ((0, 0, None))
+  }
+
+  test("non-alphabet chars break runs; several candidates count separately") {
+    val two = "\"" + ("Q" * 25) + "\" and \"" + ("kJ8mQ2vX9aR4tZ7bN1cP6wE3yU5oL0dF8hS2gK4j") + "\""
+    val (n, f, m) = stats(two)
+    n shouldBe 2
+    f shouldBe 1 // Q^25 has entropy 0; the key is flagged
+    m shouldBe Some(5.171928)
+  }
+
+  test("null input propagates null") {
+    val r = Seq(Option.empty[String]).toDF("content")
+      .select(SecretStatsExpr(col("content")).as("s")).collect().head
+    r.isNullAt(0) shouldBe true
+  }
+
+  test("callable from SQL and map-only over a scan") {
+    GraftFunctions.register(spark)
+    Seq("k \"" + ("Zq7" * 8) + "\"").toDF("content").createOrReplaceTempView("sec_t")
+    val df = spark.sql("SELECT secret_stats(content) AS s FROM sec_t")
+    df.collect().head.getStruct(0).getInt(0) shouldBe 1
+    df.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+}
