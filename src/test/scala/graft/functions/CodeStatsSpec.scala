@@ -87,6 +87,26 @@ class CodeStatsSpec extends AnyFunSuite with Matchers {
     r.foreach(_.isNullAt(0) shouldBe true)
   }
 
+  test("struct computed ONCE: per-field extraction must not duplicate the expression") {
+    // the round-3 NormalizeVec pathology: CollapseProject inlining a
+    // non-cheap expression into every field reference. The alias pattern
+    // (select struct once, extract in a second select) must keep exactly
+    // one code_stats call in the executed plan.
+    // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
+    // a literal-input projection at optimization time and leave NO
+    // expression in the plan to count
+    val df = spark.range(1)
+      .select(lit("c").as("lang"),
+        concat(lit("// x\ncode"),
+          when(col("id") < 0, "x").otherwise("")).as("content"))
+      .select(CodeStatsExpr(col("lang"), col("content")).as("cs"))
+      .select(col("cs.n_lines"), col("cs.comment_line_frac"),
+        col("cs.base64_frac"), col("cs.hex_frac"), col("cs.is_xml"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    "code_stats\\(".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("callable from SQL and map-only (no Exchange) over a table scan") {
     GraftFunctions.register(spark)
     Seq(("python", "# c\nx")).toDF("lang", "content").createOrReplaceTempView("cs_t")

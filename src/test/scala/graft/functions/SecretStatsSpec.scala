@@ -49,6 +49,18 @@ class SecretStatsSpec extends AnyFunSuite with Matchers {
     r.isNullAt(0) shouldBe true
   }
 
+  test("struct computed ONCE: per-field extraction must not duplicate the expression") {
+    // spark.range, not a local Seq — see CodeStatsSpec's twin test
+    val df = spark.range(1)
+      .select(concat(lit("k \"" + ("Zq7" * 8) + "\""),
+        when(col("id") < 0, "x").otherwise("")).as("content"))
+      .select(SecretStatsExpr(col("content")).as("ss"))
+      .select(col("ss.n_candidates"), col("ss.n_flagged"), col("ss.max_entropy"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    "secret_stats\\(".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("callable from SQL and map-only over a scan") {
     GraftFunctions.register(spark)
     Seq("k \"" + ("Zq7" * 8) + "\"").toDF("content").createOrReplaceTempView("sec_t")
