@@ -1660,11 +1660,7 @@ object SparkEntry {
          SELECT doc_id, max_line_len, avg_line_len, alnum_ratio, dup_line_share, has_autogen,
            NOT (max_line_len > 500 OR avg_line_len > 200.0 OR alnum_ratio < 0.30
                 OR dup_line_share > 0.50 OR has_autogen) AS heur_keep,
-           sha256(regexp_replace(regexp_replace(regexp_replace(regexp_replace(content,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             'AKIA[0-9A-Z]{16}', '<AWS_KEY>', 'g'),
-             'eyJ[A-Za-z0-9_-]{6,}\.[A-Za-z0-9_-]{6,}\.[A-Za-z0-9_-]{6,}', '<JWT>', 'g'),
-             '\b[0-9a-fA-F]{32,}\b', '<HEX_SECRET>', 'g')) AS scrubbed_sha256,
+           sha256(${graft.pipeline.Scrub.scrubSqlExpr("content")}) AS scrubbed_sha256,
            sha256(content) AS content_sha256
          FROM f ORDER BY doc_id""",
     "q_sql_topk_revenue" -> topkRevenueSql,

@@ -6,12 +6,14 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass PII candidate gate — exactly the predicate of the scrub
-  * chain's old `rlike("@|AKIA|eyJ|[0-9a-fA-F]{32}")` gate (true iff the
-  * text CAN contain any scrub-pass match: '@' for emails, the literal AKIA
-  * / eyJ prefixes, or a 32-char hex run), computed with intrinsified
-  * indexOf + one char scan instead of a backtracking alternation NFA over
-  * the whole document. Gate equality means scrub output is unchanged; only
-  * the cost of rejecting the ~96% PII-free documents drops. */
+  * chain's `rlike(Scrub.candidatePattern)` gate (true iff the text CAN
+  * contain any scrub-pass match: '@' for emails, the literal AKIA / eyJ /
+  * "-----BEGIN" prefixes, or a 32-char hex run), computed with
+  * intrinsified indexOf + one char scan instead of a backtracking
+  * alternation NFA over the whole document. Gate equality means scrub
+  * output is unchanged; only the cost of rejecting the ~96% PII-free
+  * documents drops. Spec-pinned equal to the regex on adversarial inputs
+  * (ExprPropertySpec). */
 case class PiiCandidate(child: Expression)
   extends UnaryExpression with CodegenFallback {
 
@@ -29,7 +31,8 @@ case class PiiCandidate(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    if (s.indexOf('@') >= 0 || s.contains("AKIA") || s.contains("eyJ")) true
+    if (s.indexOf('@') >= 0 || s.contains("AKIA") || s.contains("eyJ") ||
+      s.contains("-----BEGIN")) true
     else {
       var run = 0
       var i = 0

@@ -18,6 +18,11 @@ object Scrub {
   final case class Pass(name: String, pattern: String, replacement: String)
 
   val passes: Seq[Pass] = Seq(
+    // pem FIRST: the whole block collapses to one token before the hex/JWT
+    // passes can eat 32-char runs out of the key body
+    Pass("pem_key",
+      "-----BEGIN [A-Z ]*PRIVATE KEY-----[\\s\\S]*?-----END [A-Z ]*PRIVATE KEY-----",
+      "<PRIVATE_KEY>"),
     Pass("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     Pass("aws_key", "AKIA[0-9A-Z]{16}", "<AWS_KEY>"),
     Pass("jwt", "eyJ[A-Za-z0-9_-]{6,}\\.[A-Za-z0-9_-]{6,}\\.[A-Za-z0-9_-]{6,}", "<JWT>"),
@@ -25,9 +30,17 @@ object Scrub {
 
   /** Cheap candidate pre-test: a strict superset of all pass matches (every
     * pass pattern requires one of these to occur). Most files carry no PII,
-    * so the expensive 4-pass replace chain runs on a small fraction of rows;
+    * so the expensive replace chain runs on a small fraction of rows;
     * rows failing the gate pass through scrub-identical (scrub(x) == x). */
-  val candidatePattern: String = "@|AKIA|eyJ|[0-9a-fA-F]{32}"
+  val candidatePattern: String = "@|AKIA|eyJ|[0-9a-fA-F]{32}|-----BEGIN"
+
+  /** The scrub chain as an ANSI SQL expression over `inner` — GENERATED
+    * from [[passes]] so oracle SQL can never drift from the pipeline
+    * (every pattern is already RE2-valid: that is a maintained property of
+    * this list, spec-asserted by the DuckDB oracles that embed it). */
+  def scrubSqlExpr(inner: String): String =
+    passes.foldLeft(inner)((acc, p) =>
+      s"regexp_replace($acc, '${p.pattern.replace("'", "''")}', '${p.replacement}', 'g')")
 
   /** Spark-side scrub: gated, chained codegen'd regexp_replace. The gate is
     * the compiled [[graft.functions.PiiCandidate]] scan — same predicate as
