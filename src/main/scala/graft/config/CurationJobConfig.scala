@@ -105,6 +105,11 @@ object CurationJobConfig {
       referenceTs: java.time.Instant = java.time.Instant.EPOCH): CurationRunResult = {
     val errs = validate(c)
     require(errs.isEmpty, s"invalid curation config: ${errs.mkString("; ")}")
+    // register the compiled signal functions so config tagger SQL can use
+    // them directly (e.g. "code_stats(lang, content).comment_line_frac",
+    // "secret_stats(content).n_flagged") without any host-side setup —
+    // idempotent, temp-function scope
+    graft.functions.GraftFunctions.register(spark)
     val corpus: DataFrame = c.sourceKind match {
       case "parquet" => spark.read.parquet(c.sourcePath)
       case "csv" => spark.read.option("header", "true").csv(c.sourcePath)

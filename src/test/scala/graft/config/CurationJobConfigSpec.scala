@@ -106,4 +106,26 @@ class CurationJobConfigSpec extends AnyFunSuite with Matchers {
     val want = spark.read.parquet(srcPath).filter("length(text) <= 100").count()
     r.kept shouldBe want
   }
+
+  test("config taggers can call the compiled signal functions (code_stats, secret_stats)") {
+    // run() registers GraftFunctions, so a pure-config job can gate on the
+    // compiled per-row signals with no host-side setup
+    val conf = CurationJobConfig.Conf("j2", "parquet", srcPath, Seq("doc_id"),
+      "text",
+      Seq(
+        CurationJobConfig.TaggerConf("n_secrets",
+          "secret_stats(text).n_flagged"),
+        CurationJobConfig.TaggerConf("xmlish",
+          "code_stats('c', text).is_xml")),
+      Seq(
+        CurationJobConfig.RuleConf("no_secrets", "n_secrets = 0"),
+        CurationJobConfig.RuleConf("not_xml", "NOT xmlish")), None, None)
+    val r = CurationJobConfig.run(spark, conf)
+    graft.functions.GraftFunctions.register(spark)
+    val want = spark.read.parquet(srcPath)
+      .filter("secret_stats(text).n_flagged = 0 AND NOT code_stats('c', text).is_xml")
+      .count()
+    r.kept shouldBe want
+    r.files shouldBe spark.read.parquet(srcPath).count()
+  }
 }
