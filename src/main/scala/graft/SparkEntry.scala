@@ -911,9 +911,10 @@ object SparkEntry {
     "q_secret_stats" -> ((s, dir) => {
       // entropy-based secret scan over deterministically injected tokens
       // (the SecQ constants drive BOTH this construction and the DuckDB
-      // oracle): a 40-char mixed key (flagged, H≈5.2), a 24-char 3-symbol
-      // pad (candidate, NOT flagged, H≈1.6), a 72-char repeated-base64
-      // blob (flagged, H≈4.6) — plus whatever natural-text candidates the
+      // oracle): a 40-char mixed key (flagged, H=5.171928), a 24-char
+      // 3-symbol pad (candidate, NOT flagged, H=1.584963), a 72-char
+      // repeated-base64 blob (flagged, H=4.334963 — the values
+      // SecretStatsSpec pins) — plus whatever natural-text candidates the
       // corpus itself carries, scored identically in both engines. One
       // compiled per-row pass, map-only.
       import graft.operators.TextAnalysis
@@ -1094,8 +1095,7 @@ object SparkEntry {
         .map(_.compute(base).fold(e => throw new IllegalStateException(e), identity))
       val all = base ++ composed
       def status(c: SnapshotCheck): Boolean = c.run(all).status
-      def r6(x: Double): Double =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r6(x: Double): Double = graft.util.Num.round6(x)
       import s.implicits._
       Seq((
         r6(all.find(_.metricId == "per_row").get.value),
@@ -1128,8 +1128,7 @@ object SparkEntry {
       val rule = ByRecords(8)
       def v(m: TrendMetrics.Model): Double =
         TrendMetrics.compute("t", m, hist, rule, ref).value
-      def r6(x: Double): Double =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r6(x: Double): Double = graft.util.Num.round6(x)
       def r4(x: Double): Double =
         BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       import Descriptive.Stat._
@@ -1375,9 +1374,9 @@ object SparkEntry {
     * sit far from the 4.0 bits/char threshold so a last-ulp transcendental
     * difference between engines cannot flip a verdict. */
   private object SecQ {
-    val key = "kJ8mQ2vX9aR4tZ7bN1cP6wE3yU5oL0dF8hS2gK4j" // 40 chars, ~37 distinct
-    val pad = "aaaabbbbccccaaaabbbbcccc" // 24 chars, 3 distinct
-    val blob = "QWJjZDEyMzQ1Njc4OTArLw==" * 3 // 72 chars, 24 distinct
+    val key = "kJ8mQ2vX9aR4tZ7bN1cP6wE3yU5oL0dF8hS2gK4j" // 40 chars, H = 5.171928
+    val pad = "aaaabbbbccccaaaabbbbcccc" // 24 chars, 3 distinct, H = 1.584963
+    val blob = "QWJjZDEyMzQ1Njc4OTArLw==" * 3 // 72 chars, H = 4.334963
     val sKey = 7; val sPad = 11; val sBlob = 13
   }
 

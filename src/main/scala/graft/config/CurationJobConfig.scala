@@ -105,11 +105,11 @@ object CurationJobConfig {
       referenceTs: java.time.Instant = java.time.Instant.EPOCH): CurationRunResult = {
     val errs = validate(c)
     require(errs.isEmpty, s"invalid curation config: ${errs.mkString("; ")}")
-    // register the compiled signal functions so config tagger SQL can use
-    // them directly (e.g. "code_stats(lang, content).comment_line_frac",
-    // "secret_stats(content).n_flagged") without any host-side setup —
-    // idempotent, temp-function scope
-    graft.functions.GraftFunctions.register(spark)
+    // make the compiled signal functions available to config tagger SQL
+    // (e.g. "code_stats(lang, content).comment_line_frac",
+    // "secret_stats(content).n_flagged") without host-side setup — but
+    // never clobber a host-registered function of the same name
+    graft.functions.GraftFunctions.registerIfAbsent(spark)
     val corpus: DataFrame = c.sourceKind match {
       case "parquet" => spark.read.parquet(c.sourcePath)
       case "csv" => spark.read.option("header", "true").csv(c.sourcePath)

@@ -116,8 +116,7 @@ object Fixtures {
   /** Same rounding as Spark's `round(col, 6)` on doubles (HALF_UP via
     * BigDecimal.valueOf) — both sides round bit-identical inputs, so the
     * driver's exact float compare holds. */
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round6(x: Double): Double = graft.util.Num.round6(x)
 
   /** Spark's `xxhash64(string)` (seed 42), via the engine's own public hash
     * utility — partition_id is write-layout metadata keyed on this hash. */

@@ -69,4 +69,16 @@ object GraftFunctions {
       es => graft.operators.BmpResize(es.head,
         intArg(es(1), "width"), intArg(es(2), "height")), "scala_udf")
   }
+
+  /** [[register]] unless THIS session already has the names (temp
+    * functions are session-scoped, so the check must be per-session, not
+    * a JVM flag): registering is createOrReplace, so calling it from
+    * LIBRARY code (config jobs) on a host-owned SparkSession would
+    * silently overwrite same-named user temp functions. Library entry
+    * points use this; a host that wants graft's definitions
+    * unconditionally calls [[register]] itself. (The sentinel name check
+    * covers the whole set — registration is all-or-nothing through
+    * [[register]].) */
+  def registerIfAbsent(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.catalog.functionExists("code_stats")) register(spark)
 }

@@ -23,8 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `[A-Za-z0-9+/=_-]{20,}` matches — the oracle's form);
   *  2. per candidate, Shannon entropy in bits/char computed ORDER-PINNED:
   *     H = log2(L) - (sum over distinct chars ASCENDING of c*log2(c)) / L
-  *     — both engines sum the same doubles in the same order, so the
-  *     flagging boundary cannot drift;
+  *     — both engines sum corresponding terms in the same order. The
+  *     remaining cross-engine freedom is the log2 PRIMITIVE itself (JVM
+  *     ln-ratio vs the oracle engine's log2 may differ in the last ulp),
+  *     so agreement of the published value is 6-decimal-rounding-stable
+  *     rather than bit-guaranteed: a token whose entropy sits within
+  *     ~1 ulp of an x.xxxxxx5 boundary could round apart. The injected
+  *     oracle tokens are chosen far from boundaries, and the full-corpus
+  *     compare (natural candidates included) is swept clean at all three
+  *     scale factors;
   *  3. flagged iff round(H, 6) >= [[SecretStatsExpr.entropyThreshold]]
   *     (rounding BEFORE the compare keeps the threshold decision a
   *     function of the published 6-decimal value).
@@ -73,8 +80,7 @@ case class SecretStatsExpr(child: Expression)
     math.log(len) / log2 - sum / len
   }
 
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round6(x: Double): Double = graft.util.Num.round6(x)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString

@@ -40,7 +40,8 @@ object Scrub {
     * this list, spec-asserted by the DuckDB oracles that embed it). */
   def scrubSqlExpr(inner: String): String =
     passes.foldLeft(inner)((acc, p) =>
-      s"regexp_replace($acc, '${p.pattern.replace("'", "''")}', '${p.replacement}', 'g')")
+      s"regexp_replace($acc, '${p.pattern.replace("'", "''")}', " +
+        s"'${p.replacement.replace("'", "''")}', 'g')")
 
   /** Spark-side scrub: gated, chained codegen'd regexp_replace. The gate is
     * the compiled [[graft.functions.PiiCandidate]] scan — same predicate as
@@ -54,10 +55,18 @@ object Scrub {
     when(gate, full).otherwise(c)
   }
 
-  /** Count of PII hits (any pass) — for metrics/lineage. */
+  /** Count of PII REPLACEMENTS the scrub chain performs — for
+    * metrics/lineage. Each pass counts on the text AFTER the earlier
+    * passes ran (the sequential-scrub semantics): counting every pass on
+    * the ORIGINAL text would double-count, e.g. a hex run inside a PEM
+    * body hit by both pem_key and hex_secret. */
   def hitCountCol(c: Column): Column = {
     import org.apache.spark.sql.functions._
-    passes.map(p => regexp_count(c, lit(p.pattern))).reduce(_ + _)
+    val (_, total) = passes.foldLeft((c, lit(0L))) { case ((acc, n), p) =>
+      (regexp_replace(acc, p.pattern, p.replacement),
+        n + regexp_count(acc, lit(p.pattern)).cast("long"))
+    }
+    total
   }
 
   /** Driver/oracle-side scrub: identical passes via java.util.regex. */

@@ -1,0 +1,15 @@
+package graft.util
+
+/** Shared numeric helpers whose exact semantics are correctness-critical
+  * for cross-engine oracle compares. */
+object Num {
+
+  /** Round to 6 decimals, HALF_UP on the EXACT binary value — the single
+    * definition used by every fixture mirror and compiled expression that
+    * publishes a 6-decimal double the DuckDB oracle must reproduce.
+    * `BigDecimal(x)` (not `valueOf`) so the scale decision is made on the
+    * exact binary double, matching how a SQL engine rounds the same
+    * double. */
+  def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
