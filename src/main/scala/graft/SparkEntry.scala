@@ -908,6 +908,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_path_filters" -> ((s, dir) => {
+      // path-based corpus hygiene (The Stack removes vendored dirs and
+      // minified artifacts by PATH before any content filter): derived
+      // paths from the PathQ constants exercise true vendored segments,
+      // a near-miss segment ('vendorx/'), .min.js hits and a near-miss
+      // extension (.min.cssx). Pure codegen'd rlike — map-only.
+      import graft.operators.TextAnalysis
+      val p = pathCol
+      t(s, dir, "documents").select(col("doc_id"), p.as("path"),
+          TextAnalysis.vendoredPath(p).as("vendored"),
+          TextAnalysis.minifiedName(p).as("minified"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_secret_stats" -> ((s, dir) => {
       // entropy-based secret scan over deterministically injected tokens
       // (the SecQ constants drive BOTH this construction and the DuckDB
@@ -1366,6 +1380,34 @@ object SparkEntry {
     val strideMit = 7
     val strideGpl = 11
     val strideBsd = 13
+  }
+
+  /** Shared constants for `q_path_filters`: deterministic derived paths —
+    * one source for the Spark construction and the DuckDB oracle. Strides
+    * 5/7 hit true vendored segments, 11 a near-miss segment name; 13 a
+    * true minified extension, 17 a near-miss one. */
+  private object PathQ {
+    val pNm = "node_modules/pkg/"
+    val pVen = "src/vendor/lib/"
+    val pNeg = "misc/vendorx/"
+    val pDef = "src/"
+    val eMin = ".min.js"
+    val eMinNeg = ".min.cssx"
+    val eDef = ".js"
+    val sNm = 5; val sVen = 7; val sNeg = 11; val sMin = 13; val sMinNeg = 17
+  }
+
+  /** Derived path for `q_path_filters` (see [[PathQ]]). */
+  private def pathCol: Column = {
+    import PathQ._
+    val prefix = when(col("doc_id") % sNm === 0, lit(pNm))
+      .when(col("doc_id") % sVen === 0, lit(pVen))
+      .when(col("doc_id") % sNeg === 0, lit(pNeg))
+      .otherwise(lit(pDef))
+    val ext = when(col("doc_id") % sMin === 0, lit(eMin))
+      .when(col("doc_id") % sMinNeg === 0, lit(eMinNeg))
+      .otherwise(lit(eDef))
+    concat(prefix, lit("f"), col("doc_id").cast("string"), ext)
   }
 
   /** Shared constants for `q_secret_stats`: injected secret-shaped tokens
@@ -2081,6 +2123,23 @@ object SparkEntry {
              b.is_xml AS is_xml
            FROM d JOIN cl USING (doc_id) JOIN b USING (doc_id)
            ORDER BY d.doc_id""",
+    "q_path_filters" -> {
+      import graft.operators.TextAnalysis.{vendoredPattern, minifiedNamePattern}
+      raw"""WITH p AS (SELECT doc_id,
+             (CASE WHEN doc_id % ${PathQ.sNm} = 0 THEN '${PathQ.pNm}'
+                   WHEN doc_id % ${PathQ.sVen} = 0 THEN '${PathQ.pVen}'
+                   WHEN doc_id % ${PathQ.sNeg} = 0 THEN '${PathQ.pNeg}'
+                   ELSE '${PathQ.pDef}' END)
+             || 'f' || CAST(doc_id AS VARCHAR) ||
+             (CASE WHEN doc_id % ${PathQ.sMin} = 0 THEN '${PathQ.eMin}'
+                   WHEN doc_id % ${PathQ.sMinNeg} = 0 THEN '${PathQ.eMinNeg}'
+                   ELSE '${PathQ.eDef}' END) AS path
+           FROM documents)
+         SELECT doc_id, path,
+           regexp_matches(path, '$vendoredPattern') AS vendored,
+           regexp_matches(path, '$minifiedNamePattern') AS minified
+         FROM p ORDER BY doc_id"""
+    },
     "q_secret_stats" -> {
       import graft.functions.SecretStatsExpr.{candidatePattern, entropyThreshold}
       raw"""WITH c AS (SELECT doc_id, coalesce(text, '') ||

@@ -31,6 +31,32 @@ object TextAnalysis {
   def secretStats(content: Column): Column =
     graft.functions.SecretStatsExpr(content)
 
+  /** Directory names whose contents are vendored third-party code — The
+    * Stack (arXiv:2211.15533 §3) and its successors exclude these by PATH
+    * before any content filter runs (the code is someone else's corpus
+    * slice; keeping it double-counts upstream projects). One table, used
+    * by both the Spark predicate and the generated oracle SQL. */
+  val vendoredDirs: Seq[String] = Seq(
+    "vendor", "vendored", "third_party", "thirdparty", "node_modules",
+    "bower_components", "external", "extern", "deps")
+
+  /** RE2-and-Java-compatible predicate: any path SEGMENT equal to a
+    * vendored dir name (trailing slash required — a file merely NAMED
+    * "vendor" is not vendored). */
+  def vendoredPattern: String = "(^|/)(" + vendoredDirs.mkString("|") + ")/"
+
+  /** True iff the path sits under a vendored directory. Pure codegen'd
+    * rlike — map-only, shuffle-free. */
+  def vendoredPath(path: Column): Column = path.rlike(vendoredPattern)
+
+  val minifiedNamePattern: String = "\\.min\\.(js|css)$"
+
+  /** True iff the file name is a build-minified artifact (`.min.js` /
+    * `.min.css`) — excluded by name in the published code recipes since
+    * content heuristics (line length, alnum) only catch the worst of
+    * them. */
+  def minifiedName(path: Column): Column = path.rlike(minifiedNamePattern)
+
   /** BPE-ish subword count: word-piece-style regex — words, numbers,
     * punctuation runs each count as tokens (a cheap deterministic proxy for
     * a real BPE vocab; the Spark plumbing is what matters at scale). */

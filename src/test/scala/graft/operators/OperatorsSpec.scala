@@ -796,6 +796,25 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     got.toSeq shouldBe cases.map(_._2)
   }
 
+  test("path filters: vendored SEGMENT semantics and minified-name suffix") {
+    val cases = Seq(
+      ("vendor/a.js", true, false), // leading segment
+      ("src/vendor/a.js", true, false), // nested segment
+      ("src/node_modules/p/a.js", true, false),
+      ("src/vendorx/a.js", false, false), // near-miss segment name
+      ("src/vendor", false, false), // file NAMED vendor: no trailing slash
+      ("avendor/a.js", false, false), // substring, not a segment
+      ("lib/app.min.js", false, true),
+      ("lib/app.min.css", false, true),
+      ("lib/app.min.cssx", false, false), // near-miss extension
+      ("lib/appmin.js", false, false))
+    val got = cases.map(_._1).toDF("path")
+      .select(col("path"), TextAnalysis.vendoredPath(col("path")).as("v"),
+        TextAnalysis.minifiedName(col("path")).as("m"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    got.toSeq shouldBe cases
+  }
+
   test("repoLicense: most-permissive member file wins; unknown-only repos stay unknown") {
     val rows = Seq(
       // mixed repo: mit beats gpl in the precedence
