@@ -1,0 +1,55 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.{CorpusGen, CorpusSpec}
+import graft.operators.TextAnalysis
+
+/** Throughput probe for the round-4 compiled signals (code_stats,
+  * secret_stats, path flags) at 1M files — evidence that each stays a
+  * cheap map-only pass at corpus scale rather than a per-row tax worth
+  * worrying about. Prints one line per leg: seconds, files/s, MB/s.
+  *
+  * Usage: runMain graft.examples.SignalThroughput [nFiles] [cores]
+  */
+object SignalThroughput {
+  def main(args: Array[String]): Unit = {
+    val nFiles = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cores = args.lift(1).map(_.toInt).getOrElse(32)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    CorpusGen.corpus(spark, CorpusSpec(nFiles = nFiles))
+      .withColumn("path", concat(col("repo"), lit("/"), col("path")))
+      .repartition(64).write.mode("overwrite").parquet(s"$dir/c")
+    def read: DataFrame = spark.read.parquet(s"$dir/c")
+    val bytes = read.agg(sum(length(col("content")))).collect().head.getLong(0)
+
+    def timed(name: String)(df: => DataFrame): Unit = {
+      df.limit(50000).foreach(_ => ()) // codegen/JIT warmup
+      val t0 = System.nanoTime()
+      df.foreach(_ => ())
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[signal] $name%-22s $sec%7.2f s ${nFiles / sec}%9.0f files/s ${bytes / 1e6 / sec}%7.1f MB/s")
+    }
+
+    timed("scan only")(read.select(col("content")))
+    timed("+code_stats")(read.select(
+      TextAnalysis.codeStats(col("lang"), col("content")).as("cs")))
+    timed("+secret_stats")(read.select(
+      TextAnalysis.secretStats(col("content")).as("ss")))
+    timed("+path flags")(read.select(
+      TextAnalysis.vendoredPath(col("path")).as("v"),
+      TextAnalysis.minifiedName(col("path")).as("m")))
+    timed("all signals fused")(read.select(
+      TextAnalysis.codeStats(col("lang"), col("content")).as("cs"),
+      TextAnalysis.secretStats(col("content")).as("ss"),
+      TextAnalysis.vendoredPath(col("path")).as("v"),
+      TextAnalysis.minifiedName(col("path")).as("m")))
+    spark.stop()
+  }
+}
