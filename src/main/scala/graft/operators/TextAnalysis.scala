@@ -140,6 +140,17 @@ object TextAnalysis {
   def scoreWith(text: Column, model: graft.textmodel.QualityHead.Model): Column =
     graft.functions.LogisticScoreExpr(text, model)
 
+  /** Default cap on trigram TYPES a KN fit ships to the driver. Real text
+    * reuses a small trigram vocabulary (the count table saturates
+    * sublinearly in corpus size), but a 100-TB CJK-heavy corpus can reach
+    * tens of millions of types — unbounded, that collect is the one
+    * driver-memory failure mode in the pipeline. 4M types ≈ 64 MB of
+    * (key,count) pairs; the dropped tail is by construction the
+    * LOWEST-count types, whose KN probability mass the discount/backoff
+    * terms already dominate, so the ppl deviation is tiny (pinned ≤1% by
+    * KnPruneSpec). */
+  val KnMaxTypesDefault: Int = 1 << 22
+
   /** Distributed Kneser-Ney LM training on a corpus (the CCNet recipe,
     * arXiv:1911.00359 §: LM-based quality scoring needs an LM fit on an
     * in-domain corpus): per-document trigram counts compact inside
@@ -149,16 +160,31 @@ object TextAnalysis {
     * fit is independent of aggregation order — and every other KN
     * structure derives from that table on the driver
     * ([[graft.textmodel.LangModel.knFromTriCounts]]). The returned model
-    * scores perplexity map-only via [[pplWith]]. */
-  def trainKn(df: org.apache.spark.sql.DataFrame, textCol: String)
+    * scores perplexity map-only via [[pplWith]].
+    *
+    * Driver memory is BOUNDED: `minCount` prunes the singleton tail inside
+    * the aggregation (a HAVING — nothing pruned ever leaves the exchange),
+    * and the survivors reach the driver through a distributed
+    * `takeOrdered(maxTypes)` on (count desc, key asc) — at most `maxTypes`
+    * rows per partition cross the wire and the driver merges bounded
+    * queues, never the full |types| table. The kept set is a deterministic
+    * function of the counts (total order, exact-integer counts), so the
+    * fit stays independent of partitioning; with the defaults at test
+    * scale every type survives and the model is bit-identical to the
+    * unbounded fit. */
+  def trainKn(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 1L, maxTypes: Int = KnMaxTypesDefault)
       : graft.textmodel.LangModel.KnLm = {
     val counts = df
       .select(explode(graft.functions.TrigramKeyCountsExpr(col(textCol)))
         .as(Seq("k", "c")))
       .groupBy(col("k")).agg(sum(col("c")).as("c"))
-      .collect()
-    graft.textmodel.LangModel.knFromTriCounts(
-      counts.iterator.map(r => (r.getLong(0), r.getLong(1))))
+      .where(col("c") >= minCount)
+    val kept = counts
+      .select(col("k").cast("long"), col("c").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .takeOrdered(maxTypes)(Ordering.by { case (k, c) => (-c, k) })
+    graft.textmodel.LangModel.knFromTriCounts(kept.iterator)
   }
 
   /** Perplexity under a corpus-trained KN model — map-only. */
@@ -169,18 +195,37 @@ object TextAnalysis {
     * (arXiv:1911.00359 trains one LM per language; a pooled model scores
     * minority languages against majority-language statistics). Same single
     * bounded aggregation as [[trainKn]] with the language as an extra group
-    * key: ≤ |langs| × |trigram types| rows reach the driver, corpus
-    * characters never shuffle. Score with [[pplWithByLang]], which routes
-    * each row to its own language's model in one map-only pass. */
+    * key. Score with [[pplWithByLang]], which routes each row to its own
+    * language's model in one map-only pass.
+    *
+    * Driver memory is BOUNDED by |langs| × `maxTypesPerLang`, never
+    * |langs| × |trigram types|: after the `minCount` HAVING, a
+    * `row_number()` window over the AGGREGATED count table (|types| rows —
+    * sublinear in corpus size — not corpus characters) keeps the top
+    * `maxTypesPerLang` types per language on (count desc, key asc), and
+    * only those survivors are collected. Deterministic total order → the
+    * fit is independent of partitioning; with the defaults at test scale
+    * every type survives and the models are bit-identical to the unbounded
+    * fit. */
   def trainKnByLang(df: org.apache.spark.sql.DataFrame, langCol: String,
-      textCol: String): Map[String, graft.textmodel.LangModel.KnLm] = {
+      textCol: String, minCount: Long = 1L,
+      maxTypesPerLang: Int = KnMaxTypesDefault)
+      : Map[String, graft.textmodel.LangModel.KnLm] = {
+    import org.apache.spark.sql.expressions.Window
     val counts = df
       .select(col(langCol).as("lang"),
         explode(graft.functions.TrigramKeyCountsExpr(col(textCol)))
           .as(Seq("k", "c")))
       .groupBy(col("lang"), col("k")).agg(sum(col("c")).as("c"))
+      .where(col("c") >= minCount)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("k"))
+    val kept = counts
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= maxTypesPerLang)
+      .select(col("lang"), col("k"), col("c"))
       .collect()
-    counts.groupBy(_.getString(0)).map { case (lang, rows) =>
+    kept.groupBy(_.getString(0)).map { case (lang, rows) =>
       lang -> graft.textmodel.LangModel.knFromTriCounts(
         rows.iterator.map(r => (r.getLong(1), r.getLong(2))))
     }

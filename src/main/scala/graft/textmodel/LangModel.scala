@@ -122,6 +122,11 @@ object LangModel {
       biCtxTypes: Array[Int])        // N1+(b·)           index: b
     extends Serializable {
 
+    /** Number of trigram TYPES the model holds — the quantity the
+      * `maxTypes` prune in `TextAnalysis.trainKn` bounds. Exposed so specs
+      * can pin "driver/model memory ∝ kept types" as an invariant. */
+    def trigramTypes: Int = triCount.size
+
     @inline private def key3(a: Char, b: Char, c: Char): Long =
       (a.toLong << 32) | (b.toLong << 16) | c.toLong
     @inline private def key2(a: Char, b: Char): Long = (a.toLong << 16) | b.toLong
