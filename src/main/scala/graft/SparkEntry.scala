@@ -267,6 +267,29 @@ object SparkEntry {
       f.select(f.columns.map(c => round(col(c), 6).as(c)): _*)
     }),
 
+    // Global case-insensitivity flag (ref DFMetricProcessor.scala:187-188):
+    // the SOURCE columns are MiXeD-case, the metric config refers to them in
+    // UPPERCASE, and the engine (caseSensitive=false, the reference default)
+    // must produce exactly the values of the all-lowercase run — which is
+    // what the oracle computes on the original table.
+    "q_string_metrics_mixedcase" -> ((s, dir) => {
+      val cust0 = t(s, dir, "customer")
+      val cust = cust0.select(
+        col("c_name").as("C_Name"), col("c_mktsegment").as("C_MKTSegment"),
+        col("c_custkey").as("C_CustKey"))
+      val ms: Seq[RowMetric] = Seq(
+        RowCountMetric("row_count"),
+        NullValuesMetric("null_values", Seq("C_NAME", "C_MKTSEGMENT")),
+        CompletenessMetric("completeness", Seq("C_NAME", "C_MKTSEGMENT")),
+        RegexMatchMetric("regex_match", Seq("C_NAME"), "^Customer#[0-9]+$"),
+        AvgStringLenMetric("avg_string", Seq("C_MKTSEGMENT")),
+        StringDomainMetric("string_in_domain", Seq("C_MKTSEGMENT"),
+          Set("BUILDING", "MACHINERY")))
+      val f = MetricProcessor.rowMetricsFrame(cust, ms,
+        MetricProcessor.Config(caseSensitive = false))
+      f.select(f.columns.map(c => round(col(c), 6).as(c)): _*)
+    }),
+
     "q_numeric_metrics" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val ms: Seq[RowMetric] = Seq(
@@ -2390,6 +2413,19 @@ object SparkEntry {
            CAST(sum(CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY') THEN 1 ELSE 0 END) AS DOUBLE) AS string_in_domain,
            CAST(sum(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN ('BUILDING','MACHINERY') THEN 1 ELSE 0 END) AS DOUBLE) AS string_out_domain,
            CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS DOUBLE) AS string_values
+         FROM customer""",
+    "q_string_metrics_mixedcase" ->
+      """SELECT
+           CAST(count(*) AS DOUBLE) AS row_count,
+           CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END +
+                    CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_values,
+           round(sum(CASE WHEN c_name IS NOT NULL THEN 1 ELSE 0 END +
+                     CASE WHEN c_mktsegment IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) * 2 AS DOUBLE), 6) AS completeness,
+           CAST(sum(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END) AS DOUBLE) AS regex_match,
+           round(sum(coalesce(length(c_mktsegment), 0)) /
+                 CAST(sum(CASE WHEN c_mktsegment IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6) AS avg_string,
+           CAST(sum(CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY') THEN 1 ELSE 0 END) AS DOUBLE) AS string_in_domain
          FROM customer""",
     "q_numeric_metrics" ->
       """SELECT

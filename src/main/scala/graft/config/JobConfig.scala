@@ -43,7 +43,8 @@ object JobConfig {
       checks: Seq[CheckConf],
       storage: Option[StorageConf],
       tolerance: Tolerance,
-      errorDumpSize: Int)
+      errorDumpSize: Int,
+      caseSensitive: Boolean = false)
 
   private val mapper = new ObjectMapper()
 
@@ -95,7 +96,11 @@ object JobConfig {
         case Some("all") => Tolerance.All
         case _ => Tolerance.Critical
       },
-      errorDumpSize = Option(root.get("errorDumpSize")).map(_.asInt).getOrElse(100))
+      errorDumpSize = Option(root.get("errorDumpSize")).map(_.asInt).getOrElse(100),
+      // reference parity: app-level enableCaseSensitivity defaults OFF
+      // (columns are lowercase-normalized; reference/checkita-core
+      // .../core/metrics/df/DFMetricProcessor.scala:187-188)
+      caseSensitive = Option(root.get("caseSensitive")).exists(_.asBoolean))
   }
 
   /** Phase 2: cross-reference validation — ALL violations reported at once
@@ -238,11 +243,13 @@ object JobConfig {
     }
   }
 
-  private def loadCheck(lc: LoadCheckConf): Source => CheckResult =
+  private def loadCheck(lc: LoadCheckConf, caseSensitive: Boolean)
+      : Source => CheckResult =
     lc.kind.toUpperCase match {
       case "EXACT_COLUMN_NUM" => s => LoadChecks.exactColumnNum(lc.id, s.df, lc.count)
       case "MIN_COLUMN_NUM" => s => LoadChecks.minColumnNum(lc.id, s.df, lc.count)
-      case "COLUMNS_EXIST" => s => LoadChecks.columnsExist(lc.id, s.df, lc.columns)
+      case "COLUMNS_EXIST" =>
+        s => LoadChecks.columnsExist(lc.id, s.df, lc.columns, caseSensitive)
       case other => throw new IllegalArgumentException(s"unknown load check '$other'")
     }
 
@@ -280,7 +287,7 @@ object JobConfig {
     })
     val parsedChecks = c.checks.map(check)
     new DqBatchJob(spark, c.jobId, srcs,
-      loadChecks = c.loadChecks.map(loadCheck),
+      loadChecks = c.loadChecks.map(loadCheck(_, c.caseSensitive)),
       rowMetrics = byMetric.collect { case (s, Left(rm)) => (s, rm) }
         .groupBy(_._1).map { case (s, ms) => s -> ms.map(_._2) },
       groupingMetrics = byMetric.collect { case (s, Right(gm)) => (s, gm) }
@@ -290,7 +297,8 @@ object JobConfig {
       expressionChecks = parsedChecks.collect { case Right(es) => es },
       storage = storage,
       tolerance = c.tolerance,
-      errorDumpSize = c.errorDumpSize)
+      errorDumpSize = c.errorDumpSize,
+      caseSensitive = c.caseSensitive)
   }
 
   /** One-call entry: config file path → job. `.conf`/`.hocon` files go

@@ -51,7 +51,8 @@ final class DqBatchJob(
     expressionChecks: Seq[ExpressionCheckSpec] = Nil,
     storage: Option[DqStorage] = None,
     tolerance: Tolerance = Tolerance.Critical,
-    errorDumpSize: Int = 100) {
+    errorDumpSize: Int = 100,
+    caseSensitive: Boolean = false) {
 
   def run(referenceTs: Instant = Instant.now()): JobResult = {
     val srcById = sources.map(s => s.id -> s).toMap
@@ -61,7 +62,8 @@ final class DqBatchJob(
 
     // 2. regular metrics: ONE fused pass per source + batched grouping jobs
     val regular = srcById.toSeq.sortBy(_._1).flatMap { case (id, src) =>
-      val cfg = MetricProcessor.Config(id, src.keyFields, errorDumpSize)
+      val cfg = MetricProcessor.Config(id, src.keyFields, errorDumpSize,
+        caseSensitive)
       MetricProcessor.process(src.df,
         rowMetrics.getOrElse(id, Nil), groupingMetrics.getOrElse(id, Nil), cfg)
     }

@@ -27,14 +27,45 @@ object MetricProcessor {
   final case class Config(
       sourceId: String = "",
       keyFields: Seq[String] = Nil,
-      errorDumpSize: Int = 100)
+      errorDumpSize: Int = 100,
+      caseSensitive: Boolean = false)
 
   private def errName(id: String) = s"__err_$id"
+
+  /** Global case-insensitivity (reference: DFMetricProcessor.scala:187-188 —
+    * when the app-level flag is OFF, every source column is lowercased before
+    * metric processing, so a config that says `Customer_ID` matches a source
+    * with `customer_id` and vice versa). The rename is a pure alias Project
+    * directly over the scan — filters and column pruning push straight
+    * through it, zero runtime cost. */
+  private def normalized(df: DataFrame, cfg: Config): DataFrame =
+    if (cfg.caseSensitive || df.columns.forall(c => c == c.toLowerCase)) df
+    else df.select(df.columns.map(c => col(c).as(c.toLowerCase)): _*)
+
+  private def normName(cfg: Config)(c: String): String =
+    if (cfg.caseSensitive) c else c.toLowerCase
+
+  /** Rewrite unresolved column references inside a metric expression to
+    * lowercase, so metrics built with any-cased `col("...")` resolve against
+    * the normalized frame even when the host session runs with
+    * `spark.sql.caseSensitive=true` (where the analyzer would otherwise
+    * reject the mismatch). */
+  private def normExpr(cfg: Config)(c: Column): Column = {
+    if (cfg.caseSensitive) c
+    else {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(Bridge.eagerExpression(c).transform {
+        case a: UnresolvedAttribute =>
+          UnresolvedAttribute(a.nameParts.map(_.toLowerCase))
+      })
+    }
+  }
 
   /** Row-data payload collected for failing rows: key fields + metric columns
     * as strings (ref: DFMetricCalculator.scala:92-98). */
   private def rowData(cfg: Config, metricColumns: Seq[String]): Column = {
-    val cols = (cfg.keyFields ++ metricColumns).distinct
+    val cols = (cfg.keyFields ++ metricColumns).map(normName(cfg)).distinct
     array(cols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)
   }
 
@@ -55,16 +86,17 @@ object MetricProcessor {
       metrics: Seq[RowMetric],
       cfg: Config = Config()): Seq[MetricResult] = {
     if (metrics.isEmpty) return Nil
+    val norm = normExpr(cfg) _
     val aggCols: Seq[Column] = metrics.flatMap { m =>
-      val res = m.result.as(m.id)
+      val res = norm(m.result).as(m.id)
       val err = m.errorCondition.map { cond =>
         collect_list_limit(
-          when(cond, rowData(cfg, m.columns)),
+          when(norm(cond), rowData(cfg, m.columns)),
           cfg.errorDumpSize).as(errName(m.id))
       }
       res +: err.toSeq
     }
-    val row: Row = df.select(aggCols: _*).collect().head
+    val row: Row = normalized(df, cfg).select(aggCols: _*).collect().head
     metrics.map { m =>
       val (value, additional) = m.decode(row.getAs[Any](m.id))
       val errors = m.errorCondition
@@ -89,19 +121,21 @@ object MetricProcessor {
       metrics: Seq[GroupingMetric],
       cfg: Config = Config()): Seq[MetricResult] = {
     metrics.groupBy(_.columns).toSeq.flatMap { case (gcols, ms) =>
+      val norm = normExpr(cfg) _
       val anyErrors = ms.exists(_.errorCondition.nonEmpty)
-      val groupAggs = ms.map(_.groupResult) ++
+      val groupAggs = ms.map(m => norm(m.groupResult)) ++
         (if (anyErrors)
           Seq(graft.functions.api.collect_list_limit(
             rowData(cfg, gcols), cfg.errorDumpSize).as("__grp_rows"))
         else Nil)
-      val grouped = df.groupBy(gcols.map(col): _*)
+      val grouped = normalized(df, cfg)
+        .groupBy(gcols.map(c => col(normName(cfg)(c))): _*)
         .agg(groupAggs.head, groupAggs.tail: _*)
       val finals: Seq[Column] = ms.flatMap { m =>
-        val res = m.finalResult.as(m.id)
+        val res = norm(m.finalResult).as(m.id)
         val err = m.errorCondition.map { cond =>
           graft.functions.api.merge_list_limit(
-            when(cond, col("__grp_rows")),
+            when(norm(cond), col("__grp_rows")),
             cfg.errorDumpSize).as(errName(m.id))
         }
         res +: err.toSeq
@@ -131,6 +165,15 @@ object MetricProcessor {
     * distributed. */
   def rowMetricsFrame(df: DataFrame, metrics: Seq[RowMetric]): DataFrame =
     df.select(metrics.map(m => m.result.as(m.id)): _*)
+
+  /** [[rowMetricsFrame]] honoring the config's case-sensitivity flag: with
+    * the flag off (the reference default) the fused pass runs over
+    * lowercase-normalized columns and any-cased metric column references
+    * resolve against them. */
+  def rowMetricsFrame(df: DataFrame, metrics: Seq[RowMetric],
+      cfg: Config): DataFrame =
+    normalized(df, cfg)
+      .select(metrics.map(m => normExpr(cfg)(m.result).as(m.id)): _*)
 
   /** Grouping metrics sharing ONE column set as a 1-row DataFrame (no
     * collect) — the distributed twin of [[processGroupingMetrics]]: per-group

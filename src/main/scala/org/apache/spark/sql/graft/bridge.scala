@@ -14,4 +14,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column→Expression conversion. [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper with no children, so `transform` over it
+    * is a no-op; this runs the classic converter immediately, yielding the
+    * real Catalyst tree (UnresolvedAttribute leaves etc.) that rewrites can
+    * walk. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -1,0 +1,101 @@
+package graft.metrics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Global case-insensitivity flag (reference: the app-level
+  * enableCaseSensitivity setting — DFMetricProcessor.scala:187-188 lowercases
+  * every source column when it is off, the default). The flag must make a
+  * mixed-case source + differently-cased metric config behave exactly like
+  * the all-lowercase run — including error dumps, grouping metrics and hosts
+  * running with spark.sql.caseSensitive=true. */
+class CaseSensitivitySpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val mixed = Seq(
+    ("k1", "foo", 1.0), ("k2", null, 2.0), ("k3", "", 3.0), ("k4", "bar", 4.0))
+    .toDF("Row_Key", "Mixed_Col", "Num_Col")
+
+  test("row metrics: UPPERCASE config resolves against Mixed_Case source") {
+    val cfg = MetricProcessor.Config(
+      keyFields = Seq("ROW_KEY"), caseSensitive = false)
+    val r = MetricProcessor.processRowMetrics(mixed,
+      Seq(NullValuesMetric("m", Seq("MIXED_COL"))), cfg).head
+    r.value shouldBe 1.0
+    // error dump resolves the UPPERCASE key field and carries real row data
+    r.errors should have size 1
+    r.errors.head.head shouldBe "k2"
+  }
+
+  test("grouping metrics: mixed-case grouping column, lowercase config") {
+    val cfg = MetricProcessor.Config(caseSensitive = false)
+    val r = MetricProcessor.processGroupingMetrics(
+      mixed.withColumn("G", lower(substring(col("Row_Key"), 1, 1))),
+      Seq(DistinctValuesMetric("m", Seq("g"))), cfg).head
+    r.value shouldBe 1.0 // all keys start with 'k'
+  }
+
+  test("flag OFF matches the all-lowercase run bit-for-bit") {
+    val lower = mixed.toDF("row_key", "mixed_col", "num_col")
+    val cfg = MetricProcessor.Config(caseSensitive = false)
+    val a = MetricProcessor.processRowMetrics(mixed,
+      Seq(AvgNumberMetric("m", "NUM_COL")), cfg).head
+    val b = MetricProcessor.processRowMetrics(lower,
+      Seq(AvgNumberMetric("m", "num_col")), cfg).head
+    a.value shouldBe b.value
+  }
+
+  test("caseSensitive=true leaves columns untouched (exact-name semantics)") {
+    val cfg = MetricProcessor.Config(caseSensitive = true)
+    val f = MetricProcessor.rowMetricsFrame(mixed,
+      Seq(RowCountMetric("m")), cfg)
+    // no lowercase-normalizing Project was inserted
+    MetricProcessor.rowMetricsFrame(
+      mixed, Seq(RowCountMetric("m")), cfg).collect().head.getDouble(0) shouldBe 4.0
+    f.queryExecution.analyzed.output.map(_.name) shouldBe Seq("m")
+  }
+
+  test("survives a host session with spark.sql.caseSensitive=true") {
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val cfg = MetricProcessor.Config(caseSensitive = false)
+      val r = MetricProcessor.processRowMetrics(mixed,
+        Seq(NullValuesMetric("m", Seq("MIXED_COL"))), cfg).head
+      r.value shouldBe 1.0
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
+  test("JobConfig threads the flag: mixed-case source, UPPER config columns") {
+    val dir = java.nio.file.Files.createTempDirectory("case_cfg").toString
+    mixed.write.mode("overwrite").parquet(s"$dir/src.parquet")
+    val json =
+      s"""{
+         |  "jobId": "case_job",
+         |  "sources": [{"id": "s1", "kind": "parquet", "path": "$dir/src.parquet"}],
+         |  "loadChecks": [{"id": "lc1", "kind": "COLUMNS_EXIST",
+         |                  "columns": ["ROW_KEY", "mixed_col"]}],
+         |  "metrics": [
+         |    {"id": "nulls", "name": "NULL_VALUES", "source": "s1", "columns": ["MIXED_COL"]},
+         |    {"id": "avg", "name": "AVG_NUMBER", "source": "s1", "columns": ["NUM_COL"]}
+         |  ],
+         |  "checks": [{"id": "c1", "kind": "EQUAL_TO", "base": "nulls", "threshold": 1.0}]
+         |}""".stripMargin
+    val conf = graft.config.JobConfig.parse(json)
+    conf.caseSensitive shouldBe false // absent => reference default
+    val res = graft.config.JobConfig.build(spark, conf).run()
+    res.passed shouldBe true
+    res.loadChecks.head.status shouldBe true
+    res.metrics.find(_.metricId == "nulls").get.value shouldBe 1.0
+    // flag ON => the same config must FAIL the load check (exact names)
+    val conf2 = graft.config.JobConfig.parse(
+      json.replaceFirst("\\{", """{"caseSensitive": true,"""))
+    conf2.caseSensitive shouldBe true
+    val res2 = graft.config.JobConfig.build(spark, conf2).run()
+    res2.loadChecks.head.status shouldBe false
+  }
+}
