@@ -44,11 +44,24 @@ object Fixtures {
     * (specs writing individual fixtures) everything lands in baseDir,
     * exactly as before. Paths are defs: `oracleSql` renders AFTER
     * writeAll in Verify, so the embedded paths always match the scope
-    * the fixtures were just written under. */
+    * the fixtures were just written under.
+    *
+    * The scope is SINGLE-ASSIGNMENT per JVM (re-scoping to the same sf is
+    * a no-op): the tag is process-global mutable state, so a second
+    * different scope would silently re-point paths a caller captured under
+    * the first — two Verify runs at different SFs in one JVM must be two
+    * JVMs, and this assert turns the silent mismatch into an immediate
+    * error (ADVICE r4). */
   @volatile private var sfTag: String = ""
-  def scopeTo(sfDir: String): Unit =
-    sfTag = "/" + new java.io.File(sfDir).getName
+  def scopeTo(sfDir: String): Unit = synchronized {
+    val tag = "/" + new java.io.File(sfDir).getName
       .replaceAll("[^A-Za-z0-9._-]", "_")
+    require(sfTag.isEmpty || sfTag == tag,
+      s"Fixtures already scoped to '$sfTag' in this JVM; re-scoping to " +
+        s"'$tag' would mismatch paths captured under the first scope — " +
+        "run each sf scope in its own JVM")
+    sfTag = tag
+  }
 
   def dir: String = baseDir + sfTag
 

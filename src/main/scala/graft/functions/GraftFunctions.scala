@@ -20,65 +20,63 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"$name must be a literal int")
   }
 
+  /** Every graft SQL function, name → expression builder. One table so
+    * [[register]] and [[registerIfAbsent]] can never drift. */
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "collect_list_limit" -> (es =>
+      CollectListLimit(es.head, intArg(es(1), "limit")).toAggregateExpression()),
+    "top_n_sketch" -> (es =>
+      TopNSketch(es.head, intArg(es(1), "n"),
+        if (es.size > 2) intArg(es(2), "maxMapSize") else 1024)
+        .toAggregateExpression()),
+    "doc_stats" -> (es => DocStatsExpr(es.head)),
+    "repetition_stats" -> (es => RepetitionStatsExpr(es.head)),
+    "code_stats" -> (es => CodeStatsExpr(es.head, es(1))),
+    "secret_stats" -> (es => SecretStatsExpr(es.head)),
+    "score_doc" -> (es => ScoreDoc(es.head)),
+    "shingle_hashes" -> (es => ShingleHashes(es.head, intArg(es(1), "n"))),
+    "sim_hash64" -> (es => SimHash64(es.head)),
+    "token_window_hashes" -> (es =>
+      TokenWindowHashes(es.head, intArg(es(1), "n"))),
+    "dot_product" -> (es => DotProduct(es.head, es(1))),
+    "merge_list_limit" -> (es =>
+      MergeListLimit(es.head, intArg(es(1), "limit")).toAggregateExpression()),
+    "top_k_pairs" -> (es =>
+      TopKPairs(es.head, es(1), intArg(es(2), "k")).toAggregateExpression()),
+    "hyperplane_sigs" -> (es =>
+      HyperplaneSigs(es.head, intArg(es(1), "planes"), intArg(es(2), "tables"))),
+    "min_hash_bands" -> (es =>
+      MinHashBands(es.head, intArg(es(1), "bands"), intArg(es(2), "rows"))),
+    "normalize_vec" -> (es => NormalizeVec(es.head)),
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es.head, es(1))),
+    "array_eq_count" -> (es => ArrayEqCount(es.head, es(1))),
+    "bmp_resize" -> (es => graft.operators.BmpResize(es.head,
+      intArg(es(1), "width"), intArg(es(2), "height"))))
+
+  /** Names this library registers — public so hosts can audit collisions. */
+  def functionNames: Seq[String] = builders.map(_._1)
+
+  /** Register (or REPLACE) every graft function in the session. A host that
+    * wants graft's definitions unconditionally calls this. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("collect_list_limit",
-      es => CollectListLimit(es.head, intArg(es(1), "limit")).toAggregateExpression(),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("top_n_sketch",
-      es => TopNSketch(es.head, intArg(es(1), "n"),
-        if (es.size > 2) intArg(es(2), "maxMapSize") else 1024).toAggregateExpression(),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("doc_stats",
-      es => DocStatsExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("repetition_stats",
-      es => RepetitionStatsExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("code_stats",
-      es => CodeStatsExpr(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("secret_stats",
-      es => SecretStatsExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("score_doc",
-      es => ScoreDoc(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("shingle_hashes",
-      es => ShingleHashes(es.head, intArg(es(1), "n")), "scala_udf")
-    reg.createOrReplaceTempFunction("sim_hash64",
-      es => SimHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("token_window_hashes",
-      es => TokenWindowHashes(es.head, intArg(es(1), "n")), "scala_udf")
-    reg.createOrReplaceTempFunction("dot_product",
-      es => DotProduct(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("merge_list_limit",
-      es => MergeListLimit(es.head, intArg(es(1), "limit")).toAggregateExpression(),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("top_k_pairs",
-      es => TopKPairs(es.head, es(1), intArg(es(2), "k")).toAggregateExpression(),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("hyperplane_sigs",
-      es => HyperplaneSigs(es.head, intArg(es(1), "planes"), intArg(es(2), "tables")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("min_hash_bands",
-      es => MinHashBands(es.head, intArg(es(1), "bands"), intArg(es(2), "rows")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("normalize_vec",
-      es => NormalizeVec(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("sorted_intersect_count",
-      es => SortedIntersectCount(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("array_eq_count",
-      es => ArrayEqCount(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("bmp_resize",
-      es => graft.operators.BmpResize(es.head,
-        intArg(es(1), "width"), intArg(es(2), "height")), "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 
-  /** [[register]] unless THIS session already has the names (temp
-    * functions are session-scoped, so the check must be per-session, not
-    * a JVM flag): registering is createOrReplace, so calling it from
-    * LIBRARY code (config jobs) on a host-owned SparkSession would
-    * silently overwrite same-named user temp functions. Library entry
-    * points use this; a host that wants graft's definitions
-    * unconditionally calls [[register]] itself. (The sentinel name check
-    * covers the whole set — registration is all-or-nothing through
-    * [[register]].) */
-  def registerIfAbsent(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.catalog.functionExists("code_stats")) register(spark)
+  /** Register only the names the session does NOT already have — checked
+    * PER FUNCTION (temp functions are session-scoped, so the check must be
+    * per-session, not a JVM flag). Library entry points (config jobs) use
+    * this so they never overwrite a same-named user temp function; and a
+    * host that happens to define its own `code_stats` no longer suppresses
+    * registration of every OTHER graft function — each missing name is
+    * still registered individually. */
+  def registerIfAbsent(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      if (!spark.catalog.functionExists(name))
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
 }

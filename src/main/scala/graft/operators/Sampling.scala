@@ -331,8 +331,11 @@ object Sampling {
       "unimaxSample adds an 'epoch' column; input already has one")
     val quotas = unimaxQuotas(df, groupCol, budget, maxEpochs)
       .select(col("group").as("__umx_g"), col("epochs").as("__umx_e"))
+    // null-SAFE join: groupBy upstream put null-group rows in their own
+    // quota row, so a plain === here would silently drop those documents
+    // while unimaxQuotas still spent budget on them
     val joined = df.join(broadcast(quotas),
-      df(groupCol).cast("string") === col("__umx_g"))
+      df(groupCol).cast("string") <=> col("__umx_g"))
     val full = floor(col("__umx_e")).cast("int")
     val frac = col("__umx_e") - floor(col("__umx_e"))
     val extra = when(

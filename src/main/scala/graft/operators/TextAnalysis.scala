@@ -340,19 +340,41 @@ object TextAnalysis {
   val licensePrecedence: Vector[String] =
     Vector("apache-2.0", "mit", "bsd", "gpl")
 
-  /** One license label per repo — min precedence rank over the repo's
-    * files. Scale shape: ONE partial-aggregated groupBy(repo) carrying a
-    * single int min (content never shuffles — the label is computed
+  /** One license label per repo, from its member files' headers.
+    *
+    * RESOLUTION DIRECTION — read this before using the result as a
+    * compliance gate:
+    *  - `restrictive = false` (default): MOST permissive identified
+    *    license wins (min precedence rank). A repo holding one MIT-headed
+    *    file next to GPL-headed files resolves to `mit`, so a downstream
+    *    [[governanceFilter]] ADMITS the GPL files too. This matches
+    *    The Stack's recall-oriented gating but is the UNSAFE direction
+    *    for legal compliance.
+    *  - `restrictive = true`: LEAST permissive identified license wins
+    *    (max rank — any GPL-headed file resolves the whole repo to `gpl`),
+    *    the direction a compliance gate should use. Files with no
+    *    identified license never decide either way; all-unknown repos
+    *    resolve to "unknown" in both modes. A real pipeline should resolve
+    *    from the repo's LICENSE file when it has one; these rank rules are
+    *    the order-free distributed fallback.
+    *
+    * Scale shape: ONE partial-aggregated groupBy(repo) carrying a single
+    * int min/max (content never shuffles — the label is computed
     * map-side); output is |repos| rows. */
   def repoLicense(df: org.apache.spark.sql.DataFrame, repoCol: String,
-      contentCol: String): org.apache.spark.sql.DataFrame = {
+      contentCol: String,
+      restrictive: Boolean = false): org.apache.spark.sql.DataFrame = {
     val lab = licenseHeuristic(col(contentCol))
     val rank = licensePrecedence.zipWithIndex
       .foldLeft(Option.empty[Column]) { case (acc, (l, i)) =>
         Some(acc.map(_.when(lab === l, i)).getOrElse(when(lab === l, i)))
       }.get.otherwise(lit(licensePrecedence.size))
     df.select(col(repoCol).cast("string").as("repo"), rank.as("__rank"))
-      .groupBy(col("repo")).agg(min(col("__rank")).as("__best"))
+      .groupBy(col("repo"))
+      .agg((if (restrictive)
+          coalesce(max(when(col("__rank") < licensePrecedence.size, col("__rank"))),
+            lit(licensePrecedence.size))
+        else min(col("__rank"))).as("__best"))
       .select(col("repo"),
         when(col("__best") < licensePrecedence.size,
           element_at(typedlit(licensePrecedence), col("__best").cast("int") + 1))
@@ -365,6 +387,12 @@ object TextAnalysis {
     * exactly the files of repos whose resolved [[repoLicense]] is in
     * `allowed` AND that are not on the opt-out list.
     *
+    * `restrictive` selects the [[repoLicense]] resolution direction and
+    * DEFAULTS TO THE PERMISSIVE-FIRST (recall-oriented) rule: one
+    * MIT-headed file admits its whole repo even if sibling files are
+    * GPL-headed. Pass `restrictive = true` for a compliance gate — any
+    * GPL-headed file then drops the repo.
+    *
     * Scale shape: the admitted-repo set is derived entirely on the
     * |repos|-row frame (filter + anti-join against the opt-out table, both
     * tiny-side), then semi-joined back — the [[graft.operators.Sampling.groupMeanGate]]
@@ -373,9 +401,10 @@ object TextAnalysis {
     * without the broadcast. */
   def governanceFilter(df: org.apache.spark.sql.DataFrame, repoCol: String,
       contentCol: String, allowed: Set[String],
-      optOutRepos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    governanceFilterWith(df, repoCol, repoLicense(df, repoCol, contentCol),
-      allowed, optOutRepos)
+      optOutRepos: org.apache.spark.sql.DataFrame,
+      restrictive: Boolean = false): org.apache.spark.sql.DataFrame =
+    governanceFilterWith(df, repoCol,
+      repoLicense(df, repoCol, contentCol, restrictive), allowed, optOutRepos)
 
   /** [[governanceFilter]] over a PRECOMPUTED (repo, repo_license) frame —
     * a caller that also reports the resolved licenses (as any audit job

@@ -4,12 +4,16 @@ package graft.util
   * for cross-engine oracle compares. */
 object Num {
 
-  /** Round to 6 decimals, HALF_UP on the EXACT binary value — the single
-    * definition used by every fixture mirror and compiled expression that
-    * publishes a 6-decimal double the DuckDB oracle must reproduce.
-    * `BigDecimal(x)` (not `valueOf`) so the scale decision is made on the
-    * exact binary double, matching how a SQL engine rounds the same
-    * double. */
+  /** Round to 6 decimals, HALF_UP on the SHORTEST-DECIMAL rendering of the
+    * double — the single definition used by every fixture mirror and
+    * compiled expression that publishes a 6-decimal double the DuckDB
+    * oracle must reproduce. Scala's `BigDecimal(x: Double)` delegates to
+    * `BigDecimal.decimal` (= `java.math.BigDecimal.valueOf`, i.e.
+    * `Double.toString` semantics), NOT the exact binary expansion
+    * (`new java.math.BigDecimal(x)`). Shortest-decimal is what both Spark's
+    * `round` and DuckDB's `round` effectively agree on for these values —
+    * the whole oracle suite is swept against this definition, so keep it;
+    * switching to exact-binary would flip near-tie values. */
   def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

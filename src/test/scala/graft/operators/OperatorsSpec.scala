@@ -401,6 +401,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     plan should include("BroadcastHashJoin")
   }
 
+  test("unimaxSample: null-group documents survive (null-safe quota join)") {
+    val rows = (1 to 20).map(i => (Option("a"), i.toLong)) ++
+      (1 to 20).map(i => (Option.empty[String], 100L + i))
+    val df = rows.toDF("lang", "id")
+    // budget ample: both groups (incl. the NULL group) get full epochs
+    val out = Sampling.unimaxSample(df, "lang", "id",
+      budget = 80.0, maxEpochs = 2.0)
+    val byLang = out.groupBy(col("lang")).count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    byLang(Some("a")) shouldBe 40L
+    byLang(None) shouldBe 40L // a plain === join would have dropped these
+  }
+
   test("quantileFilter: per-group threshold semantics, nulls dropped, broadcast plan") {
     val df = Seq(
       ("g1", 1L, Some(1.0)), ("g1", 2L, Some(2.0)), ("g1", 3L, Some(3.0)),
@@ -831,6 +844,27 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     lic shouldBe Map("perm" -> "mit", "gplonly" -> "gpl",
       "dark" -> "unknown", "optout" -> "apache-2.0", "odd" -> "unknown")
+  }
+
+  test("repoLicense restrictive mode: any GPL-headed file resolves the repo to gpl") {
+    val rows = Seq(
+      ("perm", 1L, "under the terms of the GNU General Public License"),
+      ("perm", 2L, "Permission is hereby granted, free of charge to use"),
+      // identified + unidentified member files: unknowns never decide
+      ("mitplus", 3L, "Permission is hereby granted, free of charge to use"),
+      ("mitplus", 4L, "no license text"),
+      ("dark", 5L, "just some code with no license text"))
+      .toDF("repo", "id", "content")
+    val lic = TextAnalysis.repoLicense(rows, "repo", "content",
+      restrictive = true)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    lic shouldBe Map("perm" -> "gpl", "mitplus" -> "mit", "dark" -> "unknown")
+    // the compliance-gate direction: perm's MIT file no longer admits the
+    // repo under a permissive-only governance filter
+    val kept = TextAnalysis.governanceFilter(rows, "repo", "content",
+      Set("apache-2.0", "mit"), Seq.empty[String].toDF("repo"),
+      restrictive = true)
+    kept.select("id").collect().map(_.getLong(0)).sorted shouldBe Array(3L, 4L)
   }
 
   test("governanceFilter: allowed-license repos minus opt-outs, all member files, broadcast semi") {
