@@ -1,0 +1,61 @@
+package graft.apps
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.JobConfig
+
+/** spark-submit batch entry point — the reference's
+  * DataQualityBatchApp.main (apps/batch/DataQualityBatchApp.scala:14-42):
+  * parse CLI → build session → merge config files → build the DQ job →
+  * run → persist → exit code.
+  *
+  * Exit codes: 0 = job ran and passed its failure tolerance; 1 = job ran
+  * but checks violate the tolerance; 2 = bad arguments or invalid config.
+  *
+  * `main` is a thin `sys.exit` shell around [[run]], so the E2E spec (and
+  * any host embedding the app) drives the full path without killing the
+  * JVM.
+  */
+object GraftDqBatchApp {
+
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
+  def run(args: Array[String]): Int =
+    CliOptions.parse(args) match {
+      case Left(err) =>
+        System.err.println(err); System.err.println(CliOptions.usage); 2
+      case Right(opts) =>
+        val spark = buildSession(opts, "graft-dq-batch")
+        try {
+          val job = JobConfig.fromFiles(spark, opts.configPaths, opts.extraVars)
+          val result = opts.refDate.map(job.run).getOrElse(job.run())
+          val failed = result.checks.collect {
+            case (r, _) if !r.status => r.checkId }
+          if (result.passed) {
+            println(s"graft DQ batch job '${result.jobId}' passed " +
+              s"(${result.metrics.size} metrics, ${result.checks.size} checks)")
+            0
+          } else {
+            System.err.println(s"graft DQ batch job '${result.jobId}' FAILED " +
+              s"failure tolerance; failing checks: ${failed.mkString(", ")}")
+            1
+          }
+        } catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"invalid configuration: ${e.getMessage}"); 2
+        } finally {
+          if (!opts.shared) spark.stop()
+        }
+    }
+
+  /** getOrCreate so a `--shared` host session (or the test harness) is
+    * reused untouched; standalone runs get the scale defaults this engine
+    * assumes (AQE on, shuffle partitions sized for the local core count). */
+  private[apps] def buildSession(opts: CliOptions, appName: String): SparkSession = {
+    val b = SparkSession.builder().appName(appName)
+    if (opts.local) b.master("local[*]")
+    b.config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+  }
+}

@@ -1,0 +1,46 @@
+package graft.apps
+
+import graft.config.{JobConfig, StreamJobConfig}
+
+/** spark-submit streaming entry point — the reference's
+  * DataQualityStreamApp (apps/stream/DataQualityStreamApp.scala): same CLI
+  * as the batch app, a stream job config instead of a batch one. Runs the
+  * windowed-metric query to termination (`availableNow` configs drain the
+  * backlog and stop — the E2E-testable mode; `processingTime` configs run
+  * until externally stopped).
+  *
+  * Exit codes: 0 = query terminated cleanly; 1 = query failed;
+  * 2 = bad arguments or invalid config.
+  */
+object GraftDqStreamApp {
+
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
+  def run(args: Array[String]): Int =
+    CliOptions.parse(args) match {
+      case Left(err) =>
+        System.err.println(err); System.err.println(CliOptions.usage); 2
+      case Right(opts) =>
+        val spark = GraftDqBatchApp.buildSession(opts, "graft-dq-stream")
+        try {
+          val conf = StreamJobConfig.parseTree(
+            JobConfig.mergedTree(opts.configPaths, opts.extraVars))
+          val query = StreamJobConfig.start(spark, conf)
+          try {
+            query.awaitTermination()
+            println(s"graft DQ stream job '${conf.jobId}' terminated cleanly")
+            0
+          } catch {
+            case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+              System.err.println(
+                s"graft DQ stream job '${conf.jobId}' FAILED: ${e.getMessage}")
+              1
+          }
+        } catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"invalid configuration: ${e.getMessage}"); 2
+        } finally {
+          if (!opts.shared) spark.stop()
+        }
+    }
+}

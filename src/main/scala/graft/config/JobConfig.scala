@@ -317,9 +317,29 @@ object JobConfig {
     * scalars/arrays, objects merge recursively — before one validate+build.
     * The idiom: a shared base config plus a small per-job override file. */
   def fromFiles(spark: SparkSession, paths: Seq[String]): DqBatchJob = {
+    build(spark, parseTree(mergedTree(paths)))
+  }
+
+  /** [[fromFiles]] with extra variables (the reference CLI's `-e k=v`
+    * option, apps/cli/CommandLineOptions.scala): each `${k}` occurrence in
+    * the raw config text is replaced with `v` BEFORE parsing — only the
+    * provided keys are touched, so HOCON's own `${ref}` substitutions keep
+    * working for everything else. */
+  def fromFiles(spark: SparkSession, paths: Seq[String],
+      extraVars: Map[String, String]): DqBatchJob =
+    build(spark, parseTree(mergedTree(paths, extraVars)))
+
+  /** Read + deep-merge config files IN ORDER (HOCON or JSON by extension)
+    * to one Jackson tree — the shared front half of every config-driven
+    * entry point (batch job, stream job, curation job). */
+  def mergedTree(paths: Seq[String],
+      extraVars: Map[String, String] = Map.empty): JsonNode = {
     require(paths.nonEmpty, "at least one config path is required")
     val trees = paths.map { path =>
-      val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val text = extraVars.foldLeft(raw) { case (t, (k, v)) =>
+        t.replace("${" + k + "}", v)
+      }
       if (path.endsWith(".conf") || path.endsWith(".hocon")) Hocon.parse(text)
       else mapper.readTree(text) match {
         case o: com.fasterxml.jackson.databind.node.ObjectNode => o
@@ -327,7 +347,10 @@ object JobConfig {
           s"config root must be an object, got ${other.getNodeType} in $path")
       }
     }
-    val merged = trees.reduce(Hocon.merge)
-    build(spark, parseTree(merged))
+    trees.reduce(Hocon.merge)
   }
+
+  /** Build a job straight from an already-merged tree. */
+  def fromTree(spark: SparkSession, tree: JsonNode): DqBatchJob =
+    build(spark, parseTree(tree))
 }

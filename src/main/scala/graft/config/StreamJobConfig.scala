@@ -1,0 +1,132 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.metrics.RowMetric
+import graft.sources.SourceReaders
+import graft.streaming.StreamMetrics
+
+/** Declarative STREAM job config — the config front-end for the reference's
+  * streaming application (apps/stream/DataQualityStreamApp.scala: same job
+  * config model as batch, restricted to streamable sources plus window
+  * settings). Shares [[JobConfig]]'s metric factory and the HOCON/JSON
+  * merged-tree front half, so batch and stream configs can never drift in
+  * metric semantics.
+  *
+  * Shape:
+  * {{{
+  * {
+  *   "jobId": "...",
+  *   "source":  {"kind": "parquet|csv|json", "path": "...", "options": {...}},
+  *   "window":  {"tsCol": "ts", "duration": "10 minutes",
+  *               "watermark": "5 minutes", "slide": "5 minutes"?},
+  *   "metrics": [ <same objects as batch metric configs, row metrics only> ],
+  *   "sink":    {"path": "..."},
+  *   "checkpoint": "...",
+  *   "trigger": "availableNow" | "processingTime:10 seconds"
+  * }
+  * }}}
+  */
+object StreamJobConfig {
+
+  final case class Conf(
+      jobId: String,
+      sourceKind: String,
+      sourcePath: String,
+      sourceOptions: Map[String, String],
+      tsCol: String,
+      windowDuration: String,
+      watermark: String,
+      slide: Option[String],
+      metrics: Seq[JobConfig.MetricConf],
+      sinkPath: String,
+      checkpoint: String,
+      trigger: String)
+
+  private def str(n: JsonNode, f: String, default: Option[String] = None): String =
+    Option(n.get(f)).map(_.asText).orElse(default).getOrElse(
+      throw new IllegalArgumentException(s"missing field '$f' in ${n.toString.take(80)}"))
+
+  def parseTree(root: JsonNode): Conf = {
+    import scala.jdk.CollectionConverters._
+    val source = Option(root.get("source")).getOrElse(
+      throw new IllegalArgumentException("stream config needs a 'source' object"))
+    val window = Option(root.get("window")).getOrElse(
+      throw new IllegalArgumentException("stream config needs a 'window' object"))
+    val sink = Option(root.get("sink")).getOrElse(
+      throw new IllegalArgumentException("stream config needs a 'sink' object"))
+    val metrics = Option(root.get("metrics")).map(_.elements().asScala.toSeq)
+      .getOrElse(Nil).map { m =>
+        JobConfig.MetricConf(str(m, "id"), str(m, "name"), "stream",
+          Option(m.get("columns")).map(_.elements().asScala.map(_.asText).toSeq)
+            .getOrElse(Nil),
+          Option(m.get("params")).map(p => p.properties().asScala
+            .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty))
+      }
+    require(metrics.nonEmpty, "stream config needs at least one metric")
+    Conf(
+      jobId = str(root, "jobId"),
+      sourceKind = str(source, "kind").toLowerCase,
+      sourcePath = str(source, "path"),
+      sourceOptions = Option(source.get("options")).map(o =>
+        o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+        .getOrElse(Map.empty),
+      tsCol = str(window, "tsCol"),
+      windowDuration = str(window, "duration"),
+      watermark = str(window, "watermark"),
+      slide = Option(window.get("slide")).map(_.asText),
+      metrics = metrics,
+      sinkPath = str(sink, "path"),
+      checkpoint = str(root, "checkpoint"),
+      trigger = str(root, "trigger", Some("availableNow")))
+  }
+
+  private def trigger(c: Conf): Trigger = c.trigger.split(":", 2) match {
+    case Array("availableNow") => Trigger.AvailableNow()
+    case Array("processingTime", interval) => Trigger.ProcessingTime(interval)
+    case other => throw new IllegalArgumentException(
+      s"unknown trigger '${other.mkString(":")}' " +
+        "(want availableNow or processingTime:<interval>)")
+  }
+
+  /** Build + start the streaming query. The parquet/csv/json streaming
+    * source needs a declared schema (Structured Streaming requirement) —
+    * inferred here from ONE batch read of the same path's footers/headers,
+    * the standard bootstrap for file streams. Returns the started query;
+    * the caller owns termination. */
+  def start(spark: SparkSession, c: Conf)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = c.sourceKind match {
+      case "parquet" => spark.read.options(c.sourceOptions).parquet(c.sourcePath).schema
+      case "csv" => spark.read.options(c.sourceOptions + ("header" -> "true"))
+        .csv(c.sourcePath).schema
+      case "json" => spark.read.options(c.sourceOptions).json(c.sourcePath).schema
+      case other => throw new IllegalArgumentException(
+        s"unknown streaming source kind '$other'")
+    }
+    val opts = SourceReaders.ReadOpts(schema = Some(schema),
+      options = c.sourceOptions, streaming = true)
+    val src = c.sourceKind match {
+      case "parquet" => SourceReaders.parquet(spark, c.jobId, c.sourcePath, opts)
+      case "csv" => SourceReaders.delimited(spark, c.jobId, c.sourcePath,
+        header = true, opts = opts)
+      case "json" => SourceReaders.json(spark, c.jobId, c.sourcePath, opts)
+    }
+    val rowMetrics: Seq[RowMetric] = c.metrics.map { m =>
+      JobConfig.metric(m) match {
+        case Left(rm) => rm
+        case Right(_) => throw new IllegalArgumentException(
+          s"metric '${m.id}' (${m.name}) is a grouping metric — streaming " +
+            "jobs support single-pass row metrics only")
+      }
+    }
+    val windowed = StreamMetrics.windowedMetrics(src.df, c.tsCol,
+      c.windowDuration, c.watermark, rowMetrics, c.slide)
+    StreamMetrics.start(windowed, c.checkpoint,
+      sinkPath = Some(c.sinkPath), queryName = c.jobId,
+      trigger = trigger(c)).start()
+  }
+}

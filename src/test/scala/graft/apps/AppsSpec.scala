@@ -1,0 +1,118 @@
+package graft.apps
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** E2E for the spark-submit entry points: launch the app mains (via their
+  * testable `run`) with real .conf paths, assert storage rows and exit
+  * codes — the round-4 verdict's "done =" bar for the apps item. `-s`
+  * (shared session) everywhere so the apps reuse (and do not stop) the
+  * suite's SparkSession. */
+class AppsSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeConf(dir: String, name: String, text: String): String = {
+    val p = java.nio.file.Paths.get(dir, name)
+    Files.writeString(p, text)
+    p.toString
+  }
+
+  test("CLI parser: reference option surface, date forms, error paths") {
+    val ok = CliOptions.parse(Array(
+      "-a", "app.conf", "--job-config", "a.conf,b.json", "-d", "2026-08-18",
+      "-l", "-s", "-m", "-e", "env=prod,region=eu", "-v", "debug")).toOption.get
+    ok.appConf shouldBe Some("app.conf")
+    ok.jobConf shouldBe Seq("a.conf", "b.json")
+    ok.configPaths shouldBe Seq("app.conf", "a.conf", "b.json")
+    ok.refDate shouldBe Some(java.time.Instant.parse("2026-08-18T00:00:00Z"))
+    ok.local shouldBe true; ok.shared shouldBe true; ok.migrate shouldBe true
+    ok.extraVars shouldBe Map("env" -> "prod", "region" -> "eu")
+    ok.verbosity shouldBe "DEBUG"
+    CliOptions.parse(Array(
+      "-j", "a.conf", "-d", "2026-08-18T12:30:00Z")).toOption.get
+      .refDate shouldBe Some(java.time.Instant.parse("2026-08-18T12:30:00Z"))
+    CliOptions.parse(Array.empty[String]).isLeft shouldBe true // -j required
+    CliOptions.parse(Array("-j", "a.conf", "-d", "not-a-date")).isLeft shouldBe true
+    CliOptions.parse(Array("-j", "a.conf", "--nope")).isLeft shouldBe true
+    CliOptions.parse(Array("-j", "a.conf", "-e", "malformed")).isLeft shouldBe true
+  }
+
+  test("batch app E2E: passing job exits 0 and persists results; failing check exits 1; bad config exits 2") {
+    val dir = tmp("batch_app")
+    Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "s").write.mode("overwrite").parquet(s"$dir/src.parquet")
+    // extra-vars exercise the ${data_dir} substitution path end-to-end
+    val jobConf = writeConf(dir, "job.conf",
+      s"""jobId = app_e2e
+         |sources = [{id = s1, kind = parquet, path = "$${data_dir}/src.parquet"}]
+         |metrics = [
+         |  {id = rc, name = ROW_COUNT, source = s1, columns = []},
+         |  {id = nulls, name = NULL_VALUES, source = s1, columns = [s]}
+         |]
+         |checks = [{id = c1, kind = EQUAL_TO, base = rc, threshold = 3.0, critical = true}]
+         |storage = {kind = parquet, location = "$dir/dq_storage"}
+         |""".stripMargin)
+    val rc = GraftDqBatchApp.run(Array(
+      "-j", jobConf, "-s", "-e", s"data_dir=$dir", "-d", "2026-08-18"))
+    rc shouldBe 0
+    // results persisted through the real storage
+    val stored = spark.read.parquet(s"$dir/dq_storage/results_metrics")
+    stored.filter(col("job_id") === "app_e2e").count() shouldBe 2L
+    // same job, impossible threshold -> tolerance violation -> exit 1
+    val failConf = writeConf(dir, "fail.conf",
+      """checks = [{id = c1, kind = EQUAL_TO, base = rc, threshold = 99.0, critical = true}]""")
+    GraftDqBatchApp.run(Array(
+      "-j", s"$jobConf,$failConf", "-s", "-e", s"data_dir=$dir")) shouldBe 1
+    // config referencing an unknown source -> validation error -> exit 2
+    val badConf = writeConf(dir, "bad.conf",
+      """metrics = [{id = m2, name = ROW_COUNT, source = ghost, columns = []}]""")
+    GraftDqBatchApp.run(Array(
+      "-j", s"$jobConf,$badConf", "-s", "-e", s"data_dir=$dir")) shouldBe 2
+    // bad CLI -> exit 2 before any Spark work
+    GraftDqBatchApp.run(Array("-d", "2026-08-18")) shouldBe 2
+  }
+
+  test("stream app E2E: availableNow config drains the backlog, writes windowed metrics, exits 0") {
+    val dir = tmp("stream_app")
+    val rows = (0 until 60).map { i =>
+      (java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-08-18T00:00:00Z").plusSeconds(i * 60L)),
+        if (i % 5 == 0) null.asInstanceOf[String] else s"v$i")
+    }
+    rows.toDF("ts", "s").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val conf = writeConf(dir, "stream.conf",
+      s"""jobId = stream_e2e
+         |source = {kind = parquet, path = "$dir/events.parquet"}
+         |window = {tsCol = ts, duration = "10 minutes", watermark = "0 seconds"}
+         |metrics = [
+         |  {id = rc, name = ROW_COUNT, columns = []},
+         |  {id = nulls, name = NULL_VALUES, columns = [s]}
+         |]
+         |sink = {path = "$dir/out"}
+         |checkpoint = "$dir/ckpt"
+         |trigger = availableNow
+         |""".stripMargin)
+    GraftDqStreamApp.run(Array("-j", conf, "-s")) shouldBe 0
+    val out = spark.read.parquet(s"$dir/out")
+    out.columns.toSet shouldBe Set("window_start", "rc", "nulls")
+    // 60 minutes of data on 10-minute tumbling windows; append mode holds
+    // back the final (un-watermarked) window -> at least 5 complete ones
+    out.count() should be >= 5L
+    out.agg(sum(col("rc"))).collect().head.getDouble(0) should be >= 50.0
+    // grouping metrics are rejected with a config error (exit 2)
+    val bad = writeConf(dir, "bad_stream.conf",
+      """metrics = [{id = d, name = DISTINCT_VALUES, columns = [s]}]""")
+    GraftDqStreamApp.run(Array("-j", s"$conf,$bad", "-s")) shouldBe 2
+  }
+}
