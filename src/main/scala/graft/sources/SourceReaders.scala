@@ -175,19 +175,6 @@ object SourceReaders {
       Source(id, avscJson.map(j => r.option("avroSchema", j)).getOrElse(r).load(path))
     } else Source(id, AvroSupport.readAvroFiles(spark, path, avscJson))
 
-  /** Greenplum via the Pivotal connector — mirrors the reference's option
-    * plumbing (connections/greenplum/PivotalConnection.scala: url/user/
-    * password + dbschema/dbtable per source). The connector jar is
-    * deploy-time; this builds the exact reader configuration. */
-  def greenplum(spark: SparkSession, id: String, url: String, table: String,
-      schema: String = "public", user: Option[String] = None,
-      password: Option[String] = None,
-      extra: Map[String, String] = Map.empty): Source = {
-    val opts = Map("url" -> url, "dbschema" -> schema, "dbtable" -> table) ++
-      user.map("user" -> _) ++ password.map("password" -> _) ++ extra
-    Source(id, spark.read.format("greenplum").options(opts).load())
-  }
-
   /** Arbitrary format + options (+ optional path) — the reference's escape
     * hatch (ref: :623-662). */
   def custom(spark: SparkSession, id: String, format: String,
@@ -197,5 +184,48 @@ object SourceReaders {
       case Right(r) => path.fold(r.load())(r.load)
     }
     Source(id, df)
+  }
+
+  /** Greenplum option surface (ref: connections/greenplum/
+    * PivotalConnection.scala:26-82): host URL normalizes to
+    * `jdbc:postgresql://…`, credentials/schema/table map to the Pivotal
+    * connector's option names, per-source options override connection
+    * options. Pure so [[greenplum]] and specs share one mapping — the
+    * vendor jar itself is deploy-time only. */
+  def greenplumOptions(url: String, table: String, schema: Option[String],
+      user: Option[String], password: Option[String],
+      connParams: Map[String, String] = Map.empty,
+      sourceOptions: Map[String, String] = Map.empty): Map[String, String] = {
+    val jdbcUrl =
+      if (url.startsWith("jdbc:postgresql://")) url
+      else "jdbc:postgresql://" + url
+    val base = Map("url" -> jdbcUrl, "dbtable" -> table) ++
+      schema.map("dbschema" -> _) ++
+      user.map("user" -> _) ++ password.map("password" -> _)
+    base ++ connParams ++ sourceOptions
+  }
+
+  /** Greenplum source through the Pivotal connector (`format("greenplum")`,
+    * a deploy-time jar like the reference's, PivotalConnection.scala:82).
+    * Set `viaJdbc = true` to read the same table through Spark's built-in
+    * JDBC source over Greenplum's postgres-compatible listener instead —
+    * correct everywhere, just without the connector's parallel
+    * external-table transfer (gpfdist); the partitionColumn/numPartitions
+    * options still give parallel JDBC reads. */
+  def greenplum(spark: SparkSession, id: String, url: String, table: String,
+      schema: Option[String] = None, user: Option[String] = None,
+      password: Option[String] = None,
+      connParams: Map[String, String] = Map.empty,
+      sourceOptions: Map[String, String] = Map.empty,
+      viaJdbc: Boolean = false): Source = {
+    val opts = greenplumOptions(url, table, schema, user, password,
+      connParams, sourceOptions)
+    if (viaJdbc) {
+      // JDBC spells the schema-qualified table as dbtable, not dbschema
+      val dbtable = opts.get("dbschema").fold(table)(s => s"$s.$table")
+      jdbc(spark, id, opts("url"), dbtable,
+        opts - "url" - "dbtable" - "dbschema")
+    } else
+      Source(id, spark.read.format("greenplum").options(opts).load())
   }
 }

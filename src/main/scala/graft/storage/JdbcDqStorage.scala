@@ -8,50 +8,70 @@ import graft.metrics.{HistoryPoint, MetricResult}
 
 /** JDBC-backed DQ storage — the reference's primary backend (Slick models +
   * Flyway migrations, core/storage/Models.scala:57-165,
-  * storage/MigrationRunner.scala), re-expressed as plain JDBC: schema
-  * migration = idempotent CREATE TABLE, inserts batched, history read via an
-  * indexed (job_id, metric_id, reference_ts) predicate. Column set mirrors
-  * `ResultMetricRegular` / `ResultCheck`. Works against any JDBC URL; specs
-  * run it on embedded Derby (`jdbc:derby:memory:...;create=true`, the one
-  * JDBC engine on the Spark classpath).
+  * storage/MigrationRunner.scala + per-vendor DDL under
+  * resources/db/specific/), re-expressed as plain JDBC: a VERSIONED,
+  * ledger-tracked migration (Flyway-equivalent) whose DDL renders through
+  * a per-vendor [[SqlDialect]] (postgres/mysql/h2/sqlite/oracle/mssql/
+  * derby — inferred from the URL, overridable), inserts batched, history
+  * read via an indexed (job_id, metric_id, reference_ts) predicate. Column
+  * set mirrors `ResultMetricRegular` / `ResultCheck`. Specs run it on
+  * embedded Derby (the one JDBC engine on the Spark classpath) and pin the
+  * rendered DDL per vendor.
   *
   * Driver-side by design — results are O(#metrics) rows per run, exactly like
   * the reference's storage managers.
   */
-final class JdbcDqStorage(url: String, props: java.util.Properties = new java.util.Properties())
+final class JdbcDqStorage(url: String,
+    props: java.util.Properties = new java.util.Properties(),
+    dialectOverride: Option[SqlDialect] = None)
   extends DqStorage with AutoCloseable {
+
+  private val dialect: SqlDialect =
+    dialectOverride.getOrElse(SqlDialect.forUrl(url))
 
   private val conn: Connection = DriverManager.getConnection(url, props)
   conn.setAutoCommit(false)
   migrate()
 
-  /** Idempotent schema migration (Flyway-equivalent for the two tables). */
+  /** Applied-migration ledger, read back for tests/ops. */
+  def appliedVersions: Seq[Int] = {
+    val s = conn.createStatement()
+    try {
+      val rs = s.executeQuery(
+        "SELECT version FROM graft_schema_version ORDER BY version")
+      val out = Seq.newBuilder[Int]
+      while (rs.next()) out += rs.getInt(1)
+      rs.close(); conn.commit()
+      out.result()
+    } finally s.close()
+  }
+
+  /** Versioned migration: bootstrap the ledger table (the single
+    * create-if-missing probe), then apply exactly the steps the ledger has
+    * not recorded — each step commits atomically with its ledger row, and
+    * failures in an unapplied step SURFACE instead of being swallowed (a
+    * permission error must not masquerade as already-migrated). */
   private def migrate(): Unit = {
-    val ddl = Seq(
-      """CREATE TABLE results_metrics (
-           job_id VARCHAR(256) NOT NULL,
-           metric_id VARCHAR(256) NOT NULL,
-           metric_name VARCHAR(128) NOT NULL,
-           source_id VARCHAR(256),
-           columns VARCHAR(2048),
-           result DOUBLE NOT NULL,
-           additional_result VARCHAR(2048),
-           reference_ts TIMESTAMP NOT NULL)""",
-      """CREATE INDEX idx_results_metrics
-         ON results_metrics (job_id, metric_id, reference_ts)""",
-      """CREATE TABLE results_checks (
-           job_id VARCHAR(256) NOT NULL,
-           check_id VARCHAR(256) NOT NULL,
-           check_name VARCHAR(128) NOT NULL,
-           base_metric VARCHAR(256),
-           status VARCHAR(16) NOT NULL,
-           message VARCHAR(4096),
-           reference_ts TIMESTAMP NOT NULL)""")
-    ddl.foreach { stmt =>
-      val s = conn.createStatement()
-      try { s.execute(stmt); conn.commit() }
-      catch { case _: java.sql.SQLException => conn.rollback() } // already exists
-      finally s.close()
+    val bootstrap = conn.createStatement()
+    try {
+      bootstrap.execute(
+        "CREATE TABLE graft_schema_version (version INT NOT NULL)")
+      conn.commit()
+    } catch { // ledger already exists
+      case _: java.sql.SQLException => conn.rollback()
+    } finally bootstrap.close()
+    val applied = appliedVersions.toSet
+    JdbcDqStorage.migrations(dialect).foreach { case (version, stmts) =>
+      if (!applied(version)) {
+        val s = conn.createStatement()
+        try {
+          stmts.foreach(s.execute)
+          s.execute(s"INSERT INTO graft_schema_version VALUES ($version)")
+          conn.commit()
+        } catch {
+          case e: java.sql.SQLException => conn.rollback(); throw e
+        } finally s.close()
+      }
     }
   }
 
@@ -120,4 +140,32 @@ final class JdbcDqStorage(url: String, props: java.util.Properties = new java.ut
     try conn.rollback() catch { case _: java.sql.SQLException => }
     conn.close()
   }
+}
+
+object JdbcDqStorage {
+
+  /** The ordered migration history — version → DDL statements, rendered
+    * for a vendor. APPEND-ONLY: new schema changes get the next version;
+    * existing steps never change (the ledger records what ran). */
+  def migrations(d: SqlDialect): Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq(
+      s"""CREATE TABLE results_metrics (
+            job_id ${d.varchar(256)} NOT NULL,
+            metric_id ${d.varchar(256)} NOT NULL,
+            metric_name ${d.varchar(128)} NOT NULL,
+            source_id ${d.varchar(256)},
+            columns ${d.varchar(2048)},
+            result ${d.double} NOT NULL,
+            additional_result ${d.varchar(2048)},
+            reference_ts ${d.timestamp} NOT NULL)""",
+      """CREATE INDEX idx_results_metrics
+          ON results_metrics (job_id, metric_id, reference_ts)""",
+      s"""CREATE TABLE results_checks (
+            job_id ${d.varchar(256)} NOT NULL,
+            check_id ${d.varchar(256)} NOT NULL,
+            check_name ${d.varchar(128)} NOT NULL,
+            base_metric ${d.varchar(256)},
+            status ${d.varchar(16)} NOT NULL,
+            message ${d.varchar(4096)},
+            reference_ts ${d.timestamp} NOT NULL)"""))
 }

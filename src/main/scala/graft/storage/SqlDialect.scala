@@ -1,0 +1,72 @@
+package graft.storage
+
+/** Per-vendor SQL dialect for the DQ-storage DDL — the reference ships
+  * hand-written Flyway DDL per vendor (checkita-core resources
+  * db/specific/{h2,mssql,mysql,oracle,postgres,sqlite}); here the same
+  * vendor coverage is one type-mapping table rendered into shared DDL
+  * templates, so adding a migration step automatically covers every
+  * vendor.
+  *
+  * Only the types these two result tables need are mapped; everything else
+  * is ANSI and shared. Inferred from the JDBC URL prefix
+  * (`jdbc:<vendor>:...`), overridable via the [[JdbcDqStorage]]
+  * constructor.
+  */
+sealed trait SqlDialect {
+  def name: String
+  /** variable-length string of n chars. */
+  def varchar(n: Int): String = s"VARCHAR($n)"
+  /** 8-byte IEEE double. */
+  def double: String = "DOUBLE"
+  /** timestamp without zone. */
+  def timestamp: String = "TIMESTAMP"
+}
+
+object SqlDialect {
+
+  case object Derby extends SqlDialect { val name = "derby" }
+
+  case object H2 extends SqlDialect { val name = "h2" }
+
+  case object Postgres extends SqlDialect {
+    val name = "postgresql"
+    override def double: String = "DOUBLE PRECISION"
+  }
+
+  case object MySql extends SqlDialect { val name = "mysql" }
+
+  case object SqlServer extends SqlDialect {
+    val name = "sqlserver"
+    override def double: String = "FLOAT" // mssql FLOAT(53) = IEEE double
+    override def timestamp: String = "DATETIME2"
+  }
+
+  case object Oracle extends SqlDialect {
+    val name = "oracle"
+    // VARCHAR2 caps at 4000 bytes — longer payloads clamp to the cap
+    // (saveChecks already truncates messages; 4000 is the vendor ceiling)
+    override def varchar(n: Int): String = s"VARCHAR2(${math.min(n, 4000)})"
+    override def double: String = "BINARY_DOUBLE"
+  }
+
+  case object Sqlite extends SqlDialect {
+    val name = "sqlite"
+    // sqlite types are affinities; REAL is the canonical 8-byte float
+    override def double: String = "REAL"
+  }
+
+  val all: Seq[SqlDialect] =
+    Seq(Derby, H2, Postgres, MySql, SqlServer, Oracle, Sqlite)
+
+  /** Dialect from a JDBC URL (`jdbc:postgresql://...` → Postgres).
+    * Unknown vendors fall back to the ANSI Derby mapping — correct for
+    * any engine accepting VARCHAR/DOUBLE/TIMESTAMP (e.g. Greenplum's
+    * postgres-compatible listener still matches `jdbc:postgresql:`). */
+  def forUrl(url: String): SqlDialect = {
+    val vendor = url.split(":", 3) match {
+      case Array("jdbc", v, _*) => v.toLowerCase
+      case _ => ""
+    }
+    all.find(_.name == vendor).getOrElse(Derby)
+  }
+}

@@ -72,7 +72,13 @@ object Writers {
   * `Transport` impl (SMTP / webhook) plugs in at deploy time. */
 object Notifications {
 
-  final case class Message(subject: String, body: String, recipients: Seq[String])
+  /** Binary notification attachment (reference:
+    * connections/BinaryAttachment.scala — name + byte content; the
+    * reference mails result files this way). */
+  final case class Attachment(name: String, content: Array[Byte])
+
+  final case class Message(subject: String, body: String,
+      recipients: Seq[String], attachments: Seq[Attachment] = Nil)
 
   trait Transport { def send(m: Message): Unit }
 
@@ -123,16 +129,40 @@ object Notifications {
         cmd(s"MAIL FROM:<$from>", "250")
         m.recipients.foreach(r => cmd(s"RCPT TO:<$r>", "250", "251"))
         cmd("DATA", "354")
-        val headers = Seq(
+        // dot-stuff body lines per RFC 5321 §4.5.2
+        def stuffed(text: String): Seq[String] = text.split("\n", -1).toSeq
+          .map(l => if (l.startsWith(".")) "." + l else l)
+        val baseHeaders = Seq(
           s"From: $from",
           s"To: ${m.recipients.mkString(", ")}",
           s"Subject: ${m.subject}",
-          "MIME-Version: 1.0",
-          "Content-Type: text/plain; charset=UTF-8")
-        // dot-stuff body lines per RFC 5321 §4.5.2
-        val body = m.body.split("\n", -1)
-          .map(l => if (l.startsWith(".")) "." + l else l)
-        out.print((headers ++ Seq("") ++ body).mkString("", "\r\n", "\r\n.\r\n"))
+          "MIME-Version: 1.0")
+        val lines: Seq[String] =
+          if (m.attachments.isEmpty)
+            baseHeaders ++ Seq("Content-Type: text/plain; charset=UTF-8",
+              "") ++ stuffed(m.body)
+          else {
+            // multipart/mixed with base64 attachment parts (ref capability:
+            // connections/BinaryAttachment.scala + mail/Mail.scala) —
+            // RFC 2045 base64 at 76 chars/line; base64 never emits a
+            // leading dot, so attachment parts need no stuffing
+            val boundary = "graft_" + java.util.UUID.randomUUID().toString
+            val textPart = Seq(s"--$boundary",
+              "Content-Type: text/plain; charset=UTF-8", "") ++ stuffed(m.body)
+            val attParts = m.attachments.flatMap { a =>
+              val b64 = java.util.Base64.getMimeEncoder(76,
+                Array('\r'.toByte, '\n'.toByte)).encodeToString(a.content)
+              Seq(s"--$boundary",
+                "Content-Type: application/octet-stream",
+                "Content-Transfer-Encoding: base64",
+                s"""Content-Disposition: attachment; filename="${a.name}"""",
+                "") ++ b64.split("\r\n", -1).toSeq
+            }
+            baseHeaders ++
+              Seq(s"""Content-Type: multipart/mixed; boundary="$boundary"""",
+                "") ++ textPart ++ attParts ++ Seq(s"--$boundary--")
+          }
+        out.print(lines.mkString("", "\r\n", "\r\n.\r\n"))
         out.flush(); expect("250")
         cmd("QUIT", "221")
       } finally socket.close()

@@ -272,4 +272,37 @@ class SourcesSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Source("s", df, Seq("nope"))
     Source("s", df, Seq("id")).keyFields shouldBe Seq("id")
   }
+
+  test("greenplum option surface mirrors PivotalConnection (vendor jar is deploy-time)") {
+    // url normalization + option names (ref PivotalConnection.scala:32,76-81)
+    val opts = SourceReaders.greenplumOptions(
+      url = "gp-master:5432/dq", table = "results",
+      schema = Some("public"), user = Some("dq"), password = Some("secret"),
+      connParams = Map("pool.maxSize" -> "8"),
+      sourceOptions = Map("partitionColumn" -> "id"))
+    opts("url") shouldBe "jdbc:postgresql://gp-master:5432/dq"
+    opts("dbtable") shouldBe "results"
+    opts("dbschema") shouldBe "public"
+    opts("user") shouldBe "dq"
+    opts("password") shouldBe "secret"
+    opts("pool.maxSize") shouldBe "8"
+    opts("partitionColumn") shouldBe "id"
+    // an already-jdbc url passes through untouched
+    SourceReaders.greenplumOptions("jdbc:postgresql://h/db", "t", None, None,
+      None)("url") shouldBe "jdbc:postgresql://h/db"
+    // per-source options override connection params (ref :80: ++ ordering)
+    SourceReaders.greenplumOptions("h/db", "t", None, None, None,
+      connParams = Map("fetchsize" -> "100"),
+      sourceOptions = Map("fetchsize" -> "5000"))("fetchsize") shouldBe "5000"
+    // viaJdbc spells the schema-qualified table the JDBC way and never
+    // leaks connector-only keys into the JDBC reader
+    val err = intercept[Exception] {
+      SourceReaders.greenplum(spark, "gp", "127.0.0.1:1/nope", "results",
+        schema = Some("public"), viaJdbc = true,
+        connParams = Map("connectTimeout" -> "1"))
+    }
+    // fails CONNECTING (driver/socket), proving it routed to the JDBC path
+    // with a resolved jdbc:postgresql URL rather than format("greenplum")
+    err.getMessage should not include "greenplum"
+  }
 }

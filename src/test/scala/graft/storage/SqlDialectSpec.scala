@@ -1,0 +1,69 @@
+package graft.storage
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Per-vendor DQ-storage migrations (reference: Flyway DDL per vendor under
+  * resources/db/specific/{h2,mssql,mysql,oracle,postgres,sqlite}). Only
+  * Derby is runnable in this container, so the Derby leg runs LIVE (ledger
+  * semantics included) and every other vendor is pinned at the rendered-DDL
+  * level — the exact strings the migration would execute. */
+class SqlDialectSpec extends AnyFunSuite with Matchers {
+
+  test("dialect inference from JDBC URLs; unknown vendors fall back to ANSI") {
+    SqlDialect.forUrl("jdbc:postgresql://h:5432/dq") shouldBe SqlDialect.Postgres
+    SqlDialect.forUrl("jdbc:mysql://h/dq") shouldBe SqlDialect.MySql
+    SqlDialect.forUrl("jdbc:h2:mem:dq") shouldBe SqlDialect.H2
+    SqlDialect.forUrl("jdbc:sqlite:/tmp/dq.db") shouldBe SqlDialect.Sqlite
+    SqlDialect.forUrl("jdbc:oracle:thin:@//h:1521/dq") shouldBe SqlDialect.Oracle
+    SqlDialect.forUrl("jdbc:sqlserver://h;databaseName=dq") shouldBe SqlDialect.SqlServer
+    SqlDialect.forUrl("jdbc:derby:memory:dq") shouldBe SqlDialect.Derby
+    SqlDialect.forUrl("jdbc:exotic:whatever") shouldBe SqlDialect.Derby
+  }
+
+  test("rendered DDL uses each vendor's types") {
+    def ddl(d: SqlDialect): String =
+      JdbcDqStorage.migrations(d).flatMap(_._2).mkString("\n")
+    ddl(SqlDialect.Postgres) should include("DOUBLE PRECISION")
+    ddl(SqlDialect.Oracle) should include("VARCHAR2(256)")
+    ddl(SqlDialect.Oracle) should include("BINARY_DOUBLE")
+    // oracle VARCHAR2 hard cap: the 4096-char message column clamps to 4000
+    ddl(SqlDialect.Oracle) should include("VARCHAR2(4000)")
+    (ddl(SqlDialect.Oracle) should not).include("4096")
+    ddl(SqlDialect.SqlServer) should include("DATETIME2")
+    ddl(SqlDialect.SqlServer) should include("FLOAT")
+    ddl(SqlDialect.Sqlite) should include("REAL")
+    ddl(SqlDialect.MySql) should include("DOUBLE")
+    ddl(SqlDialect.H2) should include("VARCHAR(2048)")
+    // every vendor renders the same tables/statements, only types differ
+    SqlDialect.all.foreach { d =>
+      val steps = JdbcDqStorage.migrations(d)
+      steps.map(_._1) shouldBe steps.map(_._1).sorted
+      steps.flatMap(_._2).mkString should include("results_metrics")
+      steps.flatMap(_._2).mkString should include("results_checks")
+    }
+  }
+
+  test("live Derby: versioned ledger applies once, reconnects reuse, failures surface") {
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("derby-dialect").toString)
+    val url = "jdbc:derby:memory:dialectdq;create=true"
+    val st = new JdbcDqStorage(url)
+    try {
+      st.appliedVersions shouldBe JdbcDqStorage
+        .migrations(SqlDialect.Derby).map(_._1)
+      // a reconnect re-runs migrate(): ledger blocks re-application — no
+      // duplicate version rows, no failed CREATEs swallowed
+      val again = new JdbcDqStorage("jdbc:derby:memory:dialectdq")
+      try again.appliedVersions shouldBe st.appliedVersions
+      finally again.close()
+      // storage still functions end-to-end after the ledger dance
+      val t0 = java.time.Instant.parse("2026-08-18T00:00:00Z")
+      st.saveMetrics("j", t0, Seq(graft.metrics.MetricResult(
+        "m", "ROW_COUNT", "s", Nil, 7.0)))
+      st.metricHistory("j", "m", t0.plusSeconds(1)).map(_.value) shouldBe Seq(7.0)
+    } finally st.close()
+  }
+}

@@ -95,6 +95,61 @@ class WritersSpec extends AnyFunSuite with Matchers {
     transcript should include("..dotted") // RFC 5321 dot-stuffing
   }
 
+  test("SMTP binary attachments: multipart/mixed, base64 round-trips byte-identically") {
+    val server = new java.net.ServerSocket(0)
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+      val out = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"))
+      def reply(r: String): Unit = { out.print(r + "\r\n"); out.flush() }
+      reply("220 fake ESMTP")
+      var line = in.readLine()
+      val sb = new StringBuilder
+      var inData = false
+      while (line != null) {
+        if (inData) {
+          if (line == ".") { inData = false; reply("250 ok: queued") }
+          else sb.append(line).append("\n")
+        } else {
+          sb.append(line).append("\n")
+          line.takeWhile(_ != ' ') match {
+            case "HELO" => reply("250 fake")
+            case "MAIL" | "RCPT" => reply("250 ok")
+            case "DATA" => reply("354 go"); inData = true
+            case "QUIT" => reply("221 bye"); line = null
+            case _ => reply("250 ok")
+          }
+        }
+        if (line != null) line = in.readLine()
+      }
+      received.put(sb.toString)
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+    // 200 bytes spanning the full range -> multi-line base64, non-ASCII safe
+    val payload = Array.tabulate(200)(i => ((i * 37) % 256).toByte)
+    new Notifications.SmtpTransport("127.0.0.1", server.getLocalPort, "dq@example.org")
+      .send(Notifications.Message("report", "see attached", Seq("ops@example.org"),
+        attachments = Seq(Notifications.Attachment("results.parquet", payload))))
+    val transcript = received.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+    server.close()
+    transcript should include("Content-Type: multipart/mixed; boundary=")
+    transcript should include(
+      """Content-Disposition: attachment; filename="results.parquet"""")
+    transcript should include("Content-Transfer-Encoding: base64")
+    // decode the base64 block back to the exact bytes
+    val lines = transcript.split("\n")
+    val start = lines.indexWhere(_.startsWith("Content-Disposition: attachment")) + 2
+    val b64 = lines.drop(start).takeWhile(l => l.nonEmpty && !l.startsWith("--"))
+      .mkString
+    java.util.Base64.getMimeDecoder.decode(b64) shouldBe payload
+    // the text part is still there, before the attachment
+    transcript should include("see attached")
+  }
+
   test("Mattermost webhook transport POSTs JSON to a local fake endpoint") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
