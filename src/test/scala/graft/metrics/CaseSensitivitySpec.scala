@@ -70,6 +70,27 @@ class CaseSensitivitySpec extends AnyFunSuite with Matchers {
     } finally spark.conf.set("spark.sql.caseSensitive", "false")
   }
 
+  test("normalization Project is alias-only: column pruning still reaches the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("case_prune").toString
+    // wide mixed-case table; the metric touches ONE column
+    Seq(("a", 1.0, "x", 2.0, "y"), ("b", 2.0, "x", 3.0, "z"))
+      .toDF("Key_Col", "Num_A", "Str_B", "Num_C", "Str_D")
+      .write.mode("overwrite").parquet(s"$dir/wide.parquet")
+    val df = spark.read.parquet(s"$dir/wide.parquet")
+    val cfg = MetricProcessor.Config(caseSensitive = false)
+    val f = MetricProcessor.rowMetricsFrame(df,
+      Seq(AvgNumberMetric("m", "NUM_A")), cfg)
+    f.collect() // force execution
+    val scan = f.queryExecution.executedPlan.collectLeaves().head
+      .toString.toLowerCase // parquet reports file-schema case
+    // ReadSchema carries only the referenced column — the lowercase alias
+    // Project did not defeat pruning (the 100-TB property this flag must
+    // not cost)
+    scan should include("num_a")
+    (scan should not).include("str_b")
+    (scan should not).include("num_c")
+  }
+
   test("JobConfig threads the flag: mixed-case source, UPPER config columns") {
     val dir = java.nio.file.Files.createTempDirectory("case_cfg").toString
     mixed.write.mode("overwrite").parquet(s"$dir/src.parquet")
