@@ -32,12 +32,21 @@ object Bench {
     s
   }
 
-  /** Pure-JVM 8→32-thread scaling of the pipeline kernel (analyze + scrub,
-    * no Spark): this box's hardware/GC ceiling. Embedded in the bench JSON
-    * so the pipeline's own 8→32 efficiency reads against the ceiling it
-    * cannot exceed — a single-box artifact of memory bandwidth/clock, not
-    * Spark overhead (ThreadScaling probe, BASELINE.md). */
-  private def threadScalingCeiling(): Double = {
+  /** Pure-JVM measurements of the pipeline kernel (analyze + scrub, no
+    * Spark) on THIS host, embedded in the bench JSON so the artifact
+    * carries its own context:
+    *  - `ceiling832`: 8→32-thread scaling — the hardware/GC ceiling the
+    *    pipeline's own 8→32 efficiency cannot exceed (memory bandwidth/
+    *    clock, not Spark overhead; ThreadScaling probe, BASELINE.md);
+    *  - `singleThreadFps`/`singleThreadMbps`: ABSOLUTE single-thread
+    *    kernel throughput — the host-speed anchor that lets cross-round
+    *    comparisons separate "host was slow that day" (anchor moves with
+    *    the pipeline numbers) from a real regression (pipeline moves,
+    *    anchor does not). */
+  final case class JvmAnchor(ceiling832: Double, singleThreadFps: Double,
+      singleThreadMbps: Double)
+
+  private def threadScalingCeiling(): JvmAnchor = {
     import java.util.concurrent.{Executors, TimeUnit}
     val spec = CorpusSpec(nFiles = 4000)
     val rows = (0L until spec.nFiles).map(i => CorpusGen.fileAt(spec, i)).toArray
@@ -74,9 +83,10 @@ object Bench {
       rows.length.toLong * reps / ((System.nanoTime() - t0) / 1e9)
     }
     // interleave and take best-of-2 per leg, same policy as the Spark legs
-    val legs = (1 to 2).flatMap(_ => Seq(8 -> fps(8), 32 -> fps(32)))
+    val legs = (1 to 2).flatMap(_ => Seq(1 -> fps(1), 8 -> fps(8), 32 -> fps(32)))
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).max }
-    (legs(32) / legs(8)) / 4.0
+    val bytesPerFile = rows.iterator.map(_.content.length.toLong).sum.toDouble / rows.length
+    JvmAnchor((legs(32) / legs(8)) / 4.0, legs(1), legs(1) * bytesPerFile / 1e6)
   }
 
   def main(args: Array[String]): Unit = {
@@ -179,15 +189,17 @@ object Bench {
     val eff28 = fps8 / (4.0 * fps2)
     val eff832 = fps32 / (4.0 * fps8)
     val mbps32 = bytes / 1e6 / sec32
-    // the host's pure-JVM 8->32 ceiling, measured in the SAME run so the
-    // artifact carries its own context (round-3 verdict: bench hygiene)
-    val ceiling832 = threadScalingCeiling()
+    // the host's pure-JVM 8->32 ceiling + absolute single-thread anchor,
+    // measured in the SAME run so the artifact carries its own context
+    // (round-3 verdict: bench hygiene; round-5: host-speed anchor)
+    val anchor = threadScalingCeiling()
+    val ceiling832 = anchor.ceiling832
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","pipeline":{"files":$benchFiles,"bytes":$bytes,"files_per_sec_c2":$fps2%.1f,"files_per_sec_c8":$fps8%.1f,"files_per_sec_c32":$fps32%.1f,"mb_per_sec_c32":$mbps32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"thread_scaling_ceiling_8_32":$ceiling832%.3f}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","pipeline":{"files":$benchFiles,"bytes":$bytes,"files_per_sec_c2":$fps2%.1f,"files_per_sec_c8":$fps8%.1f,"files_per_sec_c32":$fps32%.1f,"mb_per_sec_c32":$mbps32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"thread_scaling_ceiling_8_32":$ceiling832%.3f,"jvm_1thread_files_per_sec":${anchor.singleThreadFps}%.1f,"jvm_1thread_mb_per_sec":${anchor.singleThreadMbps}%.2f}}"""
     // machine-readable copy: BENCH_r01's JSON line drowned in sbt log noise
     // and the driver recorded parsed:null — the file survives regardless
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LAST.json")

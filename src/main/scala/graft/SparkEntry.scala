@@ -1098,6 +1098,29 @@ object SparkEntry {
         .orderBy(col("repo"))
     }),
 
+    // the COMPLIANCE direction of the same gate: restrictive per-repo
+    // resolution (any GPL-headed member file drops the repo; unknowns
+    // never decide). Same corpus/constants, so the two queries' diff IS
+    // the permissive-vs-restrictive semantics.
+    "q_governance_restrictive" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("r"), (col("doc_id") % GovQ.nRepos).cast("string")).as("repo"),
+        licContent.as("content"))
+      val optOut = GovQ.optOut.toDF("repo")
+      val lic = TextAnalysis.repoLicense(docs, "repo", "content",
+        restrictive = true)
+      val kept = TextAnalysis.governanceFilterWith(
+        docs, "repo", lic, GovQ.allowed.toSet, optOut)
+      lic
+        .join(docs.groupBy(col("repo")).agg(count(lit(1)).as("n_files")), Seq("repo"))
+        .join(kept.groupBy(col("repo")).agg(count(lit(1)).as("n_kept")),
+          Seq("repo"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .orderBy(col("repo"))
+    }),
+
     "q_multimodal_features" -> ((s, _) => {
       // real pure-JVM codecs (BMP/WAV/frame container): width/height/rate
       // are decoded from the binary payload, not echoed metadata — the
@@ -1392,6 +1415,13 @@ object SparkEntry {
         prec.zipWithIndex.map { case (l, i) => s"WHEN $i THEN '$l'" }.mkString(" ") +
         " ELSE 'unknown' END"
     }
+    /** restrictive resolution: LEAST permissive IDENTIFIED license (max
+      * rank over ranks < size; all-unknown repos stay unknown) — mirrors
+      * TextAnalysis.repoLicense(restrictive = true). */
+    def restrictiveBestSql: String = {
+      val size = graft.operators.TextAnalysis.licensePrecedence.size
+      s"COALESCE(max(CASE WHEN $rankCaseSql < $size THEN $rankCaseSql END), $size)"
+    }
   }
 
   private object Lic {
@@ -1683,6 +1713,33 @@ object SparkEntry {
              ELSE 'unknown' END AS license
            FROM c),
          r AS (SELECT repo, min(${GovQ.rankCaseSql}) AS best,
+                 CAST(count(*) AS BIGINT) AS n_files
+               FROM l GROUP BY 1),
+         rl AS (SELECT repo, n_files, ${GovQ.labelCaseSql} AS repo_license FROM r)
+         SELECT repo, repo_license, n_files,
+           CAST(CASE WHEN repo_license IN (${GovQ.allowedSql})
+                      AND repo NOT IN (${GovQ.optOutSql})
+                THEN n_files ELSE 0 END AS BIGINT) AS n_kept
+         FROM rl ORDER BY repo""",
+    "q_governance_restrictive" ->
+      raw"""WITH c AS (SELECT doc_id,
+             'r' || CAST(doc_id % ${GovQ.nRepos} AS VARCHAR) AS repo,
+             (CASE WHEN doc_id % ${Lic.strideSpdx} = 0 THEN '${Lic.spdx}' || chr(10)
+                   WHEN doc_id % ${Lic.strideMit} = 0 THEN '${Lic.mit}' || chr(10)
+                   WHEN doc_id % ${Lic.strideGpl} = 0 THEN '${Lic.gpl}' || chr(10)
+                   WHEN doc_id % ${Lic.strideBsd} = 0 THEN '${Lic.bsd}' || chr(10)
+                   ELSE '' END) || text AS content
+           FROM documents),
+         l AS (SELECT repo, CASE
+             WHEN regexp_extract(content, 'SPDX-License-Identifier:\s*([A-Za-z0-9.\-+]+)', 1) <> ''
+               THEN lower(regexp_extract(content, 'SPDX-License-Identifier:\s*([A-Za-z0-9.\-+]+)', 1))
+             WHEN contains(content, 'Apache License, Version 2.0') THEN 'apache-2.0'
+             WHEN contains(content, 'Permission is hereby granted, free of charge') THEN 'mit'
+             WHEN contains(content, 'GNU General Public License') THEN 'gpl'
+             WHEN contains(content, 'Redistribution and use in source and binary forms') THEN 'bsd'
+             ELSE 'unknown' END AS license
+           FROM c),
+         r AS (SELECT repo, ${GovQ.restrictiveBestSql} AS best,
                  CAST(count(*) AS BIGINT) AS n_files
                FROM l GROUP BY 1),
          rl AS (SELECT repo, n_files, ${GovQ.labelCaseSql} AS repo_license FROM r)
