@@ -1,0 +1,87 @@
+package graft.config
+
+import java.nio.charset.StandardCharsets
+import java.security.SecureRandom
+import java.util.Base64
+
+import javax.crypto.{Cipher, SecretKeyFactory}
+import javax.crypto.spec.{IvParameterSpec, PBEKeySpec, SecretKeySpec}
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, TextNode}
+
+/** Sensitive-field encryption for stored job configs — capability parity
+  * with the reference (config/ConfigEncryptor.scala: AES with a
+  * PBKDF2-derived key; fields whose NAME contains one of `keyFields` are
+  * encrypted before the config is persisted to DQ storage, decrypted on
+  * read-back). Re-implemented over the Jackson tree this config layer
+  * already uses, with one hardening change: a fresh random IV per value,
+  * prepended to the ciphertext (the reference reuses one IV per encryptor
+  * instance), so equal plaintexts never produce equal stored ciphertexts.
+  *
+  * JDK-only (javax.crypto) — no new dependencies. */
+final class ConfigEncryptor(secret: String,
+    keyFields: Seq[String] = Seq("password", "secret")) {
+  require(secret.length >= 8, "encryption secret must be at least 8 chars")
+
+  private val IvLength = 16
+  private val rng = new SecureRandom()
+
+  private val key: SecretKeySpec = {
+    // deterministic salt derived from the secret (same shape as the
+    // reference's secret+tail salt): storage write and read-back happen in
+    // different JVMs, so the salt cannot be random
+    val salt = (secret + "graft-config").getBytes(StandardCharsets.UTF_8)
+    val spec = new PBEKeySpec(secret.toCharArray, salt, 65536, 256)
+    val kf = SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+    new SecretKeySpec(kf.generateSecret(spec).getEncoded, "AES")
+  }
+
+  private def requiresEncryption(fieldName: String): Boolean = {
+    val lower = fieldName.toLowerCase
+    keyFields.exists(k => lower.contains(k.toLowerCase))
+  }
+
+  /** base64(iv ++ AES-CBC-PKCS5(value)). */
+  def encryptString(value: String): String = {
+    val iv = new Array[Byte](IvLength)
+    rng.nextBytes(iv)
+    val c = Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(Cipher.ENCRYPT_MODE, key, new IvParameterSpec(iv))
+    val ct = c.doFinal(value.getBytes(StandardCharsets.UTF_8))
+    Base64.getEncoder.encodeToString(iv ++ ct)
+  }
+
+  def decryptString(enc: String): String = {
+    val all = Base64.getDecoder.decode(enc)
+    require(all.length > IvLength, "ciphertext too short")
+    val c = Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(Cipher.DECRYPT_MODE, key,
+      new IvParameterSpec(java.util.Arrays.copyOf(all, IvLength)))
+    new String(c.doFinal(all, IvLength, all.length - IvLength),
+      StandardCharsets.UTF_8)
+  }
+
+  private def walk(node: JsonNode, f: String => String): JsonNode = node match {
+    case o: ObjectNode =>
+      val out = o.objectNode()
+      o.properties().forEach { e =>
+        val v = e.getValue
+        out.set[JsonNode](e.getKey,
+          if (v.isTextual && requiresEncryption(e.getKey)) new TextNode(f(v.asText))
+          else walk(v, f))
+      }
+      out
+    case a: ArrayNode =>
+      val out = a.arrayNode()
+      a.forEach(el => out.add(walk(el, f)))
+      out
+    case other => other
+  }
+
+  /** Deep copy with every matching textual field encrypted. */
+  def encryptTree(root: JsonNode): JsonNode = walk(root, encryptString)
+
+  /** Deep copy with every matching textual field decrypted. */
+  def decryptTree(root: JsonNode): JsonNode = walk(root, decryptString)
+}

@@ -108,4 +108,18 @@ object VirtualSources {
           .agg(expr(aggs.head), aggs.tail.map(expr): _*)
       Source(id, grouped, kf, Seq(p))
   }
+
+  /** Materialize resolved virtual sources to files — the reference's
+    * virtual-source save target (writers/VirtualSourceWriter.scala:40,
+    * wired at context/DQContext.scala:349-359): id → output path, any
+    * Spark format, overwrite. Runs AFTER [[resolve]] so a saved source is
+    * the exact frame downstream metrics consumed (persistLevel'd frames
+    * write from cache, not a recompute). */
+  def save(resolved: Map[String, Source], saves: Map[String, String],
+      format: String = "parquet", outputRepartition: Int = 1): Unit =
+    saves.foreach { case (id, path) =>
+      val src = resolved.getOrElse(id, throw new IllegalArgumentException(
+        s"cannot save unknown virtual source '$id'"))
+      graft.targets.Writers.writeFile(src.df, path, format, outputRepartition)
+    }
 }

@@ -1,0 +1,59 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Sensitive-field config encryption (reference capability:
+  * config/ConfigEncryptor.scala — encrypt before persisting configs to DQ
+  * storage, decrypt on read-back). */
+class ConfigEncryptorSpec extends AnyFunSuite with Matchers {
+
+  private val mapper = new ObjectMapper()
+  private val enc = new ConfigEncryptor("a-strong-secret-123")
+
+  test("string round-trip; fresh IV per value (equal plaintexts differ)") {
+    val a = enc.encryptString("s3cr3t")
+    val b = enc.encryptString("s3cr3t")
+    a should not be b // random IV — the hardening over the reference
+    enc.decryptString(a) shouldBe "s3cr3t"
+    enc.decryptString(b) shouldBe "s3cr3t"
+    enc.decryptString(enc.encryptString("")) shouldBe ""
+    enc.decryptString(enc.encryptString("unicode: п@₪ √")) shouldBe "unicode: п@₪ √"
+  }
+
+  test("a different secret cannot decrypt") {
+    val other = new ConfigEncryptor("another-secret-456")
+    val ct = enc.encryptString("payload")
+    an[Exception] should be thrownBy other.decryptString(ct)
+  }
+
+  test("tree walk: only name-matched textual fields change, structure intact") {
+    val json =
+      """{"jobId": "j1",
+         |"storage": {"kind": "jdbc", "location": "jdbc:postgresql://h/dq",
+         |            "password": "hunter2"},
+         |"sources": [{"id": "s1", "options": {"user": "dq",
+         |             "apiSecretToken": "tok-123", "fetchsize": "100"}}],
+         |"errorDumpSize": 42}""".stripMargin
+    val root = mapper.readTree(json)
+    val encd = enc.encryptTree(root)
+    // matched fields are no longer plaintext
+    encd.at("/storage/password").asText should not be "hunter2"
+    encd.at("/sources/0/options/apiSecretToken").asText should not be "tok-123"
+    // everything else is untouched, including non-text and non-matching
+    encd.at("/jobId").asText shouldBe "j1"
+    encd.at("/storage/location").asText shouldBe "jdbc:postgresql://h/dq"
+    encd.at("/sources/0/options/fetchsize").asText shouldBe "100"
+    encd.at("/errorDumpSize").asInt shouldBe 42
+    // decrypt restores the exact original tree
+    enc.decryptTree(encd) shouldBe root
+    // and the encrypted tree still parses as a valid job-config fragment
+    mapper.readTree(encd.toString).at("/jobId").asText shouldBe "j1"
+  }
+
+  test("weak secrets are rejected") {
+    an[IllegalArgumentException] should be thrownBy new ConfigEncryptor("short")
+  }
+}

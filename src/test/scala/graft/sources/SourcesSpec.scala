@@ -239,6 +239,20 @@ class SourcesSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("virtual sources materialize to files (ref VirtualSourceWriter)") {
+    val base = Seq(Source("t",
+      Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "g")))
+    val resolved = VirtualSources.resolve(spark, base, Seq(
+      AggregateVS("agg", "t", Seq("g"), Seq("count(*) AS n"))))
+    val dir = java.nio.file.Files.createTempDirectory("vs_save").toString
+    VirtualSources.save(resolved, Map("agg" -> s"$dir/agg"))
+    val back = spark.read.parquet(s"$dir/agg")
+    back.count() shouldBe 2L
+    back.columns.toSeq shouldBe Seq("g", "n")
+    an[IllegalArgumentException] should be thrownBy
+      VirtualSources.save(resolved, Map("ghost" -> s"$dir/x"))
+  }
+
   test("sql virtual sources can be disabled") {
     val li = SourceReaders.parquet(spark, "li2", "/root/testdata/sf0.001/lineitem.parquet")
     an[IllegalArgumentException] should be thrownBy VirtualSources.resolve(
