@@ -44,7 +44,14 @@ object JobConfig {
       storage: Option[StorageConf],
       tolerance: Tolerance,
       errorDumpSize: Int,
-      caseSensitive: Boolean = false)
+      caseSensitive: Boolean = false,
+      /** the parsed config document itself, persisted per run to the
+        * storage's job_state table (reference: job_state DDL +
+        * Models.scala:140). */
+      rawJson: Option[String] = None,
+      /** optional sensitive-field encryption for the stored config:
+        * (secret, name-fragments to encrypt). */
+      encryption: Option[(String, Seq[String])] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -100,7 +107,12 @@ object JobConfig {
       // reference parity: app-level enableCaseSensitivity defaults OFF
       // (columns are lowercase-normalized; reference/checkita-core
       // .../core/metrics/df/DFMetricProcessor.scala:187-188)
-      caseSensitive = Option(root.get("caseSensitive")).exists(_.asBoolean))
+      caseSensitive = Option(root.get("caseSensitive")).exists(_.asBoolean),
+      rawJson = Some(root.toString),
+      encryption = Option(root.get("encryption")).map(e =>
+        (str(e, "secret"),
+          Option(e.get("keyFields")).map(_.elements().asScala.map(_.asText).toSeq)
+            .getOrElse(Seq("password", "secret")))))
   }
 
   /** Phase 2: cross-reference validation — ALL violations reported at once
@@ -286,6 +298,16 @@ object JobConfig {
       case other => throw new IllegalArgumentException(s"unknown storage kind '$other'")
     })
     val parsedChecks = c.checks.map(check)
+    // job-state document: the config as parsed, sensitive fields encrypted
+    // when an encryption secret is configured (ref: ConfigEncryptor applied
+    // before the job_state write)
+    val jobState: Option[String] = c.rawJson.map { raw =>
+      c.encryption match {
+        case Some((secret, kf)) =>
+          new ConfigEncryptor(secret, kf).encryptTree(mapper.readTree(raw)).toString
+        case None => raw
+      }
+    }
     new DqBatchJob(spark, c.jobId, srcs,
       loadChecks = c.loadChecks.map(loadCheck(_, c.caseSensitive)),
       rowMetrics = byMetric.collect { case (s, Left(rm)) => (s, rm) }
@@ -298,7 +320,8 @@ object JobConfig {
       storage = storage,
       tolerance = c.tolerance,
       errorDumpSize = c.errorDumpSize,
-      caseSensitive = c.caseSensitive)
+      caseSensitive = c.caseSensitive,
+      jobState = jobState)
   }
 
   /** One-call entry: config file path → job. `.conf`/`.hocon` files go

@@ -37,7 +37,12 @@ object StreamJobConfig {
       sourceKind: String,
       sourcePath: String,
       sourceOptions: Map[String, String],
+      /** "event" (needs tsCol), "processing" (ingest clock), or "custom"
+        * (needs tsExpr) — the reference's three windowing kinds
+        * (config/Enums.scala:76-92). */
+      timeMode: String,
       tsCol: String,
+      tsExpr: Option[String],
       windowDuration: String,
       watermark: String,
       slide: Option[String],
@@ -74,7 +79,9 @@ object StreamJobConfig {
       sourceOptions = Option(source.get("options")).map(o =>
         o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
         .getOrElse(Map.empty),
-      tsCol = str(window, "tsCol"),
+      timeMode = str(window, "timeMode", Some("event")).toLowerCase,
+      tsCol = str(window, "tsCol", Some("")),
+      tsExpr = Option(window.get("tsExpr")).map(_.asText),
       windowDuration = str(window, "duration"),
       watermark = str(window, "watermark"),
       slide = Option(window.get("slide")).map(_.asText),
@@ -123,7 +130,18 @@ object StreamJobConfig {
             "jobs support single-pass row metrics only")
       }
     }
-    val windowed = StreamMetrics.windowedMetrics(src.df, c.tsCol,
+    val timeMode = c.timeMode match {
+      case "event" =>
+        require(c.tsCol.nonEmpty, "timeMode=event needs window.tsCol")
+        StreamMetrics.WindowTime.EventTime(c.tsCol)
+      case "processing" => StreamMetrics.WindowTime.ProcessingTime
+      case "custom" => StreamMetrics.WindowTime.CustomTime(
+        org.apache.spark.sql.functions.expr(c.tsExpr.getOrElse(
+          throw new IllegalArgumentException("timeMode=custom needs window.tsExpr"))))
+      case other => throw new IllegalArgumentException(
+        s"unknown timeMode '$other' (want event|processing|custom)")
+    }
+    val windowed = StreamMetrics.windowedMetricsBy(src.df, timeMode,
       c.windowDuration, c.watermark, rowMetrics, c.slide)
     StreamMetrics.start(windowed, c.checkpoint,
       sinkPath = Some(c.sinkPath), queryName = c.jobId,

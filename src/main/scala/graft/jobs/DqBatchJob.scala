@@ -52,7 +52,10 @@ final class DqBatchJob(
     storage: Option[DqStorage] = None,
     tolerance: Tolerance = Tolerance.Critical,
     errorDumpSize: Int = 100,
-    caseSensitive: Boolean = false) {
+    caseSensitive: Boolean = false,
+    /** config document to persist per run (reference job_state table);
+      * sensitive fields pre-encrypted by the config layer. */
+    jobState: Option[String] = None) {
 
   def run(referenceTs: Instant = Instant.now()): JobResult = {
     val srcById = sources.map(s => s.id -> s).toMap
@@ -92,6 +95,7 @@ final class DqBatchJob(
     storage.foreach { st =>
       st.saveMetrics(jobId, referenceTs, allMetrics)
       st.saveChecks(jobId, referenceTs, loadResults ++ checkResults.map(_._1))
+      jobState.foreach(cfg => st.saveJobState(jobId, referenceTs, cfg))
     }
 
     val failedLoad = loadResults.exists(!_.status)

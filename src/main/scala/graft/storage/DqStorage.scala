@@ -23,6 +23,13 @@ trait DqStorage {
   def saveChecks(jobId: String, referenceTs: Instant, checks: Seq[CheckResult]): Unit
   /** Historical values of one metric, oldest→newest, strictly before `before`. */
   def metricHistory(jobId: String, metricId: String, before: Instant): Seq[HistoryPoint]
+  /** Persist the run's job configuration (the reference's job_state table,
+    * db/specific/&lt;vendor&gt;/V1.1__create_job_state.sql; sensitive fields
+    * already encrypted by the caller when an encryption secret is
+    * configured). */
+  def saveJobState(jobId: String, referenceTs: Instant, config: String): Unit
+  /** The most recent stored config at-or-before `at`, if any. */
+  def latestJobState(jobId: String, at: Instant): Option[String]
 }
 
 final class ParquetDqStorage(spark: SparkSession, baseDir: String) extends DqStorage {
@@ -30,6 +37,7 @@ final class ParquetDqStorage(spark: SparkSession, baseDir: String) extends DqSto
 
   private val metricsDir = s"$baseDir/results_metrics"
   private val checksDir = s"$baseDir/results_checks"
+  private val jobStateDir = s"$baseDir/job_state"
 
   override def saveMetrics(jobId: String, referenceTs: Instant,
       results: Seq[MetricResult]): Unit =
@@ -60,4 +68,20 @@ final class ParquetDqStorage(spark: SparkSession, baseDir: String) extends DqSto
       .collect()
       .map(r => HistoryPoint(r.getTimestamp(0).toInstant, r.getDouble(1)))
       .toSeq
+
+  override def saveJobState(jobId: String, referenceTs: Instant,
+      config: String): Unit =
+    Seq((jobId, config, java.sql.Timestamp.from(referenceTs),
+      java.sql.Timestamp.from(Instant.now())))
+      .toDF("job_id", "config", "reference_ts", "execution_ts")
+      .write.mode(SaveMode.Append).parquet(jobStateDir)
+
+  override def latestJobState(jobId: String, at: Instant): Option[String] =
+    if (!new java.io.File(jobStateDir).exists()) None
+    else spark.read.parquet(jobStateDir)
+      .filter(col("job_id") === jobId &&
+        col("reference_ts") <= lit(java.sql.Timestamp.from(at)))
+      .orderBy(col("reference_ts").desc, col("execution_ts").desc)
+      .select(col("config"))
+      .limit(1).collect().headOption.map(_.getString(0))
 }

@@ -136,6 +136,35 @@ final class JdbcDqStorage(url: String,
     } finally ps.close()
   }
 
+  override def saveJobState(jobId: String, referenceTs: Instant,
+      config: String): Unit = {
+    val ps = conn.prepareStatement(
+      "INSERT INTO job_state VALUES (?,?,?,?)")
+    try {
+      ps.setString(1, jobId)
+      ps.setString(2, config)
+      ps.setTimestamp(3, Timestamp.from(referenceTs))
+      ps.setTimestamp(4, Timestamp.from(Instant.now()))
+      ps.executeUpdate()
+      conn.commit()
+    } finally ps.close()
+  }
+
+  override def latestJobState(jobId: String, at: Instant): Option[String] = {
+    val ps = conn.prepareStatement(
+      """SELECT config FROM job_state
+         WHERE job_id = ? AND reference_ts <= ?
+         ORDER BY reference_ts DESC, execution_ts DESC""")
+    try {
+      ps.setString(1, jobId)
+      ps.setTimestamp(2, Timestamp.from(at))
+      val rs = ps.executeQuery()
+      val out = if (rs.next()) Some(rs.getString(1)) else None
+      rs.close(); conn.commit()
+      out
+    } finally ps.close()
+  }
+
   override def close(): Unit = {
     try conn.rollback() catch { case _: java.sql.SQLException => }
     conn.close()
@@ -167,5 +196,15 @@ object JdbcDqStorage {
             base_metric ${d.varchar(256)},
             status ${d.varchar(16)} NOT NULL,
             message ${d.varchar(4096)},
-            reference_ts ${d.timestamp} NOT NULL)"""))
+            reference_ts ${d.timestamp} NOT NULL)"""),
+    // reference parity: job_state stores the run's config document
+    // (db/specific/*/V1.1__create_job_state.sql) — a real SECOND step, so
+    // existing round-4 databases exercise the incremental-migration path
+    2 -> Seq(
+      s"""CREATE TABLE job_state (
+            job_id ${d.varchar(256)} NOT NULL,
+            config ${d.clob} NOT NULL,
+            reference_ts ${d.timestamp} NOT NULL,
+            execution_ts ${d.timestamp} NOT NULL)""",
+      """CREATE INDEX idx_job_state ON job_state (job_id, reference_ts)"""))
 }

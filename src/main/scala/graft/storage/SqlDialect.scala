@@ -20,6 +20,8 @@ sealed trait SqlDialect {
   def double: String = "DOUBLE"
   /** timestamp without zone. */
   def timestamp: String = "TIMESTAMP"
+  /** unbounded text (job_state.config — whole config documents). */
+  def clob: String = "CLOB"
 }
 
 object SqlDialect {
@@ -31,14 +33,19 @@ object SqlDialect {
   case object Postgres extends SqlDialect {
     val name = "postgresql"
     override def double: String = "DOUBLE PRECISION"
+    override def clob: String = "TEXT"
   }
 
-  case object MySql extends SqlDialect { val name = "mysql" }
+  case object MySql extends SqlDialect {
+    val name = "mysql"
+    override def clob: String = "LONGTEXT"
+  }
 
   case object SqlServer extends SqlDialect {
     val name = "sqlserver"
     override def double: String = "FLOAT" // mssql FLOAT(53) = IEEE double
     override def timestamp: String = "DATETIME2"
+    override def clob: String = "VARCHAR(MAX)"
   }
 
   case object Oracle extends SqlDialect {
@@ -53,6 +60,7 @@ object SqlDialect {
     val name = "sqlite"
     // sqlite types are affinities; REAL is the canonical 8-byte float
     override def double: String = "REAL"
+    override def clob: String = "TEXT"
   }
 
   val all: Seq[SqlDialect] =

@@ -114,5 +114,18 @@ class AppsSpec extends AnyFunSuite with Matchers {
     val bad = writeConf(dir, "bad_stream.conf",
       """metrics = [{id = d, name = DISTINCT_VALUES, columns = [s]}]""")
     GraftDqStreamApp.run(Array("-j", s"$conf,$bad", "-s")) shouldBe 2
+    // custom time mode: window on an epoch-millis expression instead of a
+    // timestamp column (ref windowing kind "custom", Enums.scala:76-92)
+    val custom = writeConf(dir, "custom_stream.conf",
+      s"""window = {timeMode = custom,
+         |          tsExpr = "timestamp_millis(CAST(unix_millis(ts) AS BIGINT))",
+         |          duration = "10 minutes", watermark = "0 seconds"}
+         |sink = {path = "$dir/out_custom"}
+         |checkpoint = "$dir/ckpt_custom"
+         |""".stripMargin)
+    GraftDqStreamApp.run(Array("-j", s"$conf,$custom", "-s")) shouldBe 0
+    // same windows as the event-time run over the same data
+    val evt = spark.read.parquet(s"$dir/out").count()
+    spark.read.parquet(s"$dir/out_custom").count() shouldBe evt
   }
 }

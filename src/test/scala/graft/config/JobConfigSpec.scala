@@ -101,7 +101,11 @@ class JobConfigSpec extends AnyFunSuite with Matchers {
       |""".stripMargin
 
   test("HOCON jobconf parses to the IDENTICAL Conf as its JSON twin and runs E2E") {
-    JobConfig.parseHocon(goodHocon) shouldBe JobConfig.parse(goodJson)
+    // rawJson is the VERBATIM parsed document (stored as job state), so
+    // the two front-ends legitimately differ there; every logical field
+    // must be identical
+    JobConfig.parseHocon(goodHocon).copy(rawJson = None) shouldBe
+      JobConfig.parse(goodJson).copy(rawJson = None)
 
     // fromFile dispatches .conf through the HOCON front-end
     val f = java.nio.file.Files.createTempFile("graft-job", ".conf")
@@ -259,5 +263,37 @@ class JobConfigSpec extends AnyFunSuite with Matchers {
     m("SEQUENCE_COMPLETENESS").isRight shouldBe true
     an[IllegalArgumentException] should be thrownBy m("NO_SUCH_METRIC")
     an[IllegalArgumentException] should be thrownBy m("REGEX_MATCH") // missing regex param
+  }
+
+  test("job state persists per run; encryption section encrypts sensitive fields at rest") {
+    val dir = java.nio.file.Files.createTempDirectory("jobstate").toString
+    val json =
+      s"""{
+         |  "jobId": "js1",
+         |  "encryption": {"secret": "top-secret-key-9", "keyFields": ["password"]},
+         |  "sources": [{"id": "li", "kind": "parquet",
+         |               "path": "/root/testdata/sf0.001/lineitem.parquet",
+         |               "options": {"dbPassword": "hunter2"}}],
+         |  "metrics": [{"id": "rows", "name": "ROW_COUNT", "source": "li", "columns": []}],
+         |  "checks": [],
+         |  "storage": {"kind": "parquet", "location": "$dir"}
+         |}""".stripMargin
+    val t0 = java.time.Instant.parse("2026-08-18T00:00:00Z")
+    JobConfig.build(spark, JobConfig.parse(json)).run(t0).passed shouldBe true
+    val storage = new graft.storage.ParquetDqStorage(spark, dir)
+    val stored = storage.latestJobState("js1", t0).get
+    // the stored document is the real config with the password ENCRYPTED
+    stored should include("\"jobId\":\"js1\"")
+    (stored should not).include("hunter2")
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(stored)
+    val dec = new ConfigEncryptor("top-secret-key-9", Seq("password"))
+    dec.decryptString(
+      tree.at("/sources/0/options/dbPassword").asText) shouldBe "hunter2"
+    // without an encryption section the config is stored as parsed
+    val plainJson = json.replaceFirst(
+      """"encryption": \{"secret": "top-secret-key-9", "keyFields": \["password"\]\},""", "")
+      .replace("\"js1\"", "\"js2\"")
+    JobConfig.build(spark, JobConfig.parse(plainJson)).run(t0).passed shouldBe true
+    storage.latestJobState("js2", t0).get should include("hunter2")
   }
 }

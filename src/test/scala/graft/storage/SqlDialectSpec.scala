@@ -64,6 +64,37 @@ class SqlDialectSpec extends AnyFunSuite with Matchers {
       st.saveMetrics("j", t0, Seq(graft.metrics.MetricResult(
         "m", "ROW_COUNT", "s", Nil, 7.0)))
       st.metricHistory("j", "m", t0.plusSeconds(1)).map(_.value) shouldBe Seq(7.0)
+      // job_state (migration step 2): save + latest-at read-back
+      st.saveJobState("j", t0, """{"jobId":"j","v":1}""")
+      st.saveJobState("j", t0.plusSeconds(3600), """{"jobId":"j","v":2}""")
+      st.latestJobState("j", t0.plusSeconds(10)) shouldBe
+        Some("""{"jobId":"j","v":1}""")
+      st.latestJobState("j", t0.plusSeconds(7200)) shouldBe
+        Some("""{"jobId":"j","v":2}""")
+      st.latestJobState("ghost", t0) shouldBe None
     } finally st.close()
+  }
+
+  test("live Derby: incremental migration — a pre-job_state database gains only step 2") {
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("derby-incr").toString)
+    val url = "jdbc:derby:memory:incrdq;create=true"
+    val st = new JdbcDqStorage(url)
+    st.close()
+    // simulate a database created before step 2 existed: drop its artifacts
+    // and the ledger row, exactly the state a round-4 deployment is in
+    val conn = java.sql.DriverManager.getConnection("jdbc:derby:memory:incrdq")
+    val s = conn.createStatement()
+    s.execute("DROP TABLE job_state") // drops idx_job_state with it
+    s.execute("DELETE FROM graft_schema_version WHERE version = 2")
+    conn.commit(); s.close(); conn.close()
+    // reopening migrates ONLY the missing step — and the table works
+    val st2 = new JdbcDqStorage("jdbc:derby:memory:incrdq")
+    try {
+      st2.appliedVersions shouldBe Seq(1, 2)
+      val t0 = java.time.Instant.parse("2026-08-18T00:00:00Z")
+      st2.saveJobState("j", t0, "{}")
+      st2.latestJobState("j", t0) shouldBe Some("{}")
+    } finally st2.close()
   }
 }
