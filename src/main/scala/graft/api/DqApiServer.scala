@@ -209,6 +209,35 @@ final class DqApiServer(storage: Option[DqStorage], port: Int = 0) {
     }
   })
 
+  server.createContext("/api/storage/jobstate", (ex: HttpExchange) => {
+    val p = queryParams(ex)
+    (p.get("jobId"), storage) match {
+      case (_, None) =>
+        respond(ex, 503, """{"error":"no storage configured"}""")
+      case (Some(jobId), Some(st)) =>
+        try {
+          val at = p.get("at").map(java.time.Instant.parse)
+            .getOrElse(java.time.Instant.parse("9999-12-31T00:00:00Z"))
+          st.latestJobState(jobId, at) match {
+            case Some(cfg) =>
+              // cfg is a JSON document already (possibly with encrypted
+              // leaf values) — embed verbatim
+              respond(ex, 200, s"""{"jobId":"${jsonEscape(jobId)}","config":$cfg}""")
+            case None => respond(ex, 404, """{"error":"no stored state"}""")
+          }
+        } catch {
+          case e: java.time.format.DateTimeParseException =>
+            respond(ex, 400,
+              s"""{"error":"invalid 'at' timestamp: ${jsonEscape(e.getMessage)}"}""")
+          case e: Exception =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            respond(ex, 500, s"""{"error":"${jsonEscape(msg)}"}""")
+        }
+      case _ =>
+        respond(ex, 400, """{"error":"jobId is required"}""")
+    }
+  })
+
   def start(): DqApiServer = { server.start(); this }
   def stop(): Unit = server.stop(0)
 }

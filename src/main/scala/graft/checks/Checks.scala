@@ -2,14 +2,17 @@ package graft.checks
 
 import graft.metrics.{FormulaParser, MetricResult}
 
-/** Result of one check (ref model: storage/Models.scala:238-245). */
+/** Result of one check (ref model: storage/Models.scala:238-245; the
+  * `critical` flag is stored with the result — ref
+  * V1.7__add_is_critical_column). */
 final case class CheckResult(
     checkId: String,
     checkName: String,
     status: Boolean,
     message: String,
     baseMetric: String = "",
-    comparedValue: Option[Double] = None)
+    comparedValue: Option[Double] = None,
+    critical: Boolean = false)
 
 /** Snapshot checks — driver-side comparisons of metric results against a
   * threshold or another metric (ref: core/checks/snapshot/

@@ -91,10 +91,14 @@ final class DqBatchJob(
       checks.map(cs => (cs.check.run(allMetrics), cs.critical)) ++
         expressionChecks.map(cs => (cs.check.run(allMetrics), cs.critical))
 
-    // 6. persist
+    // 6. persist — check results carry their criticality (ref V1.7),
+    // capped error dumps become queryable history (ref V1.4)
     storage.foreach { st =>
       st.saveMetrics(jobId, referenceTs, allMetrics)
-      st.saveChecks(jobId, referenceTs, loadResults ++ checkResults.map(_._1))
+      st.saveMetricErrors(jobId, referenceTs, allMetrics)
+      st.saveChecks(jobId, referenceTs,
+        loadResults ++ checkResults.map { case (r, crit) =>
+          r.copy(critical = crit) })
       jobState.foreach(cfg => st.saveJobState(jobId, referenceTs, cfg))
     }
 

@@ -23,6 +23,14 @@ trait DqStorage {
   def saveChecks(jobId: String, referenceTs: Instant, checks: Seq[CheckResult]): Unit
   /** Historical values of one metric, oldest→newest, strictly before `before`. */
   def metricHistory(jobId: String, metricId: String, before: Instant): Seq[HistoryPoint]
+  /** Persist the capped per-metric error dumps (ref results_metric_error
+    * table, V1.4__add_metric_errors: failing-row payloads become queryable
+    * history, deduped by row hash). Bounded by errorDumpSize per metric, so
+    * O(#metrics × dumpSize) rows per run. */
+  def saveMetricErrors(jobId: String, referenceTs: Instant,
+      results: Seq[MetricResult]): Unit
+  /** Stored error row-payloads of one metric, strictly before `before`. */
+  def metricErrors(jobId: String, metricId: String, before: Instant): Seq[String]
   /** Persist the run's job configuration (the reference's job_state table,
     * db/specific/&lt;vendor&gt;/V1.1__create_job_state.sql; sensitive fields
     * already encrypted by the caller when an encryption secret is
@@ -38,6 +46,7 @@ final class ParquetDqStorage(spark: SparkSession, baseDir: String) extends DqSto
   private val metricsDir = s"$baseDir/results_metrics"
   private val checksDir = s"$baseDir/results_checks"
   private val jobStateDir = s"$baseDir/job_state"
+  private val errorsDir = s"$baseDir/results_metric_errors"
 
   override def saveMetrics(jobId: String, referenceTs: Instant,
       results: Seq[MetricResult]): Unit =
@@ -51,10 +60,10 @@ final class ParquetDqStorage(spark: SparkSession, baseDir: String) extends DqSto
   override def saveChecks(jobId: String, referenceTs: Instant,
       checks: Seq[CheckResult]): Unit =
     checks.map(c => (jobId, c.checkId, c.checkName, c.baseMetric,
-      if (c.status) "Success" else "Failure", c.message,
+      if (c.status) "Success" else "Failure", c.message, c.critical,
       java.sql.Timestamp.from(referenceTs)))
       .toDF("job_id", "check_id", "check_name", "base_metric", "status",
-        "message", "reference_ts")
+        "message", "is_critical", "reference_ts")
       .write.mode(SaveMode.Append).parquet(checksDir)
 
   override def metricHistory(jobId: String, metricId: String,
@@ -68,6 +77,27 @@ final class ParquetDqStorage(spark: SparkSession, baseDir: String) extends DqSto
       .collect()
       .map(r => HistoryPoint(r.getTimestamp(0).toInstant, r.getDouble(1)))
       .toSeq
+
+  override def saveMetricErrors(jobId: String, referenceTs: Instant,
+      results: Seq[MetricResult]): Unit = {
+    val rows = results.flatMap(r => r.errors.distinct.map(row =>
+      (jobId, r.metricId, row.mkString("[", ",", "]"),
+        (row.hashCode.toLong & 0xffffffffL).toString,
+        java.sql.Timestamp.from(referenceTs))))
+    if (rows.nonEmpty)
+      rows.toDF("job_id", "metric_id", "row_data", "error_hash", "reference_ts")
+        .write.mode(SaveMode.Append).parquet(errorsDir)
+  }
+
+  override def metricErrors(jobId: String, metricId: String,
+      before: Instant): Seq[String] =
+    if (!new java.io.File(errorsDir).exists()) Nil
+    else spark.read.parquet(errorsDir)
+      .filter(col("job_id") === jobId && col("metric_id") === metricId &&
+        col("reference_ts") < lit(java.sql.Timestamp.from(before)))
+      .orderBy(col("reference_ts"), col("row_data"))
+      .select(col("row_data"))
+      .collect().map(_.getString(0)).toSeq
 
   override def saveJobState(jobId: String, referenceTs: Instant,
       config: String): Unit =

@@ -98,8 +98,13 @@ final class JdbcDqStorage(url: String,
 
   override def saveChecks(jobId: String, referenceTs: Instant,
       checks: Seq[CheckResult]): Unit = {
+    // explicit column list: is_critical arrived in migration 3, so the
+    // insert must not depend on physical column order
     val ps = conn.prepareStatement(
-      "INSERT INTO results_checks VALUES (?,?,?,?,?,?,?)")
+      """INSERT INTO results_checks
+         (job_id, check_id, check_name, base_metric, status, message,
+          reference_ts, is_critical)
+         VALUES (?,?,?,?,?,?,?,?)""")
     try {
       checks.foreach { c =>
         ps.setString(1, jobId)
@@ -109,10 +114,49 @@ final class JdbcDqStorage(url: String,
         ps.setString(5, if (c.status) "Success" else "Failure")
         ps.setString(6, c.message.take(4096))
         ps.setTimestamp(7, Timestamp.from(referenceTs))
+        ps.setBoolean(8, c.critical)
         ps.addBatch()
       }
       ps.executeBatch()
       conn.commit()
+    } finally ps.close()
+  }
+
+  override def saveMetricErrors(jobId: String, referenceTs: Instant,
+      results: Seq[MetricResult]): Unit = {
+    val ps = conn.prepareStatement(
+      """INSERT INTO results_metric_errors
+         (job_id, metric_id, row_data, error_hash, reference_ts)
+         VALUES (?,?,?,?,?)""")
+    try {
+      for (r <- results; row <- r.errors.distinct) {
+        ps.setString(1, jobId)
+        ps.setString(2, r.metricId)
+        ps.setString(3, row.mkString("[", ",", "]").take(4096))
+        ps.setString(4, (row.hashCode.toLong & 0xffffffffL).toString)
+        ps.setTimestamp(5, Timestamp.from(referenceTs))
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      conn.commit()
+    } finally ps.close()
+  }
+
+  override def metricErrors(jobId: String, metricId: String,
+      before: Instant): Seq[String] = {
+    val ps = conn.prepareStatement(
+      """SELECT row_data FROM results_metric_errors
+         WHERE job_id = ? AND metric_id = ? AND reference_ts < ?
+         ORDER BY reference_ts, row_data""")
+    try {
+      ps.setString(1, jobId)
+      ps.setString(2, metricId)
+      ps.setTimestamp(3, Timestamp.from(before))
+      val rs = ps.executeQuery()
+      val out = Seq.newBuilder[String]
+      while (rs.next()) out += rs.getString(1)
+      rs.close(); conn.commit()
+      out.result()
     } finally ps.close()
   }
 
@@ -206,5 +250,19 @@ object JdbcDqStorage {
             config ${d.clob} NOT NULL,
             reference_ts ${d.timestamp} NOT NULL,
             execution_ts ${d.timestamp} NOT NULL)""",
-      """CREATE INDEX idx_job_state ON job_state (job_id, reference_ts)"""))
+      """CREATE INDEX idx_job_state ON job_state (job_id, reference_ts)"""),
+    // ref V1.4__add_metric_errors + V1.7__add_is_critical_column: capped
+    // metric-error dumps become queryable history; check results carry
+    // their criticality
+    3 -> Seq(
+      s"""CREATE TABLE results_metric_errors (
+            job_id ${d.varchar(256)} NOT NULL,
+            metric_id ${d.varchar(256)} NOT NULL,
+            row_data ${d.varchar(4096)} NOT NULL,
+            error_hash ${d.varchar(64)} NOT NULL,
+            reference_ts ${d.timestamp} NOT NULL)""",
+      """CREATE INDEX idx_results_metric_errors
+          ON results_metric_errors (job_id, metric_id, reference_ts)""",
+      d.addColumn("results_checks", "is_critical", d.boolean,
+        d.booleanLiteral(false))))
 }

@@ -22,6 +22,18 @@ sealed trait SqlDialect {
   def timestamp: String = "TIMESTAMP"
   /** unbounded text (job_state.config — whole config documents). */
   def clob: String = "CLOB"
+  /** boolean flag column. */
+  def boolean: String = "BOOLEAN"
+  /** boolean literal for DEFAULT clauses (numeric on vendors whose flag
+    * type is numeric). */
+  def booleanLiteral(b: Boolean): String = if (b) "TRUE" else "FALSE"
+  /** vendor ALTER TABLE … ADD spelling (Derby/H2/Postgres/MySQL/SQLite take
+    * an optional COLUMN keyword; SQL Server rejects it; Oracle wants
+    * parentheses) with a vendor-portable NOT-NULL-with-default so existing
+    * rows get the value. */
+  def addColumn(table: String, column: String, tpe: String,
+      default: String): String =
+    s"ALTER TABLE $table ADD COLUMN $column $tpe DEFAULT $default NOT NULL"
 }
 
 object SqlDialect {
@@ -46,6 +58,12 @@ object SqlDialect {
     override def double: String = "FLOAT" // mssql FLOAT(53) = IEEE double
     override def timestamp: String = "DATETIME2"
     override def clob: String = "VARCHAR(MAX)"
+    override def boolean: String = "BIT"
+    override def booleanLiteral(b: Boolean): String = if (b) "1" else "0"
+    // mssql rejects the COLUMN keyword
+    override def addColumn(table: String, column: String, tpe: String,
+        default: String): String =
+      s"ALTER TABLE $table ADD $column $tpe DEFAULT $default NOT NULL"
   }
 
   case object Oracle extends SqlDialect {
@@ -54,6 +72,11 @@ object SqlDialect {
     // (saveChecks already truncates messages; 4000 is the vendor ceiling)
     override def varchar(n: Int): String = s"VARCHAR2(${math.min(n, 4000)})"
     override def double: String = "BINARY_DOUBLE"
+    override def boolean: String = "NUMBER(1)" // pre-23c oracle has no BOOLEAN
+    override def booleanLiteral(b: Boolean): String = if (b) "1" else "0"
+    override def addColumn(table: String, column: String, tpe: String,
+        default: String): String =
+      s"ALTER TABLE $table ADD ($column $tpe DEFAULT $default NOT NULL)"
   }
 
   case object Sqlite extends SqlDialect {

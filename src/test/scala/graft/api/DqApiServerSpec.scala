@@ -99,6 +99,15 @@ class DqApiServerSpec extends AnyFunSuite with Matchers {
         "?jobId=job1&metricId=m1&before=garbage")
       badTsCode shouldBe 400
       badTsBody should include("invalid 'before' timestamp")
+
+      // job-state route: stored config document comes back verbatim
+      storage.saveJobState("job1", t0, """{"jobId":"job1","x":1}""")
+      val (jsCode, jsBody) = get(s"$base/api/storage/jobstate?jobId=job1")
+      jsCode shouldBe 200
+      jsBody should include(""""config":{"jobId":"job1","x":1}""")
+      get(s"$base/api/storage/jobstate?jobId=ghost")._1 shouldBe 404
+      get(s"$base/api/storage/jobstate")._1 shouldBe 400
+      get(s"$base/api/storage/jobstate?jobId=job1&at=garbage")._1 shouldBe 400
     } finally srv.stop()
   }
 

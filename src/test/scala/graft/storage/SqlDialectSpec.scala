@@ -37,6 +37,17 @@ class SqlDialectSpec extends AnyFunSuite with Matchers {
     ddl(SqlDialect.Sqlite) should include("REAL")
     ddl(SqlDialect.MySql) should include("DOUBLE")
     ddl(SqlDialect.H2) should include("VARCHAR(2048)")
+    // job_state config column (step 2) + is_critical ALTER (step 3)
+    ddl(SqlDialect.Postgres) should include("config TEXT")
+    ddl(SqlDialect.MySql) should include("LONGTEXT")
+    ddl(SqlDialect.SqlServer) should include("VARCHAR(MAX)")
+    ddl(SqlDialect.Oracle) should include("config CLOB")
+    ddl(SqlDialect.Postgres) should include(
+      "ALTER TABLE results_checks ADD COLUMN is_critical BOOLEAN DEFAULT FALSE NOT NULL")
+    ddl(SqlDialect.SqlServer) should include(
+      "ALTER TABLE results_checks ADD is_critical BIT DEFAULT 0 NOT NULL")
+    ddl(SqlDialect.Oracle) should include(
+      "ALTER TABLE results_checks ADD (is_critical NUMBER(1) DEFAULT 0 NOT NULL)")
     // every vendor renders the same tables/statements, only types differ
     SqlDialect.all.foreach { d =>
       val steps = JdbcDqStorage.migrations(d)
@@ -72,6 +83,24 @@ class SqlDialectSpec extends AnyFunSuite with Matchers {
       st.latestJobState("j", t0.plusSeconds(7200)) shouldBe
         Some("""{"jobId":"j","v":2}""")
       st.latestJobState("ghost", t0) shouldBe None
+      // metric errors (step 3): dump round-trip, deduped by row payload
+      st.saveMetricErrors("j", t0, Seq(graft.metrics.MetricResult(
+        "m", "NULL_VALUES", "s", Seq("c"), 2.0,
+        errors = Seq(Seq("k1", "<null>"), Seq("k1", "<null>"), Seq("k2", "x")))))
+      st.metricErrors("j", "m", t0.plusSeconds(1)) shouldBe
+        Seq("[k1,<null>]", "[k2,x]")
+      // is_critical (step 3) persists with the check result
+      st.saveChecks("j", t0, Seq(
+        graft.checks.CheckResult("c_crit", "EQUAL_TO", false, "boom",
+          critical = true),
+        graft.checks.CheckResult("c_soft", "EQUAL_TO", false, "meh")))
+      val conn2 = java.sql.DriverManager.getConnection(url)
+      val rs = conn2.createStatement().executeQuery(
+        "SELECT check_id, is_critical FROM results_checks ORDER BY check_id")
+      val crit = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => r.getString(1) -> r.getBoolean(2)).toMap
+      conn2.close()
+      crit shouldBe Map("c_crit" -> true, "c_soft" -> false)
     } finally st.close()
   }
 
@@ -91,7 +120,8 @@ class SqlDialectSpec extends AnyFunSuite with Matchers {
     // reopening migrates ONLY the missing step — and the table works
     val st2 = new JdbcDqStorage("jdbc:derby:memory:incrdq")
     try {
-      st2.appliedVersions shouldBe Seq(1, 2)
+      st2.appliedVersions shouldBe
+        JdbcDqStorage.migrations(SqlDialect.Derby).map(_._1)
       val t0 = java.time.Instant.parse("2026-08-18T00:00:00Z")
       st2.saveJobState("j", t0, "{}")
       st2.latestJobState("j", t0) shouldBe Some("{}")
