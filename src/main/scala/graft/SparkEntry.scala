@@ -521,6 +521,19 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // SEMANTIC decontamination: max cosine vs a benchmark embedding set —
+    // the paraphrase-robust leg next to the exact/Bloom n-gram legs. The
+    // benchmark (vec_id < 10) rides inside ONE compiled expression; the
+    // corpus pass is map-only (no joins/exchanges, plan-gated in
+    // OperatorsSpec). Benchmark members themselves score max_cos = 1.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      Similarity.decontaminateSemantic(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", tau = 0.95)
+        .orderBy(col("id"))
+    }),
+
     "q_ann_ivf_topk" -> ((s, dir) => {
       // IVF in its exact regime (nProbe = nLists scans every posting list,
       // so the result equals brute force independent of clustering) — the
@@ -1956,6 +1969,15 @@ object SparkEntry {
          ORDER BY a.vec_id""",
     "q_ann_ivf_topk" -> annTopkSql,
     "q_ann_topk" -> annTopkSql,
+    "q_decontaminate_semantic" ->
+      """SELECT e.vec_id AS id,
+           round(max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))), 6) AS max_cos,
+           max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))) >= 0.95 AS contaminated
+         FROM embeddings e
+         CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id < 10) b
+         GROUP BY e.vec_id ORDER BY id""",
     "q_token_count" ->
       """SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0

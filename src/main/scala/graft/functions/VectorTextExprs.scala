@@ -453,6 +453,57 @@ case class CentroidArgMax(child: Expression, centroids: Seq[Seq[Double]])
   override def prettyName: String = "centroid_arg_max"
 }
 
+/** MAX dot product of a vector against a fixed vector set — the scoring
+  * twin of [[CentroidArgMax]] (same per-row loop, returns the best score
+  * instead of its index). With L2-normalized inputs this is max cosine:
+  * the map-only kernel of semantic decontamination (max similarity vs a
+  * broadcast benchmark-embedding set). */
+case class CentroidMaxDot(child: Expression, centroids: Seq[Seq[Double]])
+  extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty, "need at least one vector to score against")
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  // null ELEMENTS produce a null result even for a non-nullable child column
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"centroid_max_dot requires array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dims = v.numElements()
+    var chk = 0
+    while (chk < dims) { if (v.isNullAt(chk)) return null; chk += 1 }
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      val n = math.min(dims, ct.length)
+      var acc = 0.0
+      var d = 0
+      while (d < n) { acc += v.getDouble(d) * ct(d); d += 1 }
+      if (acc > bestScore) bestScore = acc
+      c += 1
+    }
+    bestScore
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidMaxDot =
+    copy(child = newChild)
+
+  override def prettyName: String = "centroid_max_dot"
+}
+
 /** 64-bit SimHash of a text column in ONE per-row pass: split on the space
   * byte, xxhash64 each word (seed 42 — identical to Spark's `xxhash64`
   * function, so signatures are stable across engine versions), accumulate
@@ -584,6 +635,8 @@ object VectorTextExprs {
     Bridge.column(NormalizeVec(Bridge.expression(v)))
   def centroid_arg_max(v: Column, centroids: Seq[Seq[Double]]): Column =
     Bridge.column(CentroidArgMax(Bridge.expression(v), centroids))
+  def centroid_max_dot(v: Column, centroids: Seq[Seq[Double]]): Column =
+    Bridge.column(CentroidMaxDot(Bridge.expression(v), centroids))
   def shingle_hashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
   def token_window_hashes(text: Column, n: Int): Column =

@@ -363,4 +363,33 @@ object Similarity {
       .select(col("e.id").as("id"), (col("r") + 1).cast("int").as("rank"),
         col("e.score").as("adc"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space leg of benchmark
+    * decontamination (n-gram matching misses paraphrases; cf. the
+    * contamination analyses of GPT-3 arXiv:2005.14165 App. C and
+    * Llama-2 arXiv:2307.09288 A.6): a corpus document is contaminated
+    * when its max cosine against ANY benchmark embedding reaches `tau`.
+    * Returns (id, max_cos, contaminated) for every corpus row.
+    *
+    * Scale shape: the benchmark set is SMALL by definition (it is a test
+    * set) — its normalized vectors ship inside one compiled
+    * [[graft.functions.CentroidMaxDot]] expression, so scoring the
+    * corpus is a single map-only pass: zero joins, zero exchanges
+    * (plan-gated), nothing per-row but the dot-product loop. The
+    * benchmark collect is bounded by |bench| × dims doubles, the same
+    * driver footprint as the exact decontamination broadcast. */
+  def decontaminateSemantic(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val benchVecs: Seq[Seq[Double]] = normalized(bench, idCol, vecCol)
+      .select(col("nv")).collect()
+      .flatMap(r => Option(r.getSeq[Double](0)).map(_.toSeq)).toSeq
+    require(benchVecs.nonEmpty, "benchmark embedding set is empty")
+    normalized(corpus, idCol, vecCol)
+      .select(col("id"),
+        graft.functions.VectorTextExprs.centroid_max_dot(col("nv"), benchVecs)
+          .as("max_cos"))
+      .select(col("id"), round(col("max_cos"), 6).as("max_cos"),
+        (col("max_cos") >= tau).as("contaminated"))
+  }
 }

@@ -778,6 +778,37 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     km.select(countDistinct(col("id"))).head().getLong(0) shouldBe rows.length
   }
 
+  test("semantic decontamination: exact max-cosine semantics, map-only plan") {
+    // corpus: two near-copies of bench vectors, one orthogonal doc
+    val bench = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(0.99, 0.14, 0.0)),  // cos vs b0 ≈ 0.990 -> contaminated
+      (11L, Seq(0.0, 0.0, 1.0)),    // orthogonal -> clean
+      (12L, Seq(0.0, 2.0, 0.0)))    // scaled copy of b1 -> cos 1.0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.decontaminateSemantic(corpus, bench,
+      "vec_id", "embedding", tau = 0.95)
+    val got = out.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    got(10L)._2 shouldBe true
+    got(11L) shouldBe ((0.0, false))
+    got(12L) shouldBe ((1.0, true))
+    got(10L)._1 shouldBe (0.99 / math.sqrt(0.99 * 0.99 + 0.14 * 0.14)) +- 1e-6
+    // the corpus pass is a single map-only projection: no joins, no
+    // exchanges — the benchmark rides inside the compiled expression
+    val plan = out.queryExecution.executedPlan.toString
+    (plan should not).include("Exchange")
+    (plan should not).include("Join")
+    // null elements score null, not a bogus max
+    val withNull = Seq((13L, Seq[java.lang.Double](1.0, null, 0.0)))
+      .toDF("vec_id", "embedding")
+    Similarity.decontaminateSemantic(withNull, bench,
+      "vec_id", "embedding", tau = 0.95)
+      .collect().head.isNullAt(1) shouldBe true
+  }
+
   test("contamination keeps every corpus doc, incl. null text (zero totals)") {
     val corpus = Seq((1L, Some("a b c d e f g")), (2L, None),
       (3L, Some("z y x w v u t"))).toDF("doc_id", "text")
