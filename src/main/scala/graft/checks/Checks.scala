@@ -12,7 +12,11 @@ final case class CheckResult(
     message: String,
     baseMetric: String = "",
     comparedValue: Option[Double] = None,
-    critical: Boolean = false)
+    critical: Boolean = false,
+    /** user-supplied annotation stored with the result (ref
+      * V1.2__add_metadata_column). */
+    description: Option[String] = None,
+    metadata: Option[String] = None)
 
 /** Snapshot checks — driver-side comparisons of metric results against a
   * threshold or another metric (ref: core/checks/snapshot/

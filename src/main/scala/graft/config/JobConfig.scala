@@ -26,11 +26,13 @@ object JobConfig {
   final case class SourceConf(id: String, kind: String, path: String,
       keyFields: Seq[String], options: Map[String, String])
   final case class MetricConf(id: String, name: String, source: String,
-      columns: Seq[String], params: Map[String, String])
+      columns: Seq[String], params: Map[String, String],
+      description: Option[String] = None, metadata: Option[String] = None)
   final case class ComposedConf(id: String, formula: String)
   final case class CheckConf(id: String, kind: String, base: String,
       compareMetric: Option[String], threshold: Option[Double],
-      formula: Option[String], critical: Boolean)
+      formula: Option[String], critical: Boolean,
+      description: Option[String] = None, metadata: Option[String] = None)
   final case class LoadCheckConf(id: String, kind: String, count: Int,
       columns: Seq[String])
   final case class StorageConf(kind: String, location: String)
@@ -87,7 +89,9 @@ object JobConfig {
       metrics = arr("metrics").map(m => MetricConf(
         str(m, "id"), str(m, "name"), str(m, "source"), strSeq(m, "columns"),
         Option(m.get("params")).map(p => p.properties().asScala
-          .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty))),
+          .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty),
+        description = Option(m.get("description")).map(_.asText),
+        metadata = Option(m.get("metadata")).map(_.asText))),
       composed = arr("composedMetrics").map(c =>
         ComposedConf(str(c, "id"), str(c, "formula"))),
       checks = arr("checks").map(c => CheckConf(
@@ -95,7 +99,9 @@ object JobConfig {
         Option(c.get("compareMetric")).map(_.asText),
         Option(c.get("threshold")).map(_.asDouble),
         Option(c.get("formula")).map(_.asText),
-        Option(c.get("critical")).exists(_.asBoolean))),
+        Option(c.get("critical")).exists(_.asBoolean),
+        description = Option(c.get("description")).map(_.asText),
+        metadata = Option(c.get("metadata")).map(_.asText))),
       storage = Option(root.get("storage")).map(s =>
         StorageConf(str(s, "kind"), str(s, "location"))),
       tolerance = Option(root.get("tolerance")).map(_.asText.toLowerCase) match {
@@ -321,7 +327,11 @@ object JobConfig {
       tolerance = c.tolerance,
       errorDumpSize = c.errorDumpSize,
       caseSensitive = c.caseSensitive,
-      jobState = jobState)
+      jobState = jobState,
+      annotations =
+        (c.metrics.map(m => m.id -> ((m.description, m.metadata))) ++
+          c.checks.map(ch => ch.id -> ((ch.description, ch.metadata))))
+          .filter { case (_, (d, md)) => d.nonEmpty || md.nonEmpty }.toMap)
   }
 
   /** One-call entry: config file path → job. `.conf`/`.hocon` files go

@@ -55,7 +55,10 @@ final class DqBatchJob(
     caseSensitive: Boolean = false,
     /** config document to persist per run (reference job_state table);
       * sensitive fields pre-encrypted by the config layer. */
-    jobState: Option[String] = None) {
+    jobState: Option[String] = None,
+    /** per-id (description, metadata) annotations stamped onto metric and
+      * check results (ref V1.2__add_metadata_column). */
+    annotations: Map[String, (Option[String], Option[String])] = Map.empty) {
 
   def run(referenceTs: Instant = Instant.now()): JobResult = {
     val srcById = sources.map(s => s.id -> s).toMap
@@ -84,12 +87,19 @@ final class DqBatchJob(
     val composed = composedMetrics.map(_.compute(base).fold(
       err => MetricResult("composed_error", "COMPOSED", "", Nil, Double.NaN, Some(err)),
       identity))
-    val allMetrics = base ++ composed
+    val allMetrics = (base ++ composed).map { m =>
+      annotations.get(m.metricId).fold(m) { case (d, md) =>
+        m.copy(description = d, metadata = md) }
+    }
 
     // 5. checks
     val checkResults: Seq[(CheckResult, Boolean)] =
-      checks.map(cs => (cs.check.run(allMetrics), cs.critical)) ++
-        expressionChecks.map(cs => (cs.check.run(allMetrics), cs.critical))
+      (checks.map(cs => (cs.check.run(allMetrics), cs.critical)) ++
+        expressionChecks.map(cs => (cs.check.run(allMetrics), cs.critical)))
+        .map { case (r, crit) =>
+          (annotations.get(r.checkId).fold(r) { case (d, md) =>
+            r.copy(description = d, metadata = md) }, crit)
+        }
 
     // 6. persist — check results carry their criticality (ref V1.7),
     // capped error dumps become queryable history (ref V1.4)

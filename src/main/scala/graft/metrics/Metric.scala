@@ -17,7 +17,12 @@ final case class MetricResult(
     columns: Seq[String],
     value: Double,
     additional: Option[String] = None,
-    errors: Seq[Seq[String]] = Nil)
+    errors: Seq[Seq[String]] = Nil,
+    /** user-supplied annotation stored with the result (ref
+      * V1.2__add_metadata_column: description + metadata on every result
+      * row). */
+    description: Option[String] = None,
+    metadata: Option[String] = None)
 
 /** A single-pass metric over a DataFrame.
   *

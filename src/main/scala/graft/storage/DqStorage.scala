@@ -52,18 +52,19 @@ final class ParquetDqStorage(spark: SparkSession, baseDir: String) extends DqSto
       results: Seq[MetricResult]): Unit =
     results.map(r => (jobId, r.metricId, r.metricName, r.sourceId,
       r.columns.mkString(","), r.value, r.additional.getOrElse(""),
-      java.sql.Timestamp.from(referenceTs)))
+      java.sql.Timestamp.from(referenceTs), r.description, r.metadata))
       .toDF("job_id", "metric_id", "metric_name", "source_id", "columns",
-        "result", "additional_result", "reference_ts")
+        "result", "additional_result", "reference_ts", "description",
+        "metadata")
       .write.mode(SaveMode.Append).parquet(metricsDir)
 
   override def saveChecks(jobId: String, referenceTs: Instant,
       checks: Seq[CheckResult]): Unit =
     checks.map(c => (jobId, c.checkId, c.checkName, c.baseMetric,
       if (c.status) "Success" else "Failure", c.message, c.critical,
-      java.sql.Timestamp.from(referenceTs)))
+      java.sql.Timestamp.from(referenceTs), c.description, c.metadata))
       .toDF("job_id", "check_id", "check_name", "base_metric", "status",
-        "message", "is_critical", "reference_ts")
+        "message", "is_critical", "reference_ts", "description", "metadata")
       .write.mode(SaveMode.Append).parquet(checksDir)
 
   override def metricHistory(jobId: String, metricId: String,

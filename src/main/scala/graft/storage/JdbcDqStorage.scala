@@ -78,7 +78,10 @@ final class JdbcDqStorage(url: String,
   override def saveMetrics(jobId: String, referenceTs: Instant,
       results: Seq[MetricResult]): Unit = {
     val ps = conn.prepareStatement(
-      "INSERT INTO results_metrics VALUES (?,?,?,?,?,?,?,?)")
+      """INSERT INTO results_metrics
+         (job_id, metric_id, metric_name, source_id, columns, result,
+          additional_result, reference_ts, description, metadata)
+         VALUES (?,?,?,?,?,?,?,?,?,?)""")
     try {
       results.foreach { r =>
         ps.setString(1, jobId)
@@ -89,6 +92,8 @@ final class JdbcDqStorage(url: String,
         ps.setDouble(6, r.value)
         ps.setString(7, r.additional.getOrElse(""))
         ps.setTimestamp(8, Timestamp.from(referenceTs))
+        ps.setString(9, r.description.orNull)
+        ps.setString(10, r.metadata.orNull)
         ps.addBatch()
       }
       ps.executeBatch()
@@ -103,8 +108,8 @@ final class JdbcDqStorage(url: String,
     val ps = conn.prepareStatement(
       """INSERT INTO results_checks
          (job_id, check_id, check_name, base_metric, status, message,
-          reference_ts, is_critical)
-         VALUES (?,?,?,?,?,?,?,?)""")
+          reference_ts, is_critical, description, metadata)
+         VALUES (?,?,?,?,?,?,?,?,?,?)""")
     try {
       checks.foreach { c =>
         ps.setString(1, jobId)
@@ -115,6 +120,8 @@ final class JdbcDqStorage(url: String,
         ps.setString(6, c.message.take(4096))
         ps.setTimestamp(7, Timestamp.from(referenceTs))
         ps.setBoolean(8, c.critical)
+        ps.setString(9, c.description.orNull)
+        ps.setString(10, c.metadata.orNull)
         ps.addBatch()
       }
       ps.executeBatch()
@@ -264,5 +271,11 @@ object JdbcDqStorage {
       """CREATE INDEX idx_results_metric_errors
           ON results_metric_errors (job_id, metric_id, reference_ts)""",
       d.addColumn("results_checks", "is_critical", d.boolean,
-        d.booleanLiteral(false))))
+        d.booleanLiteral(false))),
+    // ref V1.2__add_metadata_column: user annotations stored with results
+    4 -> Seq(
+      d.addNullableColumn("results_metrics", "description", d.varchar(2048)),
+      d.addNullableColumn("results_metrics", "metadata", d.varchar(2048)),
+      d.addNullableColumn("results_checks", "description", d.varchar(2048)),
+      d.addNullableColumn("results_checks", "metadata", d.varchar(2048))))
 }

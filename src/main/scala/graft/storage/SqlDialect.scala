@@ -34,6 +34,9 @@ sealed trait SqlDialect {
   def addColumn(table: String, column: String, tpe: String,
       default: String): String =
     s"ALTER TABLE $table ADD COLUMN $column $tpe DEFAULT $default NOT NULL"
+  /** nullable ADD COLUMN (no default — existing rows read NULL). */
+  def addNullableColumn(table: String, column: String, tpe: String): String =
+    s"ALTER TABLE $table ADD COLUMN $column $tpe"
 }
 
 object SqlDialect {
@@ -64,6 +67,9 @@ object SqlDialect {
     override def addColumn(table: String, column: String, tpe: String,
         default: String): String =
       s"ALTER TABLE $table ADD $column $tpe DEFAULT $default NOT NULL"
+    override def addNullableColumn(table: String, column: String,
+        tpe: String): String =
+      s"ALTER TABLE $table ADD $column $tpe"
   }
 
   case object Oracle extends SqlDialect {
@@ -77,6 +83,9 @@ object SqlDialect {
     override def addColumn(table: String, column: String, tpe: String,
         default: String): String =
       s"ALTER TABLE $table ADD ($column $tpe DEFAULT $default NOT NULL)"
+    override def addNullableColumn(table: String, column: String,
+        tpe: String): String =
+      s"ALTER TABLE $table ADD ($column $tpe)"
   }
 
   case object Sqlite extends SqlDialect {

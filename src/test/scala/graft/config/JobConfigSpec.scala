@@ -296,4 +296,37 @@ class JobConfigSpec extends AnyFunSuite with Matchers {
     JobConfig.build(spark, JobConfig.parse(plainJson)).run(t0).passed shouldBe true
     storage.latestJobState("js2", t0).get should include("hunter2")
   }
+
+  test("metric/check description+metadata annotations land on results and in storage") {
+    val dir = java.nio.file.Files.createTempDirectory("annots").toString
+    val json =
+      s"""{
+         |  "jobId": "ann1",
+         |  "sources": [{"id": "li", "kind": "parquet",
+         |               "path": "/root/testdata/sf0.001/lineitem.parquet"}],
+         |  "metrics": [
+         |    {"id": "rows", "name": "ROW_COUNT", "source": "li", "columns": [],
+         |     "description": "total rows", "metadata": "team=dq;tier=1"},
+         |    {"id": "plain", "name": "ROW_COUNT", "source": "li", "columns": []}
+         |  ],
+         |  "checks": [{"id": "c1", "kind": "GREATER_THAN", "base": "rows",
+         |              "threshold": 1.0, "description": "rows sanity"}],
+         |  "storage": {"kind": "parquet", "location": "$dir"}
+         |}""".stripMargin
+    val t0 = java.time.Instant.parse("2026-08-18T00:00:00Z")
+    val res = JobConfig.build(spark, JobConfig.parse(json)).run(t0)
+    res.passed shouldBe true
+    val rows = res.metrics.find(_.metricId == "rows").get
+    rows.description shouldBe Some("total rows")
+    rows.metadata shouldBe Some("team=dq;tier=1")
+    res.metrics.find(_.metricId == "plain").get.description shouldBe None
+    res.checks.head._1.description shouldBe Some("rows sanity")
+    // stored columns round-trip
+    val m = spark.read.parquet(s"$dir/results_metrics")
+      .filter(org.apache.spark.sql.functions.col("metric_id") === "rows")
+      .select("description", "metadata").collect().head
+    (m.getString(0), m.getString(1)) shouldBe ("total rows", "team=dq;tier=1")
+    spark.read.parquet(s"$dir/results_checks")
+      .select("description").collect().head.getString(0) shouldBe "rows sanity"
+  }
 }

@@ -48,6 +48,13 @@ class SqlDialectSpec extends AnyFunSuite with Matchers {
       "ALTER TABLE results_checks ADD is_critical BIT DEFAULT 0 NOT NULL")
     ddl(SqlDialect.Oracle) should include(
       "ALTER TABLE results_checks ADD (is_critical NUMBER(1) DEFAULT 0 NOT NULL)")
+    // metadata columns (step 4): nullable ADDs per vendor
+    ddl(SqlDialect.Postgres) should include(
+      "ALTER TABLE results_metrics ADD COLUMN description VARCHAR(2048)")
+    ddl(SqlDialect.SqlServer) should include(
+      "ALTER TABLE results_metrics ADD description VARCHAR(2048)")
+    ddl(SqlDialect.Oracle) should include(
+      "ALTER TABLE results_metrics ADD (metadata VARCHAR2(2048))")
     // every vendor renders the same tables/statements, only types differ
     SqlDialect.all.foreach { d =>
       val steps = JdbcDqStorage.migrations(d)
