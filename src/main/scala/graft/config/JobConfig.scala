@@ -271,7 +271,7 @@ object JobConfig {
       case other => throw new IllegalArgumentException(s"unknown load check '$other'")
     }
 
-  private def check(c: CheckConf): Either[CheckSpec, ExpressionCheckSpec] =
+  private[config] def check(c: CheckConf): Either[CheckSpec, ExpressionCheckSpec] =
     c.kind.toUpperCase match {
       case "EQUAL_TO" =>
         Left(CheckSpec(EqualToCheck(c.id, c.base, c.compareMetric, c.threshold), c.critical))

@@ -47,7 +47,13 @@ object StreamJobConfig {
       watermark: String,
       slide: Option[String],
       metrics: Seq[JobConfig.MetricConf],
-      sinkPath: String,
+      /** file sink (metric values per window). Optional when `storage`
+        * drives the run instead. */
+      sinkPath: Option[String],
+      /** per-window checks + DQ-storage persistence — the reference
+        * stream job's finalization pipeline (DQStreamWindowJob). */
+      storage: Option[JobConfig.StorageConf],
+      checks: Seq[JobConfig.CheckConf],
       checkpoint: String,
       trigger: String)
 
@@ -61,8 +67,13 @@ object StreamJobConfig {
       throw new IllegalArgumentException("stream config needs a 'source' object"))
     val window = Option(root.get("window")).getOrElse(
       throw new IllegalArgumentException("stream config needs a 'window' object"))
-    val sink = Option(root.get("sink")).getOrElse(
-      throw new IllegalArgumentException("stream config needs a 'sink' object"))
+    // filter(!_.isNull): a merged override `sink = null` DISABLES the file
+    // sink (the HOCON null-override idiom), it is not a path-less sink
+    val sink = Option(root.get("sink")).filter(!_.isNull)
+    val storage = Option(root.get("storage")).filter(!_.isNull).map(s =>
+      JobConfig.StorageConf(str(s, "kind"), str(s, "location")))
+    require(sink.nonEmpty || storage.nonEmpty,
+      "stream config needs a 'sink' object and/or a 'storage' object")
     val metrics = Option(root.get("metrics")).map(_.elements().asScala.toSeq)
       .getOrElse(Nil).map { m =>
         JobConfig.MetricConf(str(m, "id"), str(m, "name"), "stream",
@@ -86,7 +97,17 @@ object StreamJobConfig {
       watermark = str(window, "watermark"),
       slide = Option(window.get("slide")).map(_.asText),
       metrics = metrics,
-      sinkPath = str(sink, "path"),
+      sinkPath = sink.map(s => str(s, "path")),
+      storage = storage,
+      checks = Option(root.get("checks")).map(_.elements().asScala.toSeq)
+        .getOrElse(Nil).map { c =>
+          JobConfig.CheckConf(str(c, "id"), str(c, "kind"),
+            str(c, "base", Some("")),
+            Option(c.get("compareMetric")).map(_.asText),
+            Option(c.get("threshold")).map(_.asDouble),
+            Option(c.get("formula")).map(_.asText),
+            Option(c.get("critical")).exists(_.asBoolean))
+        },
       checkpoint = str(root, "checkpoint"),
       trigger = str(root, "trigger", Some("availableNow")))
   }
@@ -143,8 +164,26 @@ object StreamJobConfig {
     }
     val windowed = StreamMetrics.windowedMetricsBy(src.df, timeMode,
       c.windowDuration, c.watermark, rowMetrics, c.slide)
-    StreamMetrics.start(windowed, c.checkpoint,
-      sinkPath = Some(c.sinkPath), queryName = c.jobId,
-      trigger = trigger(c)).start()
+    c.storage match {
+      case Some(st) =>
+        // reference stream shape: per finalized window, run the checks and
+        // persist metrics+checks to DQ storage (DQStreamWindowJob)
+        val dqStorage: graft.storage.DqStorage = st.kind.toLowerCase match {
+          case "parquet" => new graft.storage.ParquetDqStorage(spark, st.location)
+          case "jdbc" => new graft.storage.JdbcDqStorage(st.location)
+          case other => throw new IllegalArgumentException(
+            s"unknown storage kind '$other'")
+        }
+        val parsed = c.checks.map(JobConfig.check)
+        StreamMetrics.runChecksSink(windowed, rowMetrics,
+          parsed.collect { case Left(cs) => cs },
+          dqStorage, c.jobId, c.checkpoint,
+          expressionChecks = parsed.collect { case Right(es) => es },
+          trigger = trigger(c), queryName = c.jobId).start()
+      case None =>
+        StreamMetrics.start(windowed, c.checkpoint,
+          sinkPath = c.sinkPath, queryName = c.jobId,
+          trigger = trigger(c)).start()
+    }
   }
 }

@@ -121,6 +121,52 @@ object StreamMetrics {
     sinkPath.fold(w)(p => w.option("path", p))
   }
 
+  /** Per-window CHECKS + DQ-storage persistence — the reference's window
+    * finalization pipeline (DQStreamWindowJob.scala:93-119,170-245: a
+    * driver thread scans the buffer for windows below min-watermark and
+    * runs the full check/save path per window), re-expressed on Structured
+    * Streaming's own finalization: in Append mode a window row is emitted
+    * EXACTLY ONCE, when the watermark passes — so a `foreachBatch` over
+    * the windowed frame IS the finalization hook, with checkpoint-managed
+    * exactly-once delivery instead of a hand-rolled buffer checkpoint.
+    *
+    * Each finalized window becomes a batch-job-shaped unit: metric columns
+    * decode back to [[graft.metrics.MetricResult]]s, the configured checks
+    * run against them, and both persist to storage with referenceTs =
+    * window start. The per-batch collect is bounded by the number of
+    * finalized windows (1-row-per-window aggregates — the same
+    * driver-side footprint as the reference's window thread). */
+  def runChecksSink(
+      windowed: DataFrame,
+      metrics: Seq[RowMetric],
+      checks: Seq[graft.jobs.CheckSpec],
+      storage: graft.storage.DqStorage,
+      jobId: String,
+      checkpointDir: String,
+      expressionChecks: Seq[graft.jobs.ExpressionCheckSpec] = Nil,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      queryName: String = "graft_stream_checks"): DataStreamWriter[Row] =
+    windowed.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { row =>
+          val ts = row.getAs[java.sql.Timestamp]("window_start").toInstant
+          val results = metrics.map { m =>
+            val (v, add) = m.decode(row.getAs[Any](m.id))
+            graft.metrics.MetricResult(m.id, m.name, jobId, m.columns, v, add)
+          }
+          val checkResults =
+            checks.map(cs => cs.check.run(results).copy(critical = cs.critical)) ++
+              expressionChecks.map(cs =>
+                cs.check.run(results).copy(critical = cs.critical))
+          storage.saveMetrics(jobId, ts, results)
+          storage.saveChecks(jobId, ts, checkResults)
+        }
+      }
+
   /** Per-key running state via typed arbitrary stateful processing — the
     * `mapGroupsWithState` path for metrics that need custom state beyond
     * windowed aggregation (ref capability: calculator state merge,

@@ -127,5 +127,28 @@ class AppsSpec extends AnyFunSuite with Matchers {
     // same windows as the event-time run over the same data
     val evt = spark.read.parquet(s"$dir/out").count()
     spark.read.parquet(s"$dir/out_custom").count() shouldBe evt
+
+    // the reference stream shape: per finalized window, run checks and
+    // persist metrics+checks to DQ storage (DQStreamWindowJob pipeline)
+    val stored = writeConf(dir, "stored_stream.conf",
+      s"""sink = null
+         |storage = {kind = parquet, location = "$dir/dq"}
+         |checks = [
+         |  {id = c_rows, kind = GREATER_THAN, base = rc, threshold = 0.0},
+         |  {id = c_nulls, kind = LESS_THAN, base = nulls, threshold = 1.0}
+         |]
+         |checkpoint = "$dir/ckpt_stored"
+         |""".stripMargin)
+    GraftDqStreamApp.run(Array("-j", s"$conf,$stored", "-s")) shouldBe 0
+    val ms = spark.read.parquet(s"$dir/dq/results_metrics")
+    // one metric row per (finalized window, metric); >= 5 complete windows
+    ms.filter(col("metric_id") === "rc").count() should be >= 5L
+    ms.groupBy("reference_ts").count().collect().foreach(_.getLong(1) shouldBe 2L)
+    val cs = spark.read.parquet(s"$dir/dq/results_checks")
+    cs.filter(col("check_id") === "c_rows")
+      .select("status").collect().foreach(_.getString(0) shouldBe "Success")
+    // c_nulls: every 10-min window holds 2 nulls (one per 5 minutes) -> Failure
+    cs.filter(col("check_id") === "c_nulls")
+      .select("status").collect().foreach(_.getString(0) shouldBe "Failure")
   }
 }
