@@ -1,0 +1,20 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+/** Tiny util main: materialize a deterministic synthetic corpus parquet for
+  * driving the filter app from the command line (spark-submit demos). */
+object GenCorpusMain {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_corpus")
+    val n = args.lift(1).map(_.toLong).getOrElse(5000L)
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("graft-gen-corpus")
+      .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+    import graft.corpus.{CorpusGen, CorpusSpec}
+    CorpusGen.corpus(spark, CorpusSpec(nFiles = n)).toDF()
+      .write.mode("overwrite").parquet(out)
+    println(s"wrote $n files to $out")
+    spark.stop()
+  }
+}

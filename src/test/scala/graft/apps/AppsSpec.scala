@@ -82,6 +82,33 @@ class AppsSpec extends AnyFunSuite with Matchers {
     GraftDqBatchApp.run(Array("-d", "2026-08-18")) shouldBe 2
   }
 
+  test("filter app E2E: flagship pipeline via spark-submit shape, partition-resumable") {
+    import graft.corpus.{CorpusGen, CorpusSpec}
+    val dir = tmp("filter_app")
+    CorpusGen.corpus(spark, CorpusSpec(nFiles = 2000)).toDF()
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val conf = writeConf(dir, "filter.conf",
+      s"""jobId = qf_e2e
+         |input = {kind = parquet, path = "$dir/corpus"}
+         |store = "$dir/store"
+         |filter = {numPartitions = 8, maxPpl = 25.0}
+         |""".stripMargin)
+    GraftFilterApp.run(Array("-j", conf, "-s")) shouldBe 0
+    val v = spark.read.parquet(s"$dir/store/verdicts")
+    v.count() shouldBe 2000L
+    v.filter(col("keep")).count() should be > 0L
+    // lineage: one row per (job, partition) with full drop-reason counts
+    val lin = spark.read.parquet(s"$dir/store/lineage")
+    lin.select("partition_id").distinct().count() shouldBe 8L
+    // RESUME: the same command again skips every completed partition and
+    // duplicates nothing — crash recovery is "run it again"
+    GraftFilterApp.run(Array("-j", conf, "-s")) shouldBe 0
+    spark.read.parquet(s"$dir/store/verdicts").count() shouldBe 2000L
+    // bad input kind -> config error, exit 2
+    val bad = writeConf(dir, "bad_filter.conf", """input = {kind = csvish, path = "x"}""")
+    GraftFilterApp.run(Array("-j", s"$conf,$bad", "-s")) shouldBe 2
+  }
+
   test("stream app E2E: availableNow config drains the backlog, writes windowed metrics, exits 0") {
     val dir = tmp("stream_app")
     val rows = (0 until 60).map { i =>
