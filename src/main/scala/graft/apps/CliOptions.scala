@@ -97,6 +97,11 @@ object CliOptions {
           }
         case ("-v" | "--verbosity") :: v :: t =>
           go(t, acc.copy(verbosity = v.toUpperCase))
+        // a recognized value-taking option at end-of-args fell through the
+        // `opt :: v :: t` patterns above — say "missing value", not "unknown"
+        case (flag @ ("-a" | "--app-config" | "-j" | "--job-config" | "-d" |
+            "--date" | "-e" | "--extra-vars" | "-v" | "--verbosity")) :: Nil =>
+          Left(s"option '$flag' requires a value")
         case flag :: _ if flag.startsWith("-") => Left(s"unknown option '$flag'")
         case stray :: _ => Left(s"unexpected argument '$stray'")
       }

@@ -27,7 +27,15 @@ object GraftDqBatchApp {
       case Right(opts) =>
         val spark = buildSession(opts, "graft-dq-batch")
         try {
-          val job = JobConfig.fromFiles(spark, opts.configPaths, opts.extraVars)
+          // config phase: ANY failure here (missing file, malformed JSON,
+          // unreadable source, validation error) is exit 2 — the CI
+          // contract must not confuse a typo'd path with a DQ failure
+          val job =
+            try JobConfig.fromFiles(spark, opts.configPaths, opts.extraVars)
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"invalid configuration: ${e.getMessage}")
+              return 2
+            }
           val result = opts.refDate.map(job.run).getOrElse(job.run())
           val failed = result.checks.collect {
             case (r, _) if !r.status => r.checkId }
@@ -41,8 +49,11 @@ object GraftDqBatchApp {
             1
           }
         } catch {
-          case e: IllegalArgumentException =>
-            System.err.println(s"invalid configuration: ${e.getMessage}"); 2
+          // run-phase failure: the job itself errored (reference parity:
+          // DataQualityBatchApp logs the errors and exits 1)
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"graft DQ batch job failed: ${e.getMessage}")
+            1
         } finally {
           if (!opts.shared) spark.stop()
         }
@@ -54,8 +65,16 @@ object GraftDqBatchApp {
   private[apps] def buildSession(opts: CliOptions, appName: String): SparkSession = {
     val b = SparkSession.builder().appName(appName)
     if (opts.local) b.master("local[*]")
-    b.config("spark.sql.adaptive.enabled", "true")
+    val spark = b.config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    // -v/--verbosity: applied to the Spark context's log level — but never
+    // on a --shared session, whose logging the host owns
+    if (!opts.shared)
+      try spark.sparkContext.setLogLevel(opts.verbosity)
+      catch { case _: IllegalArgumentException =>
+        System.err.println(s"ignoring unknown log level '${opts.verbosity}'")
+      }
+    spark
   }
 }

@@ -23,22 +23,27 @@ object GraftDqStreamApp {
       case Right(opts) =>
         val spark = GraftDqBatchApp.buildSession(opts, "graft-dq-stream")
         try {
-          val conf = StreamJobConfig.parseTree(
-            JobConfig.mergedTree(opts.configPaths, opts.extraVars))
-          val query = StreamJobConfig.start(spark, conf)
+          // config phase (parse + source-schema bootstrap + query start):
+          // any failure is exit 2 — see GraftDqBatchApp on the contract
+          val (conf, query) =
+            try {
+              val c = StreamJobConfig.parseTree(
+                JobConfig.mergedTree(opts.configPaths, opts.extraVars))
+              (c, StreamJobConfig.start(spark, c))
+            } catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"invalid configuration: ${e.getMessage}")
+              return 2
+            }
           try {
             query.awaitTermination()
             println(s"graft DQ stream job '${conf.jobId}' terminated cleanly")
             0
           } catch {
-            case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            case scala.util.control.NonFatal(e) =>
               System.err.println(
                 s"graft DQ stream job '${conf.jobId}' FAILED: ${e.getMessage}")
               1
           }
-        } catch {
-          case e: IllegalArgumentException =>
-            System.err.println(s"invalid configuration: ${e.getMessage}"); 2
         } finally {
           if (!opts.shared) spark.stop()
         }

@@ -77,14 +77,23 @@ object GraftFilterApp {
       case Right(opts) =>
         val spark = GraftDqBatchApp.buildSession(opts, "graft-quality-filter")
         try {
-          val conf = parseTree(
-            JobConfig.mergedTree(opts.configPaths, opts.extraVars))
-          val input: DataFrame = conf.inputKind match {
-            case "parquet" => spark.read.parquet(conf.inputPath)
-            case "table" => spark.table(conf.inputPath) // incl. Iceberg catalogs
-            case other => throw new IllegalArgumentException(
-              s"unknown input kind '$other' (want parquet|table)")
-          }
+          // config phase: any failure (missing file, malformed config,
+          // unreadable input) is exit 2 — see GraftDqBatchApp
+          val (conf, input) =
+            try {
+              val c = parseTree(
+                JobConfig.mergedTree(opts.configPaths, opts.extraVars))
+              val in: DataFrame = c.inputKind match {
+                case "parquet" => spark.read.parquet(c.inputPath)
+                case "table" => spark.table(c.inputPath) // incl. Iceberg catalogs
+                case other => throw new IllegalArgumentException(
+                  s"unknown input kind '$other' (want parquet|table)")
+              }
+              (c, in)
+            } catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"invalid configuration: ${e.getMessage}")
+              return 2
+            }
           val store = new ParquetCorpusStore(conf.store, conf.filter.saltBuckets)
           val report =
             if (conf.dedup)
@@ -97,8 +106,9 @@ object GraftFilterApp {
               s""""rowsIn":${report.rowsIn},"rowsKept":${report.rowsKept}}""")
           0
         } catch {
-          case e: IllegalArgumentException =>
-            System.err.println(s"invalid configuration: ${e.getMessage}"); 2
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"graft filter job failed: ${e.getMessage}")
+            1
         } finally {
           if (!opts.shared) spark.stop()
         }

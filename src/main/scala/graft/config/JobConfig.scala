@@ -306,11 +306,20 @@ object JobConfig {
     val parsedChecks = c.checks.map(check)
     // job-state document: the config as parsed, sensitive fields encrypted
     // when an encryption secret is configured (ref: ConfigEncryptor applied
-    // before the job_state write)
+    // before the job_state write). The 'encryption' section itself is
+    // STRIPPED before persisting — storing the secret (whose field name
+    // need not match any keyField) next to the ciphertexts it protects
+    // would void the whole scheme.
     val jobState: Option[String] = c.rawJson.map { raw =>
       c.encryption match {
         case Some((secret, kf)) =>
-          new ConfigEncryptor(secret, kf).encryptTree(mapper.readTree(raw)).toString
+          val tree = mapper.readTree(raw)
+          tree match {
+            case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+              o.remove("encryption")
+            case _ =>
+          }
+          new ConfigEncryptor(secret, kf).encryptTree(tree).toString
         case None => raw
       }
     }

@@ -72,8 +72,11 @@ object StreamJobConfig {
     val sink = Option(root.get("sink")).filter(!_.isNull)
     val storage = Option(root.get("storage")).filter(!_.isNull).map(s =>
       JobConfig.StorageConf(str(s, "kind"), str(s, "location")))
-    require(sink.nonEmpty || storage.nonEmpty,
-      "stream config needs a 'sink' object and/or a 'storage' object")
+    require(sink.nonEmpty ^ storage.nonEmpty,
+      "stream config needs EXACTLY ONE of 'sink' (windowed metric files) " +
+        "or 'storage' (per-window checks + DQ storage) — a job that wants " +
+        "both runs two stream jobs over the same source; override the " +
+        "unused one to null in the later config file")
     val metrics = Option(root.get("metrics")).map(_.elements().asScala.toSeq)
       .getOrElse(Nil).map { m =>
         JobConfig.MetricConf(str(m, "id"), str(m, "name"), "stream",

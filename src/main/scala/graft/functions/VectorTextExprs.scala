@@ -437,10 +437,13 @@ case class CentroidArgMax(child: Expression, centroids: Seq[Seq[Double]])
     var c = 0
     while (c < cents.length) {
       val ct = cents(c)
-      val n = math.min(dims, ct.length)
+      // dimension mismatch = misconfiguration (different encoders); a
+      // truncated dot product would silently deflate every score
+      if (ct.length != dims) throw new IllegalArgumentException(
+        s"centroid_arg_max: vector has $dims dims, centroid $c has ${ct.length}")
       var acc = 0.0
       var d = 0
-      while (d < n) { acc += v.getDouble(d) * ct(d); d += 1 }
+      while (d < dims) { acc += v.getDouble(d) * ct(d); d += 1 }
       if (acc > bestScore) { bestScore = acc; best = c }
       c += 1
     }
@@ -488,10 +491,14 @@ case class CentroidMaxDot(child: Expression, centroids: Seq[Seq[Double]])
     var c = 0
     while (c < cents.length) {
       val ct = cents(c)
-      val n = math.min(dims, ct.length)
+      // dimension mismatch = misconfiguration (different encoders); a
+      // truncated dot product would silently deflate max_cos and let
+      // contaminated documents through
+      if (ct.length != dims) throw new IllegalArgumentException(
+        s"centroid_max_dot: vector has $dims dims, reference $c has ${ct.length}")
       var acc = 0.0
       var d = 0
-      while (d < n) { acc += v.getDouble(d) * ct(d); d += 1 }
+      while (d < dims) { acc += v.getDouble(d) * ct(d); d += 1 }
       if (acc > bestScore) bestScore = acc
       c += 1
     }

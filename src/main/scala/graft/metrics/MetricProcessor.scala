@@ -40,7 +40,18 @@ object MetricProcessor {
     * through it, zero runtime cost. */
   private def normalized(df: DataFrame, cfg: Config): DataFrame =
     if (cfg.caseSensitive || df.columns.forall(c => c == c.toLowerCase)) df
-    else df.select(df.columns.map(c => col(c).as(c.toLowerCase)): _*)
+    else {
+      // case-only duplicates (`ID` + `id`, legal under
+      // spark.sql.caseSensitive=true) would alias to the SAME lowercase
+      // name — every later reference becomes ambiguous. Fail with the
+      // actual collision instead of an AMBIGUOUS_REFERENCE downstream.
+      val collisions = df.columns.groupBy(_.toLowerCase)
+        .filter(_._2.length > 1).values.map(_.mkString("/"))
+      require(collisions.isEmpty,
+        s"case-insensitive mode cannot normalize case-colliding columns: " +
+          collisions.mkString(", ") + " — set caseSensitive = true")
+      df.select(df.columns.map(c => col(c).as(c.toLowerCase)): _*)
+    }
 
   private def normName(cfg: Config)(c: String): String =
     if (cfg.caseSensitive) c else c.toLowerCase

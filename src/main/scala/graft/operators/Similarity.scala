@@ -385,6 +385,9 @@ object Similarity {
       .select(col("nv")).collect()
       .flatMap(r => Option(r.getSeq[Double](0)).map(_.toSeq)).toSeq
     require(benchVecs.nonEmpty, "benchmark embedding set is empty")
+    require(benchVecs.map(_.size).distinct.size == 1,
+      s"benchmark embeddings have mixed dimensions: " +
+        benchVecs.map(_.size).distinct.sorted.mkString(", "))
     normalized(corpus, idCol, vecCol)
       .select(col("id"),
         graft.functions.VectorTextExprs.centroid_max_dot(col("nv"), benchVecs)

@@ -46,9 +46,25 @@ final class JdbcDqStorage(url: String,
     } finally s.close()
   }
 
+  /** true when `table` already exists (vendor-neutral: JDBC metadata,
+    * checked case-insensitively since vendors fold unquoted identifiers
+    * differently). */
+  private def tableExists(table: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+    try {
+      var found = false
+      while (!found && rs.next())
+        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      found
+    } finally rs.close()
+  }
+
   /** Versioned migration: bootstrap the ledger table (the single
-    * create-if-missing probe), then apply exactly the steps the ledger has
-    * not recorded — each step commits atomically with its ledger row, and
+    * create-if-missing probe), BASELINE a pre-ledger database (created by
+    * the old swallow-exception migrate(): results tables exist but the
+    * ledger is empty — record step 1 as applied instead of failing its
+    * CREATE TABLE), then apply exactly the steps the ledger has not
+    * recorded — each step commits atomically with its ledger row, and
     * failures in an unapplied step SURFACE instead of being swallowed (a
     * permission error must not masquerade as already-migrated). */
   private def migrate(): Unit = {
@@ -60,6 +76,12 @@ final class JdbcDqStorage(url: String,
     } catch { // ledger already exists
       case _: java.sql.SQLException => conn.rollback()
     } finally bootstrap.close()
+    if (appliedVersions.isEmpty && tableExists("results_metrics")) {
+      // pre-ledger schema == migration step 1 exactly (both tables + index)
+      val s = conn.createStatement()
+      try { s.execute("INSERT INTO graft_schema_version VALUES (1)"); conn.commit() }
+      finally s.close()
+    }
     val applied = appliedVersions.toSet
     JdbcDqStorage.migrations(dialect).foreach { case (version, stmts) =>
       if (!applied(version)) {
@@ -92,8 +114,8 @@ final class JdbcDqStorage(url: String,
         ps.setDouble(6, r.value)
         ps.setString(7, r.additional.getOrElse(""))
         ps.setTimestamp(8, Timestamp.from(referenceTs))
-        ps.setString(9, r.description.orNull)
-        ps.setString(10, r.metadata.orNull)
+        ps.setString(9, r.description.map(_.take(dialect.varcharWidth(2048))).orNull)
+        ps.setString(10, r.metadata.map(_.take(dialect.varcharWidth(2048))).orNull)
         ps.addBatch()
       }
       ps.executeBatch()
@@ -117,11 +139,12 @@ final class JdbcDqStorage(url: String,
         ps.setString(3, c.checkName)
         ps.setString(4, c.baseMetric)
         ps.setString(5, if (c.status) "Success" else "Failure")
-        ps.setString(6, c.message.take(4096))
+        // truncate to the width the DIALECT actually rendered (oracle: 4000)
+        ps.setString(6, c.message.take(dialect.varcharWidth(4096)))
         ps.setTimestamp(7, Timestamp.from(referenceTs))
         ps.setBoolean(8, c.critical)
-        ps.setString(9, c.description.orNull)
-        ps.setString(10, c.metadata.orNull)
+        ps.setString(9, c.description.map(_.take(dialect.varcharWidth(2048))).orNull)
+        ps.setString(10, c.metadata.map(_.take(dialect.varcharWidth(2048))).orNull)
         ps.addBatch()
       }
       ps.executeBatch()
@@ -139,7 +162,8 @@ final class JdbcDqStorage(url: String,
       for (r <- results; row <- r.errors.distinct) {
         ps.setString(1, jobId)
         ps.setString(2, r.metricId)
-        ps.setString(3, row.mkString("[", ",", "]").take(4096))
+        ps.setString(3, row.mkString("[", ",", "]")
+          .take(dialect.varcharWidth(4096)))
         ps.setString(4, (row.hashCode.toLong & 0xffffffffL).toString)
         ps.setTimestamp(5, Timestamp.from(referenceTs))
         ps.addBatch()

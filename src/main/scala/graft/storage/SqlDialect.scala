@@ -16,6 +16,10 @@ sealed trait SqlDialect {
   def name: String
   /** variable-length string of n chars. */
   def varchar(n: Int): String = s"VARCHAR($n)"
+  /** the width `varchar(n)` ACTUALLY provides on this vendor — callers
+    * truncate payloads to this, so a value can never exceed the column
+    * the dialect rendered (oracle clamps to 4000). */
+  def varcharWidth(n: Int): Int = n
   /** 8-byte IEEE double. */
   def double: String = "DOUBLE"
   /** timestamp without zone. */
@@ -75,8 +79,8 @@ object SqlDialect {
   case object Oracle extends SqlDialect {
     val name = "oracle"
     // VARCHAR2 caps at 4000 bytes — longer payloads clamp to the cap
-    // (saveChecks already truncates messages; 4000 is the vendor ceiling)
-    override def varchar(n: Int): String = s"VARCHAR2(${math.min(n, 4000)})"
+    override def varchar(n: Int): String = s"VARCHAR2(${varcharWidth(n)})"
+    override def varcharWidth(n: Int): Int = math.min(n, 4000)
     override def double: String = "BINARY_DOUBLE"
     override def boolean: String = "NUMBER(1)" // pre-23c oracle has no BOOLEAN
     override def booleanLiteral(b: Boolean): String = if (b) "1" else "0"

@@ -127,15 +127,21 @@ object StreamMetrics {
     * runs the full check/save path per window), re-expressed on Structured
     * Streaming's own finalization: in Append mode a window row is emitted
     * EXACTLY ONCE, when the watermark passes — so a `foreachBatch` over
-    * the windowed frame IS the finalization hook, with checkpoint-managed
-    * exactly-once delivery instead of a hand-rolled buffer checkpoint.
+    * the windowed frame IS the finalization hook.
     *
     * Each finalized window becomes a batch-job-shaped unit: metric columns
     * decode back to [[graft.metrics.MetricResult]]s, the configured checks
     * run against them, and both persist to storage with referenceTs =
     * window start. The per-batch collect is bounded by the number of
     * finalized windows (1-row-per-window aggregates — the same
-    * driver-side footprint as the reference's window thread). */
+    * driver-side footprint as the reference's window thread).
+    *
+    * Delivery: `foreachBatch` is AT-LEAST-ONCE on crash replay, so the
+    * sink writes a per-batchId marker under the checkpoint dir after a
+    * successful persist and SKIPS already-marked batch ids on replay —
+    * duplicates are possible only for a crash inside the tiny
+    * persist-to-marker window (the reference's hand-rolled buffer
+    * checkpoint has the same window, Checkpoints.scala:25-47). */
   def runChecksSink(
       windowed: DataFrame,
       metrics: Seq[RowMetric],
@@ -151,19 +157,26 @@ object StreamMetrics {
       .option("checkpointLocation", checkpointDir)
       .queryName(queryName)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { row =>
-          val ts = row.getAs[java.sql.Timestamp]("window_start").toInstant
-          val results = metrics.map { m =>
-            val (v, add) = m.decode(row.getAs[Any](m.id))
-            graft.metrics.MetricResult(m.id, m.name, jobId, m.columns, v, add)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          checkpointDir, s"graft_committed/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) { // replayed batch: already persisted
+          batch.collect().foreach { row =>
+            val ts = row.getAs[java.sql.Timestamp]("window_start").toInstant
+            val results = metrics.map { m =>
+              val (v, add) = m.decode(row.getAs[Any](m.id))
+              graft.metrics.MetricResult(m.id, m.name, jobId, m.columns, v, add)
+            }
+            val checkResults =
+              checks.map(cs => cs.check.run(results).copy(critical = cs.critical)) ++
+                expressionChecks.map(cs =>
+                  cs.check.run(results).copy(critical = cs.critical))
+            storage.saveMetrics(jobId, ts, results)
+            storage.saveChecks(jobId, ts, checkResults)
           }
-          val checkResults =
-            checks.map(cs => cs.check.run(results).copy(critical = cs.critical)) ++
-              expressionChecks.map(cs =>
-                cs.check.run(results).copy(critical = cs.critical))
-          storage.saveMetrics(jobId, ts, results)
-          storage.saveChecks(jobId, ts, checkResults)
+          fs.create(marker, true).close()
         }
       }
 

@@ -80,6 +80,14 @@ class AppsSpec extends AnyFunSuite with Matchers {
       "-j", s"$jobConf,$badConf", "-s", "-e", s"data_dir=$dir")) shouldBe 2
     // bad CLI -> exit 2 before any Spark work
     GraftDqBatchApp.run(Array("-d", "2026-08-18")) shouldBe 2
+    // a MISSING config file is exit 2 (bad input), never a stack-trace
+    // crash the CI wrapper would read as exit 1 = tolerance violation
+    GraftDqBatchApp.run(Array("-j", "/no/such/file.conf", "-s")) shouldBe 2
+    GraftDqStreamApp.run(Array("-j", "/no/such/file.conf", "-s")) shouldBe 2
+    GraftFilterApp.run(Array("-j", "/no/such/file.conf", "-s")) shouldBe 2
+    // a recognized option missing its value says so
+    CliOptions.parse(Array("-s", "-j")) shouldBe
+      Left("option '-j' requires a value")
   }
 
   test("filter app E2E: flagship pipeline via spark-submit shape, partition-resumable") {

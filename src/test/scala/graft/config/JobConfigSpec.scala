@@ -285,6 +285,10 @@ class JobConfigSpec extends AnyFunSuite with Matchers {
     // the stored document is the real config with the password ENCRYPTED
     stored should include("\"jobId\":\"js1\"")
     (stored should not).include("hunter2")
+    // ...and the encryption section is STRIPPED: storing the secret next
+    // to the ciphertexts it protects would void the scheme
+    (stored should not).include("top-secret-key-9")
+    (stored should not).include("\"encryption\"")
     val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(stored)
     val dec = new ConfigEncryptor("top-secret-key-9", Seq("password"))
     dec.decryptString(

@@ -91,6 +91,18 @@ class CaseSensitivitySpec extends AnyFunSuite with Matchers {
     (scan should not).include("num_c")
   }
 
+  test("case-colliding columns fail loudly in case-insensitive mode") {
+    val collide = Seq((1, 2)).toDF("ID", "id")
+    val e = intercept[IllegalArgumentException] {
+      MetricProcessor.processRowMetrics(collide,
+        Seq(RowCountMetric("m")), MetricProcessor.Config(caseSensitive = false))
+    }
+    e.getMessage should include("case-colliding")
+    // caseSensitive=true handles the same frame fine
+    MetricProcessor.processRowMetrics(collide, Seq(RowCountMetric("m")),
+      MetricProcessor.Config(caseSensitive = true)).head.value shouldBe 1.0
+  }
+
   test("JobConfig threads the flag: mixed-case source, UPPER config columns") {
     val dir = java.nio.file.Files.createTempDirectory("case_cfg").toString
     mixed.write.mode("overwrite").parquet(s"$dir/src.parquet")

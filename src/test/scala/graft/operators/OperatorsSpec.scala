@@ -807,6 +807,16 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     Similarity.decontaminateSemantic(withNull, bench,
       "vec_id", "embedding", tau = 0.95)
       .collect().head.isNullAt(1) shouldBe true
+    // dimension mismatch (different encoder) fails LOUDLY — a truncated
+    // dot would silently deflate max_cos and admit contaminated docs
+    val wrongDims = Seq((14L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Similarity.decontaminateSemantic(wrongDims, bench,
+        "vec_id", "embedding", tau = 0.95).collect()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    chain should include("dims")
   }
 
   test("contamination keeps every corpus doc, incl. null text (zero totals)") {

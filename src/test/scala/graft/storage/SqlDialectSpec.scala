@@ -111,6 +111,32 @@ class SqlDialectSpec extends AnyFunSuite with Matchers {
     } finally st.close()
   }
 
+  test("live Derby: pre-ledger database (old release) is BASELINED, then upgraded in place") {
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("derby-base").toString)
+    // hand-build exactly what the old swallow-exception migrate() left
+    // behind: the two result tables + index, NO ledger
+    val url = "jdbc:derby:memory:basedq;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val s = conn.createStatement()
+    JdbcDqStorage.migrations(SqlDialect.Derby)
+      .find(_._1 == 1).get._2.foreach(s.execute)
+    s.close(); conn.commit(); conn.close()
+    // opening the NEW storage must baseline step 1 (not fail its CREATE)
+    // and apply every later step — the real upgrade path
+    val st = new JdbcDqStorage("jdbc:derby:memory:basedq")
+    try {
+      st.appliedVersions shouldBe
+        JdbcDqStorage.migrations(SqlDialect.Derby).map(_._1)
+      val t0 = java.time.Instant.parse("2026-08-18T00:00:00Z")
+      // old-schema table gained is_critical; new tables exist and work
+      st.saveChecks("j", t0, Seq(graft.checks.CheckResult(
+        "c", "EQUAL_TO", true, "ok", critical = true)))
+      st.saveJobState("j", t0, "{}")
+      st.latestJobState("j", t0) shouldBe Some("{}")
+    } finally st.close()
+  }
+
   test("live Derby: incremental migration — a pre-job_state database gains only step 2") {
     System.setProperty("derby.system.home",
       java.nio.file.Files.createTempDirectory("derby-incr").toString)
