@@ -138,10 +138,18 @@ object StreamMetrics {
     *
     * Delivery: `foreachBatch` is AT-LEAST-ONCE on crash replay, so the
     * sink writes a per-batchId marker under the checkpoint dir after a
-    * successful persist and SKIPS already-marked batch ids on replay —
-    * duplicates are possible only for a crash inside the tiny
-    * persist-to-marker window (the reference's hand-rolled buffer
-    * checkpoint has the same window, Checkpoints.scala:25-47). */
+    * successful persist and skips the STORAGE WRITES for already-marked
+    * batch ids on replay — duplicates are possible only for a crash inside
+    * the tiny persist-to-marker window (the reference's hand-rolled buffer
+    * checkpoint has the same window, Checkpoints.scala:25-47). The batch
+    * itself is ALWAYS materialized, marked or not: Spark's state-store
+    * commit validation requires every partition of a stateful micro-batch
+    * to be processed, so a skip that never touches `batch` wedges the
+    * replayed stream with STATE_STORE_COMMIT_VALIDATION_FAILED (found by
+    * driving GraftDqStreamApp through a simulated crash replay). Markers
+    * older than the replay horizon are pruned on each write — Structured
+    * Streaming only ever replays the last uncommitted batch, so a
+    * years-running stream keeps O(1) marker files, not one per batch. */
   def runChecksSink(
       windowed: DataFrame,
       metrics: Seq[RowMetric],
@@ -162,8 +170,13 @@ object StreamMetrics {
           checkpointDir, s"graft_committed/$batchId")
         val fs = marker.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
-        if (!fs.exists(marker)) { // replayed batch: already persisted
-          batch.collect().foreach { row =>
+        val alreadyPersisted = fs.exists(marker)
+        // collect unconditionally: commits the aggregation state for every
+        // partition (required even when the persist below is skipped), and
+        // is bounded at 1 row per finalized window either way
+        val finalized = batch.collect()
+        if (!alreadyPersisted) {
+          finalized.foreach { row =>
             val ts = row.getAs[java.sql.Timestamp]("window_start").toInstant
             val results = metrics.map { m =>
               val (v, add) = m.decode(row.getAs[Any](m.id))
@@ -177,8 +190,23 @@ object StreamMetrics {
             storage.saveChecks(jobId, ts, checkResults)
           }
           fs.create(marker, true).close()
+          pruneMarkers(fs, marker.getParent, batchId - 16)
         }
       }
+
+  /** Delete batch-commit markers below `horizon` — Structured Streaming
+    * only replays the last uncommitted batch, so markers past a small
+    * horizon are unreachable; pruning on every write keeps the marker dir
+    * (and this listing) O(horizon) for a years-running stream instead of
+    * one file per batch ever run. Non-numeric names are left alone. */
+  private[streaming] def pruneMarkers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      horizon: Long): Unit =
+    if (horizon > 0) fs.listStatus(dir).foreach { st =>
+      val id = scala.util.Try(st.getPath.getName.toLong).getOrElse(Long.MaxValue)
+      if (id < horizon) fs.delete(st.getPath, false)
+    }
 
   /** Per-key running state via typed arbitrary stateful processing — the
     * `mapGroupsWithState` path for metrics that need custom state beyond

@@ -265,4 +265,27 @@ class StreamMetricsSpec extends AnyFunSuite with Matchers {
     // (covered by the running-counts test above); this test pins that the
     // timeout variant is the one with bounded state
   }
+
+  test("batch-commit markers are pruned past the replay horizon") {
+    val dir = Files.createTempDirectory("graft-markers").toString
+    val p = new org.apache.hadoop.fs.Path(dir, "graft_committed")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L to 20L).foreach(i =>
+      fs.create(new org.apache.hadoop.fs.Path(p, i.toString), true).close())
+    fs.create(new org.apache.hadoop.fs.Path(p, "not-a-batch"), true).close()
+
+    StreamMetrics.pruneMarkers(fs, p, horizon = 20L - 16L)
+    val kept = fs.listStatus(p).map(_.getPath.getName).toSet
+    // ids >= horizon survive, older ones are gone, non-numeric untouched
+    kept shouldBe ((4L to 20L).map(_.toString).toSet + "not-a-batch")
+
+    // a years-running stream stays O(horizon): prune again at a later batch
+    StreamMetrics.pruneMarkers(fs, p, horizon = 19L)
+    fs.listStatus(p).map(_.getPath.getName).toSet shouldBe
+      ((19L to 20L).map(_.toString).toSet + "not-a-batch")
+
+    // horizon <= 0 (early batches) is a no-op
+    StreamMetrics.pruneMarkers(fs, p, horizon = 0L)
+    fs.listStatus(p).length shouldBe 3
+  }
 }
