@@ -110,4 +110,16 @@ object CliOptions {
       else Right(o)
     }
   }
+
+  /** minimal JSON string escape for the apps' one-line machine-readable
+    * reports (jobIds are config-author-controlled free text). */
+  private[apps] def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 }

@@ -59,22 +59,24 @@ object GraftDqBatchApp {
         }
     }
 
-  /** getOrCreate so a `--shared` host session (or the test harness) is
-    * reused untouched; standalone runs get the scale defaults this engine
-    * assumes (AQE on, shuffle partitions sized for the local core count). */
+  /** `--shared` reuses the host session UNTOUCHED — a bare getOrCreate, no
+    * `.config(...)`, because getOrCreate APPLIES modifiable SQL confs
+    * (session timezone, AQE) to an already-existing session, silently
+    * shifting the host's own timestamps. Standalone runs get the scale
+    * defaults this engine assumes (UTC, AQE on). */
   private[apps] def buildSession(opts: CliOptions, appName: String): SparkSession = {
+    if (opts.shared) return SparkSession.builder().getOrCreate()
     val b = SparkSession.builder().appName(appName)
     if (opts.local) b.master("local[*]")
     val spark = b.config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    // -v/--verbosity: applied to the Spark context's log level — but never
-    // on a --shared session, whose logging the host owns
-    if (!opts.shared)
-      try spark.sparkContext.setLogLevel(opts.verbosity)
-      catch { case _: IllegalArgumentException =>
-        System.err.println(s"ignoring unknown log level '${opts.verbosity}'")
-      }
+    // -v/--verbosity: the standalone session's log level (a --shared
+    // session's logging is the host's to own)
+    try spark.sparkContext.setLogLevel(opts.verbosity)
+    catch { case _: IllegalArgumentException =>
+      System.err.println(s"ignoring unknown log level '${opts.verbosity}'")
+    }
     spark
   }
 }

@@ -101,7 +101,7 @@ object GraftFilterApp {
             else
               ResumableRun.run(spark, input, conf.filter, store, conf.jobId)
           println(
-            s"""{"jobId":"${report.jobId}","partitionsSkipped":${report.partitionsSkipped},""" +
+            s"""{"jobId":"${CliOptions.jsonEscape(report.jobId)}","partitionsSkipped":${report.partitionsSkipped},""" +
               s""""partitionsProcessed":${report.partitionsProcessed},""" +
               s""""rowsIn":${report.rowsIn},"rowsKept":${report.rowsKept}}""")
           0

@@ -86,7 +86,7 @@ object StreamJobConfig {
             .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty))
       }
     require(metrics.nonEmpty, "stream config needs at least one metric")
-    Conf(
+    val conf = Conf(
       jobId = str(root, "jobId"),
       sourceKind = str(source, "kind").toLowerCase,
       sourcePath = str(source, "path"),
@@ -113,6 +113,40 @@ object StreamJobConfig {
         },
       checkpoint = str(root, "checkpoint"),
       trigger = str(root, "trigger", Some("availableNow")))
+    val errs = validate(conf)
+    if (errs.nonEmpty) throw new IllegalArgumentException(
+      s"invalid stream job config:\n${errs.mkString("\n")}")
+    conf
+  }
+
+  /** Cross-reference validation, ALL errors collected (mirrors
+    * [[JobConfig.validate]]) — without it a typo'd check `base` starts the
+    * query fine and then persists a Failure row per finalized window for a
+    * metric that can never exist, instead of failing the config phase
+    * (exit 2). */
+  private[config] def validate(c: Conf): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    def dup(ids: Seq[String], what: String): Unit =
+      ids.groupBy(identity).filter(_._2.size > 1).keys
+        .foreach(id => errs += s"duplicate $what id '$id'")
+    dup(c.metrics.map(_.id), "metric")
+    dup(c.checks.map(_.id), "check")
+    val metricIds = c.metrics.map(_.id).toSet
+    c.checks.filter(ch => ch.kind.toUpperCase != "EXPRESSION" && !metricIds(ch.base))
+      .foreach(ch => errs += s"check '${ch.id}' references unknown metric '${ch.base}'")
+    c.checks.filter(ch => ch.kind.toUpperCase != "EXPRESSION" &&
+        ch.compareMetric.isEmpty && ch.threshold.isEmpty)
+      .foreach(ch => errs += s"check '${ch.id}' needs compareMetric or threshold")
+    c.checks.flatMap(ch => ch.compareMetric.map(ch.id -> _))
+      .filterNot { case (_, cm) => metricIds(cm) }
+      .foreach { case (id, cm) =>
+        errs += s"check '$id' compareMetric references unknown metric '$cm'" }
+    val refRe = "\\{\\{\\s*([\\w.\\-]+)\\s*\\}\\}".r
+    c.checks.flatMap(ch => ch.formula.map(ch.id -> _)).foreach { case (id, f) =>
+      refRe.findAllMatchIn(f).map(_.group(1)).filterNot(metricIds)
+        .foreach(ref => errs += s"formula of '$id' references unknown metric '$ref'")
+    }
+    errs.result()
   }
 
   private def trigger(c: Conf): Trigger = c.trigger.split(":", 2) match {
@@ -130,9 +164,15 @@ object StreamJobConfig {
     * the caller owns termination. */
   def start(spark: SparkSession, c: Conf)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // header defaults to true for csv but a user-supplied
+    // source.options.header wins — forcing it would read headerless files
+    // with the first DATA row as column names and drop one record per file
+    val csvHeader = c.sourceOptions.get("header")
+      .forall(_.equalsIgnoreCase("true"))
     val schema = c.sourceKind match {
       case "parquet" => spark.read.options(c.sourceOptions).parquet(c.sourcePath).schema
-      case "csv" => spark.read.options(c.sourceOptions + ("header" -> "true"))
+      case "csv" => spark.read
+        .options(c.sourceOptions + ("header" -> csvHeader.toString))
         .csv(c.sourcePath).schema
       case "json" => spark.read.options(c.sourceOptions).json(c.sourcePath).schema
       case other => throw new IllegalArgumentException(
@@ -143,7 +183,7 @@ object StreamJobConfig {
     val src = c.sourceKind match {
       case "parquet" => SourceReaders.parquet(spark, c.jobId, c.sourcePath, opts)
       case "csv" => SourceReaders.delimited(spark, c.jobId, c.sourcePath,
-        header = true, opts = opts)
+        header = csvHeader, opts = opts)
       case "json" => SourceReaders.json(spark, c.jobId, c.sourcePath, opts)
     }
     val rowMetrics: Seq[RowMetric] = c.metrics.map { m =>

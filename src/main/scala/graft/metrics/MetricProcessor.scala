@@ -134,7 +134,13 @@ object MetricProcessor {
     metrics.groupBy(_.columns).toSeq.flatMap { case (gcols, ms) =>
       val norm = normExpr(cfg) _
       val anyErrors = ms.exists(_.errorCondition.nonEmpty)
-      val groupAggs = ms.map(m => norm(m.groupResult)) ++
+      // re-alias the per-group aggregate to the NORMALIZED "<id>_grp" name:
+      // norm() lowercases the UnresolvedAttribute references inside
+      // finalResult/errorCondition but not Alias nodes, so a mixed-case
+      // metric id under a caseSensitive=true host session would otherwise
+      // leave the alias "MyId_grp" unresolvable from the lowered "myid_grp"
+      val groupAggs = ms.map(m =>
+        norm(m.groupResult).as(normName(cfg)(m.id) + "_grp")) ++
         (if (anyErrors)
           Seq(graft.functions.api.collect_list_limit(
             rowData(cfg, gcols), cfg.errorDumpSize).as("__grp_rows"))

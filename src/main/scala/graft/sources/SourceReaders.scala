@@ -196,8 +196,14 @@ object SourceReaders {
       user: Option[String], password: Option[String],
       connParams: Map[String, String] = Map.empty,
       sourceOptions: Map[String, String] = Map.empty): Map[String, String] = {
+    // three accepted spellings: a full jdbc: URL of ANY vendor (verbatim —
+    // blindly prefixing "jdbc:pivotal:greenplum://…" would corrupt it), a
+    // scheme-ful "postgresql://host…" paste (re-headed), or a bare
+    // "host:port/db" (prefixed). Anything else fails at connect time with
+    // the REAL url in the message rather than a doubled prefix.
     val jdbcUrl =
-      if (url.startsWith("jdbc:postgresql://")) url
+      if (url.startsWith("jdbc:")) url
+      else if (url.startsWith("postgresql://")) "jdbc:" + url
       else "jdbc:postgresql://" + url
     val base = Map("url" -> jdbcUrl, "dbtable" -> table) ++
       schema.map("dbschema" -> _) ++

@@ -48,6 +48,15 @@ final class ParquetDqStorage(spark: SparkSession, baseDir: String) extends DqSto
   private val jobStateDir = s"$baseDir/job_state"
   private val errorsDir = s"$baseDir/results_metric_errors"
 
+  /** nothing-written-yet probe through the Hadoop filesystem of the path's
+    * OWN scheme — `java.io.File` is always false for hdfs://, s3a:// etc.,
+    * which would make every stored row silently invisible to reads on the
+    * normal production locations for a parquet backend. */
+  private def pathExists(dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   override def saveMetrics(jobId: String, referenceTs: Instant,
       results: Seq[MetricResult]): Unit =
     results.map(r => (jobId, r.metricId, r.metricName, r.sourceId,
@@ -69,7 +78,7 @@ final class ParquetDqStorage(spark: SparkSession, baseDir: String) extends DqSto
 
   override def metricHistory(jobId: String, metricId: String,
       before: Instant): Seq[HistoryPoint] =
-    if (!new java.io.File(metricsDir).exists()) Nil
+    if (!pathExists(metricsDir)) Nil
     else spark.read.parquet(metricsDir)
       .filter(col("job_id") === jobId && col("metric_id") === metricId &&
         col("reference_ts") < lit(java.sql.Timestamp.from(before)))
@@ -92,7 +101,7 @@ final class ParquetDqStorage(spark: SparkSession, baseDir: String) extends DqSto
 
   override def metricErrors(jobId: String, metricId: String,
       before: Instant): Seq[String] =
-    if (!new java.io.File(errorsDir).exists()) Nil
+    if (!pathExists(errorsDir)) Nil
     else spark.read.parquet(errorsDir)
       .filter(col("job_id") === jobId && col("metric_id") === metricId &&
         col("reference_ts") < lit(java.sql.Timestamp.from(before)))
@@ -108,7 +117,7 @@ final class ParquetDqStorage(spark: SparkSession, baseDir: String) extends DqSto
       .write.mode(SaveMode.Append).parquet(jobStateDir)
 
   override def latestJobState(jobId: String, at: Instant): Option[String] =
-    if (!new java.io.File(jobStateDir).exists()) None
+    if (!pathExists(jobStateDir)) None
     else spark.read.parquet(jobStateDir)
       .filter(col("job_id") === jobId &&
         col("reference_ts") <= lit(java.sql.Timestamp.from(at)))

@@ -46,11 +46,20 @@ final class JdbcDqStorage(url: String,
     } finally s.close()
   }
 
-  /** true when `table` already exists (vendor-neutral: JDBC metadata,
-    * checked case-insensitively since vendors fold unquoted identifiers
-    * differently). */
+  /** true when `table` already exists in the CONNECTION'S OWN
+    * catalog+schema (vendor-neutral: JDBC metadata, checked
+    * case-insensitively since vendors fold unquoted identifiers
+    * differently). Scoping matters: a catalog-wide `getTables(null, null)`
+    * scan would let a same-named table in ANOTHER schema of a shared
+    * database satisfy the pre-ledger baseline probe, recording step 1 as
+    * applied without ever creating this schema's result tables. Drivers
+    * predating JDBC 4.1 `getSchema` (AbstractMethodError) fall back to the
+    * unscoped scan — the pre-4.1 behavior, no worse than before. */
   private def tableExists(table: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+    val md = conn.getMetaData
+    val cat = try Option(conn.getCatalog) catch { case _: Throwable => None }
+    val sch = try Option(conn.getSchema) catch { case _: Throwable => None }
+    val rs = md.getTables(cat.orNull, sch.orNull, "%", Array("TABLE"))
     try {
       var found = false
       while (!found && rs.next())
@@ -114,8 +123,8 @@ final class JdbcDqStorage(url: String,
         ps.setDouble(6, r.value)
         ps.setString(7, r.additional.getOrElse(""))
         ps.setTimestamp(8, Timestamp.from(referenceTs))
-        ps.setString(9, r.description.map(_.take(dialect.varcharWidth(2048))).orNull)
-        ps.setString(10, r.metadata.map(_.take(dialect.varcharWidth(2048))).orNull)
+        ps.setString(9, r.description.map(dialect.clamp(_, 2048)).orNull)
+        ps.setString(10, r.metadata.map(dialect.clamp(_, 2048)).orNull)
         ps.addBatch()
       }
       ps.executeBatch()
@@ -140,11 +149,11 @@ final class JdbcDqStorage(url: String,
         ps.setString(4, c.baseMetric)
         ps.setString(5, if (c.status) "Success" else "Failure")
         // truncate to the width the DIALECT actually rendered (oracle: 4000)
-        ps.setString(6, c.message.take(dialect.varcharWidth(4096)))
+        ps.setString(6, dialect.clamp(c.message, 4096))
         ps.setTimestamp(7, Timestamp.from(referenceTs))
         ps.setBoolean(8, c.critical)
-        ps.setString(9, c.description.map(_.take(dialect.varcharWidth(2048))).orNull)
-        ps.setString(10, c.metadata.map(_.take(dialect.varcharWidth(2048))).orNull)
+        ps.setString(9, c.description.map(dialect.clamp(_, 2048)).orNull)
+        ps.setString(10, c.metadata.map(dialect.clamp(_, 2048)).orNull)
         ps.addBatch()
       }
       ps.executeBatch()
@@ -162,8 +171,7 @@ final class JdbcDqStorage(url: String,
       for (r <- results; row <- r.errors.distinct) {
         ps.setString(1, jobId)
         ps.setString(2, r.metricId)
-        ps.setString(3, row.mkString("[", ",", "]")
-          .take(dialect.varcharWidth(4096)))
+        ps.setString(3, dialect.clamp(row.mkString("[", ",", "]"), 4096))
         ps.setString(4, (row.hashCode.toLong & 0xffffffffL).toString)
         ps.setTimestamp(5, Timestamp.from(referenceTs))
         ps.addBatch()

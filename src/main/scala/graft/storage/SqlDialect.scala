@@ -20,6 +20,12 @@ sealed trait SqlDialect {
     * truncate payloads to this, so a value can never exceed the column
     * the dialect rendered (oracle clamps to 4000). */
   def varcharWidth(n: Int): Int = n
+  /** truncate a payload to fit `varchar(n)` on this vendor. Default is a
+    * plain char cut; Oracle overrides with a byte-aware cut because
+    * VARCHAR2 caps BYTES under the default NLS_LENGTH_SEMANTICS, where a
+    * char-count `take` still overflows on multibyte text (ORA-12899). */
+  def clamp(s: String, n: Int): String =
+    if (s == null) null else s.take(varcharWidth(n))
   /** 8-byte IEEE double. */
   def double: String = "DOUBLE"
   /** timestamp without zone. */
@@ -58,6 +64,11 @@ object SqlDialect {
   case object MySql extends SqlDialect {
     val name = "mysql"
     override def clob: String = "LONGTEXT"
+    // NOT the inherited TIMESTAMP: mysql TIMESTAMP ranges 1970..2038-01-19
+    // (pre-1970 backfills and post-2038 reference dates fail the insert in
+    // strict mode) and defaults to precision 0, which would erase the
+    // sub-second ordering latestJobState's tie-break relies on
+    override def timestamp: String = "DATETIME(6)"
   }
 
   case object SqlServer extends SqlDialect {
@@ -78,9 +89,27 @@ object SqlDialect {
 
   case object Oracle extends SqlDialect {
     val name = "oracle"
-    // VARCHAR2 caps at 4000 bytes — longer payloads clamp to the cap
+    // VARCHAR2 caps at 4000 BYTES (default NLS_LENGTH_SEMANTICS=BYTE, and
+    // even `n CHAR` columns keep the 4000-byte storage cap without
+    // MAX_STRING_SIZE=EXTENDED) — so the column renders the byte width and
+    // clamp() cuts by encoded UTF-8 bytes, not chars
     override def varchar(n: Int): String = s"VARCHAR2(${varcharWidth(n)})"
     override def varcharWidth(n: Int): Int = math.min(n, 4000)
+    override def clamp(s: String, n: Int): String = {
+      if (s == null) return null
+      val maxBytes = varcharWidth(n)
+      var bytes = 0
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val w = if (cp < 0x80) 1 else if (cp < 0x800) 2
+          else if (cp < 0x10000) 3 else 4
+        if (bytes + w > maxBytes) return s.substring(0, i)
+        bytes += w
+        i += Character.charCount(cp) // whole code points: pairs never split
+      }
+      s
+    }
     override def double: String = "BINARY_DOUBLE"
     override def boolean: String = "NUMBER(1)" // pre-23c oracle has no BOOLEAN
     override def booleanLiteral(b: Boolean): String = if (b) "1" else "0"

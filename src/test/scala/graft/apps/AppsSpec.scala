@@ -45,6 +45,10 @@ class AppsSpec extends AnyFunSuite with Matchers {
     CliOptions.parse(Array("-j", "a.conf", "-d", "not-a-date")).isLeft shouldBe true
     CliOptions.parse(Array("-j", "a.conf", "--nope")).isLeft shouldBe true
     CliOptions.parse(Array("-j", "a.conf", "-e", "malformed")).isLeft shouldBe true
+    // report-line escaping: jobIds are free text, the one-line JSON must
+    // stay machine-readable
+    CliOptions.jsonEscape("""qf "aug" \ tab	end""") shouldBe
+      """qf \"aug\" \\ tab\tend"""
   }
 
   test("batch app E2E: passing job exits 0 and persists results; failing check exits 1; bad config exits 2") {
@@ -185,5 +189,68 @@ class AppsSpec extends AnyFunSuite with Matchers {
     // c_nulls: every 10-min window holds 2 nulls (one per 5 minutes) -> Failure
     cs.filter(col("check_id") === "c_nulls")
       .select("status").collect().foreach(_.getString(0) shouldBe "Failure")
+
+    // a typo'd check base is a CONFIG error (exit 2, before the query
+    // starts) — not a per-window Failure row for a metric that can never
+    // exist
+    val typo = writeConf(dir, "typo_stream.conf",
+      s"""sink = null
+         |storage = {kind = parquet, location = "$dir/dq_typo"}
+         |checks = [{id = c_bad, kind = GREATER_THAN, base = rcnt, threshold = 0.0}]
+         |checkpoint = "$dir/ckpt_typo"
+         |""".stripMargin)
+    GraftDqStreamApp.run(Array("-j", s"$conf,$typo", "-s")) shouldBe 2
+    new java.io.File(s"$dir/dq_typo").exists() shouldBe false
+  }
+
+  test("csv stream source: user header=false wins over the csv default") {
+    val dir = tmp("stream_csv")
+    // headerless files: epoch-seconds, value — a forced header=true would
+    // eat the first DATA row of every file and name columns after it
+    val base = java.time.Instant.parse("2026-08-18T00:00:00Z").getEpochSecond
+    (0 until 3).foreach { f =>
+      val lines = (0 until 20).map(i => s"${base + (f * 20 + i) * 60L},v$i")
+      Files.writeString(
+        java.nio.file.Paths.get(dir, s"part$f.csv"),
+        lines.mkString("", "\n", "\n"))
+    }
+    val conf = writeConf(dir, "csv_stream.conf",
+      s"""jobId = csv_stream
+         |source = {kind = csv, path = "$dir/part*.csv",
+         |          options = {header = "false", inferSchema = "true"}}
+         |window = {timeMode = custom,
+         |          tsExpr = "timestamp_seconds(CAST(_c0 AS BIGINT))",
+         |          duration = "10 minutes", watermark = "0 seconds"}
+         |metrics = [{id = rc, name = ROW_COUNT, columns = []}]
+         |sink = {path = "$dir/out"}
+         |checkpoint = "$dir/ckpt"
+         |trigger = availableNow
+         |""".stripMargin)
+    GraftDqStreamApp.run(Array("-j", conf, "-s")) shouldBe 0
+    val out = spark.read.parquet(s"$dir/out")
+    // 60 rows over 10-min tumbling windows; append holds back the last
+    // window -> exactly the first 5 windows × 10 rows. 50 EXACTLY proves no
+    // first-line-per-file loss (a forced header would leave ≤ 47).
+    out.count() shouldBe 5L
+    out.agg(sum(col("rc"))).collect().head.getDouble(0) shouldBe 50.0
+  }
+
+  test("--shared reuses the host session untouched (no conf re-pointing)") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val opts = CliOptions.parse(Array("-j", "x.conf", "-s")).toOption.get
+      val s = GraftDqBatchApp.buildSession(opts, "graft-test")
+      (s should be).theSameInstanceAs(spark)
+      // the standalone defaults (UTC, AQE on) must NOT leak onto the host:
+      // getOrCreate applies .config(...) values to an existing session
+      s.conf.get("spark.sql.session.timeZone") shouldBe "America/New_York"
+      s.conf.get("spark.sql.adaptive.enabled") shouldBe "false"
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 }

@@ -70,6 +70,22 @@ class CaseSensitivitySpec extends AnyFunSuite with Matchers {
     } finally spark.conf.set("spark.sql.caseSensitive", "false")
   }
 
+  test("grouping metric with a MIXED-CASE id survives a caseSensitive=true host") {
+    // the "<id>_grp" stage alias must be normalized along with the
+    // references to it: norm() rewrites UnresolvedAttributes but not Alias
+    // nodes, so an un-normalized alias "MyDistinct_grp" would be
+    // unresolvable from the lowered "mydistinct_grp" reference
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val cfg = MetricProcessor.Config(caseSensitive = false)
+      val r = MetricProcessor.processGroupingMetrics(mixed,
+        Seq(DistinctValuesMetric("MyDistinct", Seq("ROW_KEY")),
+          DuplicateValuesMetric("DupVals", Seq("Row_Key"))), cfg)
+      r.find(_.metricId == "MyDistinct").get.value shouldBe 4.0
+      r.find(_.metricId == "DupVals").get.value shouldBe 0.0
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
   test("normalization Project is alias-only: column pruning still reaches the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("case_prune").toString
     // wide mixed-case table; the metric touches ONE column

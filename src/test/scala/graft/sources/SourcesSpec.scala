@@ -301,9 +301,16 @@ class SourcesSpec extends AnyFunSuite with Matchers {
     opts("password") shouldBe "secret"
     opts("pool.maxSize") shouldBe "8"
     opts("partitionColumn") shouldBe "id"
-    // an already-jdbc url passes through untouched
+    // an already-jdbc url passes through untouched — ANY vendor spelling,
+    // incl. the Pivotal connector's own; prefixing those would corrupt them
     SourceReaders.greenplumOptions("jdbc:postgresql://h/db", "t", None, None,
       None)("url") shouldBe "jdbc:postgresql://h/db"
+    SourceReaders.greenplumOptions("jdbc:pivotal:greenplum://h;DatabaseName=db",
+      "t", None, None, None)("url") shouldBe
+      "jdbc:pivotal:greenplum://h;DatabaseName=db"
+    // a scheme-ful paste is re-headed, not double-prefixed
+    SourceReaders.greenplumOptions("postgresql://h:5432/db", "t", None, None,
+      None)("url") shouldBe "jdbc:postgresql://h:5432/db"
     // per-source options override connection params (ref :80: ++ ordering)
     SourceReaders.greenplumOptions("h/db", "t", None, None, None,
       connParams = Map("fetchsize" -> "100"),

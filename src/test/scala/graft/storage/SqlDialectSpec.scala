@@ -36,6 +36,12 @@ class SqlDialectSpec extends AnyFunSuite with Matchers {
     ddl(SqlDialect.SqlServer) should include("FLOAT")
     ddl(SqlDialect.Sqlite) should include("REAL")
     ddl(SqlDialect.MySql) should include("DOUBLE")
+    // mysql timestamps render DATETIME(6), not TIMESTAMP: mysql TIMESTAMP
+    // ranges 1970..2038 (pre-1970 backfills / 2039+ reference dates fail
+    // strict-mode inserts) and precision 0 would erase the sub-second
+    // execution_ts ordering latestJobState's tie-break needs
+    ddl(SqlDialect.MySql) should include("DATETIME(6)")
+    (ddl(SqlDialect.MySql) should not).include("TIMESTAMP")
     ddl(SqlDialect.H2) should include("VARCHAR(2048)")
     // job_state config column (step 2) + is_critical ALTER (step 3)
     ddl(SqlDialect.Postgres) should include("config TEXT")
@@ -62,6 +68,29 @@ class SqlDialectSpec extends AnyFunSuite with Matchers {
       steps.flatMap(_._2).mkString should include("results_metrics")
       steps.flatMap(_._2).mkString should include("results_checks")
     }
+  }
+
+  test("clamp fits the payload to the column the dialect rendered") {
+    // default dialects cut by chars to the width they actually rendered
+    SqlDialect.Postgres.clamp("a" * 5000, 4096) should have length 4096
+    SqlDialect.Postgres.clamp("a" * 5000, 4096).length shouldBe
+      SqlDialect.Postgres.varcharWidth(4096)
+    SqlDialect.Derby.clamp(null, 4096) shouldBe null
+    SqlDialect.Derby.clamp("short", 4096) shouldBe "short"
+    // oracle VARCHAR2 caps BYTES (NLS_LENGTH_SEMANTICS=BYTE): a char-count
+    // take of 3-byte CJK text would still overflow with ORA-12899
+    val cjk = "漢" * 4000 // 3 UTF-8 bytes each = 12000 bytes
+    val clamped = SqlDialect.Oracle.clamp(cjk, 4096)
+    clamped.getBytes("UTF-8").length should be <= 4000
+    clamped should have length 1333 // floor(4000/3)
+    // surrogate pairs are never split: the cut lands on a code-point edge
+    val emoji = "😀" * 2000 // 4 bytes / 2 chars each
+    val ce = SqlDialect.Oracle.clamp(emoji, 4096)
+    ce.getBytes("UTF-8").length should be <= 4000
+    ce.length % 2 shouldBe 0
+    Character.isHighSurrogate(ce.last) shouldBe false
+    // pure-ASCII text keeps the full byte budget
+    SqlDialect.Oracle.clamp("x" * 5000, 4096) should have length 4000
   }
 
   test("live Derby: versioned ledger applies once, reconnects reuse, failures surface") {
