@@ -41,8 +41,17 @@ final class ParquetCorpusStore(baseDir: String, saltBuckets: Int = 16)
   override def appendLineage(l: DataFrame): Unit =
     l.write.mode(SaveMode.Append).parquet(lineageDir)
 
+  /** no-lineage-yet probe through the Hadoop filesystem of the path's own
+    * scheme: `java.io.File` is always false for hdfs://, s3a:// — on the
+    * production store that would make EVERY restart read "nothing done"
+    * and re-run the full corpus, silently defeating resume. */
+  private def lineageExists(spark: SparkSession): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(lineageDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   override def completedPartitions(spark: SparkSession, jobId: String): Set[Int] =
-    if (!new java.io.File(lineageDir).exists()) Set.empty
+    if (!lineageExists(spark)) Set.empty
     else readLineage(spark)
       .filter(col("job_id") === jobId && col("stage") === "verdict")
       .select("partition_id").distinct().collect()
