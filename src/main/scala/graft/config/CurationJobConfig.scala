@@ -34,7 +34,11 @@ object CurationJobConfig {
       taggers: Seq[TaggerConf],   // empty → builtin set over textCol
       rules: Seq[RuleConf],
       keptPath: Option[String],   // write kept corpus rows here
-      metricsStorage: Option[JobConfig.StorageConf])
+      metricsStorage: Option[JobConfig.StorageConf],
+      /** reader options passed through (csv header defaults true but a
+        * user-supplied header/sep/... wins — same contract as the stream
+        * config's source.options). */
+      sourceOptions: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -53,6 +57,10 @@ object CurationJobConfig {
       jobId = str(root, "jobId"),
       sourceKind = str(src, "kind", Some("parquet")),
       sourcePath = str(src, "path"),
+      sourceOptions = Option(src.get("options")).map { o =>
+        import scala.jdk.CollectionConverters._
+        o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      }.getOrElse(Map.empty),
       idCols = Option(root.get("idCols"))
         .map(n => (0 until n.size).map(n.get(_).asText()))
         .getOrElse(Seq("doc_id")),
@@ -111,8 +119,9 @@ object CurationJobConfig {
     // never clobber a host-registered function of the same name
     graft.functions.GraftFunctions.registerIfAbsent(spark)
     val corpus: DataFrame = c.sourceKind match {
-      case "parquet" => spark.read.parquet(c.sourcePath)
-      case "csv" => spark.read.option("header", "true").csv(c.sourcePath)
+      case "parquet" => spark.read.options(c.sourceOptions).parquet(c.sourcePath)
+      case "csv" => spark.read
+        .options(Map("header" -> "true") ++ c.sourceOptions).csv(c.sourcePath)
     }
     val taggers: Seq[Tagger] =
       if (c.taggers.isEmpty) TaggerMixer.builtinTaggers(col(c.textCol))

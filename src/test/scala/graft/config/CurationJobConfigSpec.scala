@@ -97,6 +97,28 @@ class CurationJobConfigSpec extends AnyFunSuite with Matchers {
     errs.size should be >= 7
   }
 
+  test("csv source honors user reader options (header=false over the default)") {
+    val dir = java.nio.file.Files.createTempDirectory("curation_csv")
+    // headerless file: doc_id,text — the default header=true would eat the
+    // first data row and name the columns after its values
+    java.nio.file.Files.writeString(dir.resolve("docs.csv"),
+      "d1,plain text one\nd2,plain text two\nd3,x\n")
+    val conf = CurationJobConfig.parse(
+      s"""{
+         |  "jobId": "curate_csv",
+         |  "source": {"kind": "csv", "path": "$dir/docs.csv",
+         |             "options": {"header": "false"}},
+         |  "idCols": ["_c0"],
+         |  "textCol": "_c1",
+         |  "taggers": [{"name": "len", "expr": "length(_c1)"}],
+         |  "rules": [{"name": "long_enough", "sql": "len >= 5"}]
+         |}""".stripMargin)
+    conf.sourceOptions shouldBe Map("header" -> "false")
+    val r = CurationJobConfig.run(spark, conf)
+    r.files shouldBe 3   // all three rows read — none lost to a forced header
+    r.kept shouldBe 2    // d3's text "x" fails len >= 5
+  }
+
   test("custom SQL taggers replace the builtin set") {
     val conf = CurationJobConfig.Conf("j", "parquet", srcPath, Seq("doc_id"),
       "text",
