@@ -25,7 +25,14 @@ object GraftDqBatchApp {
       case Left(err) =>
         System.err.println(err); System.err.println(CliOptions.usage); 2
       case Right(opts) =>
-        val spark = buildSession(opts, "graft-dq-batch")
+        // session-build failure (e.g. no master and no --local, no host
+        // session to share) is a configuration error — exit 2, never an
+        // uncaught crash (ADVICE r5)
+        val spark = try buildSession(opts, "graft-dq-batch") catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"cannot build spark session: ${e.getMessage}")
+            return 2
+        }
         try {
           // config phase: ANY failure here (missing file, malformed JSON,
           // unreadable source, validation error) is exit 2 — the CI
@@ -65,7 +72,19 @@ object GraftDqBatchApp {
     * shifting the host's own timestamps. Standalone runs get the scale
     * defaults this engine assumes (UTC, AQE on). */
   private[apps] def buildSession(opts: CliOptions, appName: String): SparkSession = {
-    if (opts.shared) return SparkSession.builder().getOrCreate()
+    // --shared reuses the HOST's session when one exists; with no host
+    // session there is nothing to share, so fall through to the standalone
+    // build (where --local supplies the master, restoring the pre-r5
+    // `--shared --local` behavior). A bare getOrCreate here would throw
+    // 'A master URL must be set' BEFORE the config-phase try and escape
+    // run() as an uncaught crash instead of a clean exit (ADVICE r5).
+    if (opts.shared) {
+      val host = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      host match {
+        case Some(s) => return s
+        case None => // no host session — build one below
+      }
+    }
     val b = SparkSession.builder().appName(appName)
     if (opts.local) b.master("local[*]")
     val spark = b.config("spark.sql.adaptive.enabled", "true")

@@ -21,7 +21,11 @@ object GraftDqStreamApp {
       case Left(err) =>
         System.err.println(err); System.err.println(CliOptions.usage); 2
       case Right(opts) =>
-        val spark = GraftDqBatchApp.buildSession(opts, "graft-dq-stream")
+        val spark = try GraftDqBatchApp.buildSession(opts, "graft-dq-stream") catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"cannot build spark session: ${e.getMessage}")
+            return 2
+        }
         try {
           // config phase (parse + source-schema bootstrap + query start):
           // any failure is exit 2 — see GraftDqBatchApp on the contract

@@ -75,7 +75,11 @@ object GraftFilterApp {
       case Left(err) =>
         System.err.println(err); System.err.println(CliOptions.usage); 2
       case Right(opts) =>
-        val spark = GraftDqBatchApp.buildSession(opts, "graft-quality-filter")
+        val spark = try GraftDqBatchApp.buildSession(opts, "graft-quality-filter") catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"cannot build spark session: ${e.getMessage}")
+            return 2
+        }
         try {
           // config phase: any failure (missing file, malformed config,
           // unreadable input) is exit 2 — see GraftDqBatchApp

@@ -137,6 +137,15 @@ object StreamJobConfig {
     c.checks.filter(ch => ch.kind.toUpperCase != "EXPRESSION" &&
         ch.compareMetric.isEmpty && ch.threshold.isEmpty)
       .foreach(ch => errs += s"check '${ch.id}' needs compareMetric or threshold")
+    // parity with JobConfig.validate (ADVICE r5): these two rules were
+    // batch-only, so a bad stream config passed validation and died later
+    // with ONE exception from inside start() — after the schema-bootstrap
+    // read — defeating the collect-ALL-errors contract above
+    c.checks.filter(ch => ch.kind.toUpperCase == "DIFFER_BY_LT" &&
+        (ch.compareMetric.isEmpty || ch.threshold.isEmpty))
+      .foreach(ch => errs += s"DIFFER_BY_LT check '${ch.id}' needs BOTH compareMetric and threshold")
+    c.checks.filter(ch => ch.kind.toUpperCase == "EXPRESSION" && ch.formula.isEmpty)
+      .foreach(ch => errs += s"expression check '${ch.id}' needs a formula")
     c.checks.flatMap(ch => ch.compareMetric.map(ch.id -> _))
       .filterNot { case (_, cm) => metricIds(cm) }
       .foreach { case (id, cm) =>

@@ -309,5 +309,22 @@ object JdbcDqStorage {
       d.addNullableColumn("results_metrics", "description", d.varchar(2048)),
       d.addNullableColumn("results_metrics", "metadata", d.varchar(2048)),
       d.addNullableColumn("results_checks", "description", d.varchar(2048)),
-      d.addNullableColumn("results_checks", "metadata", d.varchar(2048))))
+      d.addNullableColumn("results_checks", "metadata", d.varchar(2048))),
+    // mysql timestamp-range/precision fix AS A LEDGER STEP (ADVICE r5):
+    // mysql TIMESTAMP ranges 1970..2038-01-19 (pre-1970 backfills and
+    // post-2038 reference dates fail strict-mode inserts) and precision 0
+    // erases the sub-second execution_ts ordering latestJobState's
+    // tie-break needs. Round 5 fixed this by overriding the rendering of
+    // steps 1-3 in place, which violated the append-only contract above —
+    // databases whose ledger already recorded those steps silently kept
+    // TIMESTAMP(0). This step ALTERs the columns instead, so old and new
+    // mysql databases both end on DATETIME(6); every other vendor records
+    // the version with nothing to run.
+    5 -> (if (d.name == "mysql") Seq(
+      "ALTER TABLE results_metrics MODIFY reference_ts DATETIME(6) NOT NULL",
+      "ALTER TABLE results_checks MODIFY reference_ts DATETIME(6) NOT NULL",
+      "ALTER TABLE results_metric_errors MODIFY reference_ts DATETIME(6) NOT NULL",
+      "ALTER TABLE job_state MODIFY reference_ts DATETIME(6) NOT NULL",
+      "ALTER TABLE job_state MODIFY execution_ts DATETIME(6) NOT NULL")
+    else Nil))
 }

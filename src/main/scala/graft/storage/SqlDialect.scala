@@ -25,7 +25,17 @@ sealed trait SqlDialect {
     * VARCHAR2 caps BYTES under the default NLS_LENGTH_SEMANTICS, where a
     * char-count `take` still overflows on multibyte text (ORA-12899). */
   def clamp(s: String, n: Int): String =
-    if (s == null) null else s.take(varcharWidth(n))
+    if (s == null) null
+    else {
+      val cut = s.take(varcharWidth(n))
+      // String.take counts UTF-16 chars and can land exactly between the
+      // halves of a surrogate pair; a trailing lone high surrogate is
+      // malformed UTF-16 that some drivers reject or mangle on insert —
+      // drop it so the cut always ends on a code-point boundary (ADVICE r5)
+      if (cut.nonEmpty && cut.length < s.length &&
+          Character.isHighSurrogate(cut.last)) cut.dropRight(1)
+      else cut
+    }
   /** 8-byte IEEE double. */
   def double: String = "DOUBLE"
   /** timestamp without zone. */
@@ -64,11 +74,15 @@ object SqlDialect {
   case object MySql extends SqlDialect {
     val name = "mysql"
     override def clob: String = "LONGTEXT"
-    // NOT the inherited TIMESTAMP: mysql TIMESTAMP ranges 1970..2038-01-19
-    // (pre-1970 backfills and post-2038 reference dates fail the insert in
-    // strict mode) and defaults to precision 0, which would erase the
-    // sub-second ordering latestJobState's tie-break relies on
-    override def timestamp: String = "DATETIME(6)"
+    // timestamp stays the inherited TIMESTAMP — NOT because it is right for
+    // mysql (TIMESTAMP ranges 1970..2038-01-19 and precision 0 erases the
+    // sub-second ordering latestJobState's tie-break relies on), but
+    // because migration steps 1-3 are an APPEND-ONLY ledger: databases
+    // that already recorded those steps rendered TIMESTAMP, and changing
+    // the rendering in place (round 5 did) silently leaves them on the old
+    // type with no signal. The range/precision fix ships as migration step
+    // 5 instead — ALTER ... MODIFY ... DATETIME(6) on mysql only — which
+    // upgrades old and new databases alike through the ledger (ADVICE r5).
   }
 
   case object SqlServer extends SqlDialect {

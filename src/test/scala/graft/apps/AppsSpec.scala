@@ -92,6 +92,10 @@ class AppsSpec extends AnyFunSuite with Matchers {
     // a recognized option missing its value says so
     CliOptions.parse(Array("-s", "-j")) shouldBe
       Left("option '-j' requires a value")
+    // --shared with a live host session shares it even when --local is
+    // also set; a missing config is still exit 2, never an uncaught
+    // 'A master URL must be set' crash (ADVICE r5)
+    GraftDqBatchApp.run(Array("-j", "/no/such.conf", "-s", "-l")) shouldBe 2
   }
 
   test("filter app E2E: flagship pipeline via spark-submit shape, partition-resumable") {

@@ -333,4 +333,20 @@ class JobConfigSpec extends AnyFunSuite with Matchers {
     spark.read.parquet(s"$dir/results_checks")
       .select("description").collect().head.getString(0) shouldBe "rows sanity"
   }
+
+  test("stream validate collects DIFFER_BY_LT and EXPRESSION violations (batch parity, ADVICE r5)") {
+    // these two rules were batch-only: a bad stream config passed
+    // validation and died later with ONE exception from inside start(),
+    // after the schema-bootstrap read, defeating collect-ALL-errors
+    val checks = Seq(
+      JobConfig.CheckConf("k1", "DIFFER_BY_LT", "m1", None, Some(0.1), None, false),
+      JobConfig.CheckConf("k2", "EXPRESSION", "", None, None, None, false))
+    val conf = StreamJobConfig.Conf("j", "parquet", "/p", Map.empty, "event",
+      "ts", None, "10 minutes", "5 minutes", None,
+      Seq(JobConfig.MetricConf("m1", "ROW_COUNT", "stream", Nil, Map.empty)),
+      Some("/sink"), None, checks, "/cp", "availableNow")
+    val errs = StreamJobConfig.validate(conf)
+    errs.exists(_.contains("DIFFER_BY_LT check 'k1' needs BOTH")) shouldBe true
+    errs.exists(_.contains("expression check 'k2' needs a formula")) shouldBe true
+  }
 }

@@ -36,12 +36,21 @@ class SqlDialectSpec extends AnyFunSuite with Matchers {
     ddl(SqlDialect.SqlServer) should include("FLOAT")
     ddl(SqlDialect.Sqlite) should include("REAL")
     ddl(SqlDialect.MySql) should include("DOUBLE")
-    // mysql timestamps render DATETIME(6), not TIMESTAMP: mysql TIMESTAMP
-    // ranges 1970..2038 (pre-1970 backfills / 2039+ reference dates fail
-    // strict-mode inserts) and precision 0 would erase the sub-second
-    // execution_ts ordering latestJobState's tie-break needs
-    ddl(SqlDialect.MySql) should include("DATETIME(6)")
-    (ddl(SqlDialect.MySql) should not).include("TIMESTAMP")
+    // mysql: steps 1-3 render the inherited TIMESTAMP (the append-only
+    // ledger recorded exactly that on existing databases), and the
+    // range/precision fix — TIMESTAMP caps at 2038-01-19 and precision 0
+    // erases execution_ts sub-second ordering — is step 5's ALTERs to
+    // DATETIME(6), mysql-only (ADVICE r5: an in-place rendering change
+    // never reaches a database whose ledger already recorded the step)
+    ddl(SqlDialect.MySql) should include("TIMESTAMP")
+    ddl(SqlDialect.MySql) should include(
+      "ALTER TABLE job_state MODIFY execution_ts DATETIME(6) NOT NULL")
+    JdbcDqStorage.migrations(SqlDialect.MySql)
+      .find(_._1 == 5).get._2 should have size 5
+    // step 5 is a mysql-only upgrade: everyone else records it empty
+    SqlDialect.all.filterNot(_ == SqlDialect.MySql).foreach { d =>
+      JdbcDqStorage.migrations(d).find(_._1 == 5).get._2 shouldBe empty
+    }
     ddl(SqlDialect.H2) should include("VARCHAR(2048)")
     // job_state config column (step 2) + is_critical ALTER (step 3)
     ddl(SqlDialect.Postgres) should include("config TEXT")
@@ -91,6 +100,15 @@ class SqlDialectSpec extends AnyFunSuite with Matchers {
     Character.isHighSurrogate(ce.last) shouldBe false
     // pure-ASCII text keeps the full byte budget
     SqlDialect.Oracle.clamp("x" * 5000, 4096) should have length 4000
+    // the DEFAULT clamp is char-counted but must also never cut through a
+    // surrogate pair (ADVICE r5): 4095 ASCII chars + emoji puts the pair
+    // exactly across the 4096-char cut — the lone high surrogate is
+    // dropped, and untruncated strings pass through untouched
+    val edge = "a" * 4095 + "😀"
+    val cut = SqlDialect.Postgres.clamp(edge, 4096)
+    cut should have length 4095
+    Character.isHighSurrogate(cut.last) shouldBe false
+    SqlDialect.Postgres.clamp("b" * 4095 + "😀", 4097) shouldBe ("b" * 4095 + "😀")
   }
 
   test("live Derby: versioned ledger applies once, reconnects reuse, failures surface") {
