@@ -1,0 +1,72 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Round-6 optimization instrumentation (guide §1): for each named query
+  * (default: all), mirrors Bench's session + methodology — table caches
+  * warmed, noop sink, best-of-N — and writes the FULL formatted plan to
+  * `plans/r06/<query>_<suffix>.txt` plus one `TIMER` line per query.
+  * This is a measurement side-car; the frozen Bench main is untouched.
+  *
+  * Usage: runMain graft.examples.PlanDumpR06 <suffix> [query ...]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
+  *      SPARK_GRAFT_REPS (default 3).
+  */
+object PlanDumpR06 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val suffix = if (args.nonEmpty) args(0) else "before"
+    val only = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"plan-dump-r06")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val outDir = java.nio.file.Paths.get("plans/r06")
+    java.nio.file.Files.createDirectories(outDir)
+    // same cache warmup as Bench: charge shared-table reads to nobody
+    val tableCaches = new java.io.File(sfDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+        val df = spark.read.parquet(f.getPath).persist()
+        df.count()
+        df
+      }
+    graft.SparkEntry.queries("q1_agg")(spark, sfDir).count() // JIT warmup
+    val named = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to reps).foreach { _ =>
+      named.foreach { case (name, fn) =>
+        spark.sparkContext.setJobDescription(s"r06 $name")
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        } catch { case e: Throwable =>
+          System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+        }
+      }
+    }
+    named.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        java.nio.file.Files.writeString(outDir.resolve(s"${name}_$suffix.txt"), plan)
+      } catch { case e: Throwable =>
+        System.err.println(s"[plandump] plan for $name failed: ${e.getMessage}")
+      }
+      println(f"TIMER $name ${best.getOrElse(name, -1.0)}%.3f")
+    }
+    tableCaches.foreach(_.unpersist())
+    spark.stop()
+  }
+}

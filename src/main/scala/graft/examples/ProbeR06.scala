@@ -1,0 +1,86 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-6 phase probes (guide §1: decide where the time goes before
+  * touching anything). Times isolated legs of the queries the r6 round is
+  * examining; noop-sink, best-of-3, labeled jobs. */
+object ProbeR06 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").persist()
+    li.count()
+    def time(name: String)(body: => Unit): Unit = {
+      val best = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"PROBE $name $best%.3f")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // ---- q_formatted_date legs ----
+    time("fd_scan_only") { noop(li.agg(count(col("l_shipdate")).as("c"))) }
+    time("fd_format_only") {
+      noop(li.agg(count(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("c")))
+    }
+    time("fd_parseable_leg") {
+      noop(li.agg(sum(when(try_to_timestamp(date_format(col("l_shipdate"), "yyyy-MM-dd"),
+        lit("yyyy-MM-dd")).isNotNull, 1L).otherwise(0L)).as("parseable")))
+    }
+    time("fd_unparseable_leg") {
+      noop(li.agg(sum(when(try_to_timestamp(col("l_returnflag"),
+        lit("yyyy-MM-dd")).isNotNull, 1L).otherwise(0L)).as("unparseable")))
+    }
+    time("fd_parse_date_leg") {
+      noop(li.agg(sum(when(try_to_timestamp(col("l_shipdate").cast("string"),
+        lit("yyyy-MM-dd")).isNotNull, 1L).otherwise(0L)).as("p")))
+    }
+
+    // ---- ngram jaccard phases over documents ----
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").persist()
+    docs.count()
+    import graft.functions.VectorTextExprs.shingle_hashes
+    time("nj_shingle_only") {
+      noop(docs.select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
+        .select(sum(size(col("sh")))))
+    }
+    time("nj_full_op") {
+      noop(graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, tau = 0.7))
+    }
+    time("nj_full_noest") {
+      noop(graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, tau = 0.7, estimateFilter = false))
+    }
+
+    // ---- q_ppl_buckets: verdicts cost vs full query ----
+    import graft.corpus.{CorpusGen, CorpusSpec}
+    import graft.pipeline.{FilterConfig, QualityFilter}
+    time("ppl_verdicts_once") {
+      val corpus = CorpusGen.corpus(spark, CorpusSpec(nFiles = 2000)).toDF
+      noop(QualityFilter.verdicts(corpus, FilterConfig())
+        .select(col("repo"), col("path"), col("lang_pred"), col("kn_ppl")))
+    }
+    time("ppl_buckets_full") {
+      val corpus = CorpusGen.corpus(spark, CorpusSpec(nFiles = 2000)).toDF
+      val v = QualityFilter.verdicts(corpus, FilterConfig())
+        .select(col("repo"), col("path"), col("lang_pred"), col("kn_ppl"))
+      noop(graft.operators.Sampling.quantileBuckets(v, "lang_pred", "kn_ppl",
+        Seq(1.0 / 3, 2.0 / 3), Seq("head", "middle", "tail")))
+    }
+    spark.stop()
+  }
+}

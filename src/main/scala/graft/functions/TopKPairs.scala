@@ -94,13 +94,23 @@ case class TopKPairs(
 
 object TopKPairs {
   /** Size-bounded min-heap over (score, id) with worst element on top;
-    * "better" = higher score, ties to the smaller id. */
+    * "better" = higher score, ties to the smaller id. Backing arrays grow
+    * geometrically up to k instead of pre-allocating k slots: a group with
+    * g << k members costs O(g) memory, which is what lets very large k
+    * (e.g. the KN type-table bound, maxTypes up to Int.MaxValue) share this
+    * aggregate without allocating the worst case per group per task. */
   final class Heap(k: Int) {
     // (score, id) pairs in two parallel arrays forming a binary heap whose
     // root is the WORST kept element
-    private val scores = new Array[Double](k)
-    private val ids = new Array[Long](k)
+    private var scores = new Array[Double](math.min(k, 16))
+    private var ids = new Array[Long](math.min(k, 16))
     var size: Int = 0
+
+    private def grow(): Unit = {
+      val cap = math.min(k.toLong, scores.length.toLong * 2).toInt
+      scores = java.util.Arrays.copyOf(scores, cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
+    }
 
     /** a is worse than b? (lower score, or equal score and larger id) */
     private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
@@ -108,6 +118,7 @@ object TopKPairs {
 
     def offer(s: Double, i: Long): Unit = {
       if (size < k) {
+        if (size == scores.length) grow()
         var c = size
         scores(c) = s; ids(c) = i
         size += 1

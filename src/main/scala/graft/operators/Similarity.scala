@@ -214,32 +214,47 @@ object Similarity {
     * or planes before raising tables. */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
       dims: Int, tau: Double, planes: Int = 6, tables: Int = 48,
-      estimatePreFilter: Boolean = false): DataFrame = {
+      estimatePreFilter: Boolean = true): DataFrame = {
     // persisted: consumed 3x (signatures + both verify legs) — released
     // below once the (tiny) pair result is materialized
     val n = normalized(df, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // all table signatures in one compiled pass (HyperplaneSigs) — the
-    // compositional Column form was ~20k expression nodes at 48 tables
+    // Estimate pre-filter (the verify()-phase-1 pattern from the minhash
+    // path): a 252-bit hyperplane signature (4x63, independent seed)
+    // estimates the angle per candidate from hamming distance, and only
+    // survivors ship the full vectors through the exact verify — 32 B per
+    // candidate side instead of 8·dims B. The cut keeps a pair AT exactly
+    // tau with p > 0.9997 (3.5 sigma of Binomial(252, acos(tau)/pi)); at
+    // low tau (collision-heavy candidates, 512 B vectors at dims=64) it
+    // shrinks the heavy join by the candidate false-positive rate.
+    // Order matters (guide §2.3 — filter before the exchange): the
+    // hamming cut runs on the RAW pair stream, BEFORE the dedup
+    // `distinct()` — the per-pair verdict is a pure function of the two
+    // signatures, identical for every duplicate of a pair, so filtering
+    // first shrinks the one candidate exchange by the same factor as the
+    // heavy verify join (r6 measured on 2000x64 vectors at tau=0.5:
+    // ~1M collision pairs -> ~50k rows into distinct; 3.6 s -> 2.1 s vs
+    // the round-5 filter-after-distinct shape). The signatures attach via
+    // two small broadcast joins of the (id, es) table; carrying es THROUGH
+    // the bucket self-join instead was measured 7x SLOWER (the wider build
+    // side pushed the self-join past the broadcast threshold and every
+    // collision pair copied two 32 B arrays) — guide §1.1's "ideal plan
+    // loses to a gotcha" case, kept as the empirical shape.
+    // estimatePreFilter defaults ON since r6: output identity vs the exact
+    // path is oracle-pinned at every SF (the cut is deterministic per
+    // dataset — fixed seeds, fixed data).
+    // All table signatures come from one compiled pass (HyperplaneSigs) —
+    // the compositional Column form was ~20k expression nodes at 48 tables.
     val sigs = n.select(col("id"),
       posexplode(graft.functions.VectorTextExprs
         .hyperplane_sigs(col("nv"), planes, tables)).as(Seq("t", "sig")))
       .select(col("id"), struct(col("t"), col("sig")).as("b"))
-    val candidates = sigs.select(col("b"), col("id").as("a"))
+    val rawCandidates = sigs.select(col("b"), col("id").as("a"))
       .join(sigs.select(col("b"), col("id").as("b2")), Seq("b"))
       .filter(col("a") < col("b2"))
-      .select(col("a"), col("b2").as("b")).distinct()
-    // OPT-IN estimate pre-filter (the verify()-phase-1 pattern from the
-    // minhash path): a 252-bit hyperplane signature (4x63, independent
-    // seed) estimates the angle per candidate from hamming distance, and
-    // only survivors ship the full vectors through the exact verify — 32 B
-    // per candidate side instead of 8·dims B. The cut keeps a pair AT
-    // exactly tau with p > 0.9997 (3.5 sigma of Binomial(252, acos(tau)/pi));
-    // the default stays exact-given-candidates, which the driver oracle
-    // pins. At low tau (many candidates, 512 B vectors at dims=64) the
-    // filter shrinks the heavy join by the candidate false-positive rate.
+      .select(col("a"), col("b2").as("b"))
     val survivors =
-      if (!estimatePreFilter) candidates
+      (if (!estimatePreFilter) rawCandidates
       else {
         val estTables = 4
         val estPlanes = 63 // sign bits pack into one long, so 63 is the max
@@ -251,12 +266,15 @@ object Similarity {
           bit_count(element_at(col("esa"), i + 1)
             .bitwiseXOR(element_at(col("esb"), i + 1))))
           .reduce(_ + _)
-        candidates
+        // no broadcast hint: est is O(corpus) rows — AQE broadcasts by
+        // MEASURED size when it fits and falls back to a hash join on id
+        // at web scale, where a forced broadcast would OOM
+        rawCandidates
           .join(est.select(col("id").as("a"), col("es").as("esa")), Seq("a"))
           .join(est.select(col("id").as("b"), col("es").as("esb")), Seq("b"))
           .filter(ham <= lit(cut))
           .select(col("a"), col("b"))
-      }
+      }).distinct()
     val result = survivors
       .join(n.select(col("id").as("a"), col("nv").as("va")), Seq("a"))
       .join(n.select(col("id").as("b"), col("nv").as("vb")), Seq("b"))

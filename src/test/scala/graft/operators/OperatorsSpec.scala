@@ -258,10 +258,12 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
   test("cosine LSH estimate pre-filter: identical pairs, vectors stay out of the candidate join") {
     // sf0.01: the smallest SF whose embeddings contain pairs above tau
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val exact = Similarity.cosineLshPairs(emb, "vec_id", "embedding", 64, 0.5)
+    // r6: the pre-filter is default-ON; the exact-given-candidates leg now
+    // opts OUT explicitly so this stays a filtered-vs-exact identity check
+    val exact = Similarity.cosineLshPairs(emb, "vec_id", "embedding", 64, 0.5,
+      estimatePreFilter = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
-    val filtered = Similarity.cosineLshPairs(emb, "vec_id", "embedding", 64, 0.5,
-      estimatePreFilter = true)
+    val filtered = Similarity.cosineLshPairs(emb, "vec_id", "embedding", 64, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
     exact should not be empty
     // the 3.5-sigma cut keeps every qualifying pair at this SF

@@ -96,4 +96,29 @@ class KnPruneSpec extends AnyFunSuite with Matchers {
       maxTypesPerLang = cap)
     pruned.foreach { case (_, m) => m.trigramTypes should be <= cap }
   }
+
+  test("trainKnByLang: pruned kept set is independent of partitioning") {
+    // the bounded-heap top-K (r6 de-skew of the row_number window) merges
+    // per-partition heap partials in nondeterministic order — the SELECTED
+    // set must still be the deterministic (count desc, key asc) top-K,
+    // identical at any parallelism
+    val langDocs = docs.map { case (id, t) =>
+      (id, if (id % 2 == 0) "en" else "xx", t) }
+    def ldf(parts: Int) = spark.sparkContext.parallelize(langDocs, parts)
+      .toDF("doc_id", "lang", "text")
+    val full = TextAnalysis.trainKnByLang(ldf(1), "lang", "text")
+    val cap = full.values.map(_.trigramTypes).min / 2
+    cap should be > 0
+    val a = TextAnalysis.trainKnByLang(ldf(1), "lang", "text",
+      maxTypesPerLang = cap)
+    val b = TextAnalysis.trainKnByLang(ldf(7), "lang", "text",
+      maxTypesPerLang = cap)
+    a.keySet shouldBe b.keySet
+    a.foreach { case (lang, m) =>
+      m.trigramTypes shouldBe b(lang).trigramTypes
+      docs.foreach { case (_, t) =>
+        m.perplexity(t) shouldBe b(lang).perplexity(t) // exact doubles
+      }
+    }
+  }
 }

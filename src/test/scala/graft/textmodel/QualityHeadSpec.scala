@@ -27,10 +27,18 @@ class QualityHeadSpec extends AnyFunSuite with Matchers {
       .map(r => (r.getBoolean(0), r.getString(1))).toSeq
     val local = QualityHead.fitLocal(docs, iters = 5, lr = 4.0)
     for (parts <- Seq(1, 7)) {
+      // driverFitLimit = 0 pins the DISTRIBUTED iteration (the r6
+      // size-adaptive gate would otherwise take the driver loop here)
       val dist = TextAnalysis.trainQualityHead(
-        labeled.repartition(parts), "keep", "content", iters = 5, lr = 4.0)
+        labeled.repartition(parts), "keep", "content", iters = 5, lr = 4.0,
+        driverFitLimit = 0L)
       dist.bias shouldBe local.bias // exact — no tolerance
       dist.w should contain theSameElementsInOrderAs local.w
+      // and the default (gated, driver-loop) path is the same fit again
+      val gated = TextAnalysis.trainQualityHead(
+        labeled.repartition(parts), "keep", "content", iters = 5, lr = 4.0)
+      gated.bias shouldBe dist.bias
+      gated.w should contain theSameElementsInOrderAs dist.w
     }
   }
 
