@@ -1,0 +1,144 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.{CorpusGen, CorpusSpec}
+
+/** Round-6 SCALE-EVIDENCE bench (guide §1: the sf0.1 suite is shape-bound —
+  * documents is 5k rows — so plan-quality claims need a measured big-input
+  * run). Times the heavy text/dedup/ANN operators on 10x / 100x generated
+  * corpora (deterministic CorpusGen / seeded vectors) at local[32] and
+  * prints ONE JSON line of per-op seconds.
+  *
+  * This is a SEPARATE main — the frozen `graft.Bench` contract is
+  * untouched; numbers are cited in OPTIMIZATION_r06.md.
+  *
+  * A/B legs:
+  *  - `kn_lang_adaptive` vs `kn_lang_window`: the round-6 size-adaptive
+  *    per-language KN type ranking (probe + plain collect in the common
+  *    no-pruning case, bounded-heap TopKPairs only for over-cap
+  *    languages) against the round-5 row_number() window shape, whose
+  *    per-language sort is both wasted work when nothing is pruned AND a
+  *    one-task funnel for a dominant language.
+  *  - `cos_prefilter_on` vs `cos_prefilter_off`: the round-6 default-on
+  *    252-bit estimate pre-filter at 10x vector counts, where the heavy
+  *    verify join dominates.
+  *
+  * Env: SPARK_GRAFT_XFILES (default 50000), SPARK_GRAFT_XVECS (default
+  * 20000), SPARK_GRAFT_XDIMS (default 64).
+  */
+object BenchExtra {
+
+  def main(args: Array[String]): Unit = {
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_XFILES", "50000").toLong
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_XVECS", "20000").toInt
+    val dims = sys.env.getOrElse("SPARK_GRAFT_XDIMS", "64").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-bench-extra")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // materialized inputs (parquet, properly split) so every op reads the
+    // same bytes and scan parallelism matches a real deployment, not the
+    // single-partition small-file artifact of the sf dirs
+    val base = java.nio.file.Files.createTempDirectory("graft-bx").toString
+    CorpusGen.corpus(spark, CorpusSpec(nFiles = nFiles))
+      .repartition(64).write.mode("overwrite").parquet(s"$base/docs")
+    val docs = spark.read.parquet(s"$base/docs")
+      .select(concat_ws("|", col("repo"), col("path")).as("id"),
+        col("lang"), col("content").as("text"))
+
+    // deterministic unit-ish vectors: hash-seeded, reproducible
+    val vecExpr = transform(sequence(lit(0), lit(dims - 1)),
+      d => (pmod(xxhash64(col("vec_id") * lit(dims.toLong) + d.cast("long")),
+        lit(2000L)).cast("double") - 1000.0) / 1000.0)
+    spark.range(nVecs).select(col("id").as("vec_id"), vecExpr.as("embedding"))
+      .repartition(32).write.mode("overwrite").parquet(s"$base/vecs")
+    val vecs = spark.read.parquet(s"$base/vecs")
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def time(name: String)(body: => Unit): Unit = {
+      spark.sparkContext.setJobDescription(s"bx $name")
+      val best = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+      results(name) = best
+      println(f"[bx] $name%-22s $best%8.2f s")
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+    // ---- r6 A/B: per-language KN type ranking, heap vs window ----
+    time("kn_lang_adaptive") {
+      TextAnalysis.trainKnByLang(docs, "lang", "text")
+    }
+    time("kn_lang_window") {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs
+        .select(col("lang"),
+          explode(graft.functions.TrigramKeyCountsExpr(col("text")))
+            .as(Seq("k", "c")))
+        .groupBy(col("lang"), col("k")).agg(sum(col("c")).as("c"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("k"))
+      val kept = counts.withColumn("__r", row_number().over(w))
+        .where(col("__r") <= TextAnalysis.KnMaxTypesDefault)
+        .select(col("lang"), col("k"), col("c"))
+        .collect()
+      require(kept.nonEmpty)
+    }
+
+    // ---- r6 A/B: cosine LSH estimate pre-filter ----
+    time("cos_prefilter_on") {
+      noop(Similarity.cosineLshPairs(vecs, "vec_id", "embedding", dims, 0.5))
+    }
+    time("cos_prefilter_off") {
+      noop(Similarity.cosineLshPairs(vecs, "vec_id", "embedding", dims, 0.5,
+        estimatePreFilter = false))
+    }
+
+    // ---- heavy operators at 10x: linear-scaling evidence ----
+    time("ngram_jaccard") {
+      noop(Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, tau = 0.7))
+    }
+    time("minhash_lsh") {
+      noop(Dedup.minHashLshPairs(docs, "id", "text", n = 3, tau = 0.7))
+    }
+    time("simhash") {
+      noop(Dedup.simHashPairs(docs, "id", "text"))
+    }
+    time("duplicate_spans") {
+      noop(Dedup.duplicateSpans(docs, "id", "text", minTokens = 20))
+    }
+    time("dedup_lines") {
+      noop(Dedup.dedupLines(docs, "id", "text"))
+    }
+    time("exact_dedup") {
+      noop(Dedup.exact(docs, "id", "text"))
+    }
+    time("train_kn_pooled") {
+      TextAnalysis.trainKn(docs, "text")
+    }
+    time("sem_dedup") {
+      val cents = vecs.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      noop(Similarity.semanticDedup(vecs, "vec_id", "embedding", tau = 0.35,
+        trainedCentroids = Some(cents)))
+    }
+
+    val json = results.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+      .mkString(s"""{"files":$nFiles,"vecs":$nVecs,"dims":$dims,"ops":{""", ",", "}}")
+    println(json)
+    spark.stop()
+  }
+}

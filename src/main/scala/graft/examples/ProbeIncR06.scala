@@ -1,0 +1,49 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r6 phase probe for q_dedup_incremental: index write vs candidate+verify
+  * vs meta I/O. */
+object ProbeIncR06 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").persist()
+    docs.count()
+    import graft.operators.IncrementalDedup
+    def time(name: String)(body: => Unit): Unit = {
+      val best = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"PROBE $name $best%.3f")
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory("probe-inc").toString
+    time("inc_write_index") {
+      IncrementalDedup.writeIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", idxDir, n = 3, bands = 32, rows = 2)
+    }
+    time("inc_pairs_vs_index") {
+      IncrementalDedup.pairsAgainstIndex(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", idxDir, tau = 0.7)
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("inc_full") {
+      IncrementalDedup.writeIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", idxDir, n = 3, bands = 32, rows = 2)
+      IncrementalDedup.pairsAgainstIndex(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", idxDir, tau = 0.7)
+        .orderBy(col("a"), col("b"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,122 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.{CorpusGen, CorpusSpec}
+
+/** r6 probe: WHY does ngramJaccardPairs degrade super-linearly on a
+  * 50k-file corpus? Measures the prefix-index document-frequency
+  * distribution (the candidate count is Σ df·(df-1)/2 over prefix keys)
+  * and times the operator under different maxShingleDf caps. */
+object ProbeNgramR06 {
+  def main(args: Array[String]): Unit = {
+    val nFiles = args.headOption.map(_.toLong).getOrElse(50000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft-ngp").toString
+    CorpusGen.corpus(spark, CorpusSpec(nFiles = nFiles))
+      .repartition(64).write.mode("overwrite").parquet(s"$base/docs")
+    val docs = spark.read.parquet(s"$base/docs")
+      .select(concat_ws("|", col("repo"), col("path")).as("id"),
+        col("content").as("text"))
+
+    def dfStats(d: DataFrame, tau: Double): Unit = {
+      import graft.functions.VectorTextExprs.shingle_hashes
+      val sh = d.select(col("id"), shingle_hashes(col("text"), 3).as("sh"))
+      val prefixLen = (floor(size(col("sh")) * lit(1.0 - tau)) + lit(2)).cast("int")
+      val inv = sh.select(col("id"), explode(slice(col("sh"), lit(1), prefixLen)).as("k"))
+      val st = inv.groupBy(col("k")).agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("keys"), max(col("df")).as("max_df"),
+          sum((col("df") * (col("df") - 1) / 2).cast("long")).as("cand_pairs"),
+          sum(when(col("df") > 1000, (col("df") * (col("df") - 1) / 2).cast("long"))
+            .otherwise(0L)).as("cand_pairs_df_gt1000"),
+          sum(when(col("df") > 100, (col("df") * (col("df") - 1) / 2).cast("long"))
+            .otherwise(0L)).as("cand_pairs_df_gt100"))
+        .collect().head
+      println(s"[ngp] keys=${st.getLong(0)} max_df=${st.getLong(1)} " +
+        s"cand=${st.getLong(2)} cand_df_gt1000=${st.getLong(3)} " +
+        s"cand_df_gt100=${st.getLong(4)}")
+    }
+    dfStats(docs, 0.7)
+
+    // df-ORDERED prefix stats (the r6 AllPairs order): candidate volume
+    {
+      import graft.functions.VectorTextExprs.shingle_hashes
+      val sh = docs.select(col("id"), shingle_hashes(col("text"), 3).as("sh"))
+      val tokens = sh.select(col("id"), explode(col("sh")).as("k"))
+      val dfTab = tokens.groupBy(col("k")).agg(count(lit(1)).as("df"))
+      val pref = tokens.join(dfTab, Seq("k"))
+        .select(col("id"), struct(col("df"), col("k")).as("dk"))
+        .groupBy(col("id")).agg(collect_list(col("dk")).as("dks"))
+        .select(col("id"), explode(slice(array_sort(col("dks")), lit(1),
+          (floor(size(col("dks")) * lit(0.3)) + lit(2)).cast("int"))).as("dk"))
+        .filter(col("dk.df").between(2L, 10000L))
+        .select(col("dk.k").as("k"), col("id"))
+      val st = pref.groupBy(col("k")).agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("keys"), max(col("df")).as("max_df"),
+          sum((col("df") * (col("df") - 1) / 2).cast("long")).as("cand"))
+        .collect().head
+      println(s"[ngp] DFORD keys=${st.getLong(0)} max_df=${st.getLong(1)} cand=${st.getLong(2)}")
+    }
+
+    def time(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime(); body
+      println(f"[ngp] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    {
+      import graft.functions.VectorTextExprs.shingle_hashes
+      val sh0 = docs.select(col("id"), shingle_hashes(col("text"), 3).as("sh"))
+        .withColumn("sz", size(col("sh")))
+        .withColumn("sig", graft.functions.VectorTextExprs
+          .min_hash_bands(col("sh"), 64, 1, seed = 77L))
+        .persist()
+      time("ph_shingle_persist") { sh0.count() }
+      val tokens = sh0.select(col("id"), explode(col("sh")).as("k"))
+      time("ph_dftab") {
+        tokens.groupBy(col("k")).agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      val dfTab = tokens.groupBy(col("k")).agg(count(lit(1)).as("df"))
+      val pref = tokens.join(dfTab, Seq("k"))
+        .select(col("id"), struct(col("df"), col("k")).as("dk"))
+        .groupBy(col("id")).agg(collect_list(col("dk")).as("dks"))
+        .select(col("id"), explode(slice(array_sort(col("dks")), lit(1),
+          (floor(size(col("dks")) * lit(0.3)) + lit(2)).cast("int"))).as("dk"))
+        .filter(col("dk.df").between(2L, 10000L))
+        .select(col("dk.k").as("k"), col("id"))
+      time("ph_pref") { pref.write.mode("overwrite").format("noop").save() }
+      val candidates = pref.select(col("k"), col("id").as("a"))
+        .join(pref.select(col("k"), col("id").as("b")), Seq("k"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      time("ph_cand_distinct") { candidates.write.mode("overwrite").format("noop").save() }
+      val est = candidates
+        .join(sh0.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
+        .join(sh0.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
+        .filter(graft.functions.VectorTextExprs.array_eq_count(col("siga"), col("sigb"))
+          .cast("double") / 64.0 >= 0.7 - 0.22)
+        .select(col("a"), col("b"))
+      time("ph_est_filter") { est.write.mode("overwrite").format("noop").save() }
+      sh0.unpersist()
+    }
+    time("ngram_default") {
+      val (res, cnt) = graft.operators.Dedup.ngramJaccardPairsCounted(
+        docs, "id", "text", n = 3, tau = 0.7)
+      println(s"[ngp] ngram PAIRS=$cnt")
+      res.write.mode("overwrite").format("noop").save()
+    }
+    time("minhash_default") {
+      graft.operators.Dedup.minHashLshPairs(docs, "id", "text", n = 3, tau = 0.7)
+        .write.mode("overwrite").format("noop").save()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,46 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.corpus.{CorpusGen, CorpusSpec}
+import graft.pipeline.{FilterConfig, QualityFilter}
+
+/** r6 phase probe for q_quality_filter_dedup: scoring vs LSH pairs vs the
+  * CC + canonical rejoin tail. */
+object ProbeQfdR06 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(name: String)(body: => Unit): Unit = {
+      val best = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"PROBE $name $best%.3f")
+    }
+    def corpus = CorpusGen.corpus(spark, CorpusSpec(nFiles = 2000)).toDF
+    time("qfd_score_only") {
+      QualityFilter.verdicts(corpus, FilterConfig())
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("qfd_pairs_only") {
+      val m = QualityFilter.withMetrics(corpus, FilterConfig())
+        .withColumn("key", concat_ws("|", col("repo"), col("path")))
+      val kept = m.filter(col("keep")).select(col("key"), col("content"))
+      graft.operators.Dedup.minHashLshPairsCounted(
+        kept, "key", "content", n = 3, tau = 0.75, bands = 32, rows = 5)
+    }
+    time("qfd_full") {
+      QualityFilter.verdictsWithDedup(corpus, FilterConfig())
+        .write.mode("overwrite").format("noop").save()
+    }
+    spark.stop()
+  }
+}
