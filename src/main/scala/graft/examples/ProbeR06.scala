@@ -49,6 +49,19 @@ object ProbeR06 {
         lit("yyyy-MM-dd")).isNotNull, 1L).otherwise(0L)).as("p")))
     }
 
+    // ---- quantile legs ----
+    time("qt_quantity_array") {
+      noop(li.agg(percentile(col("l_quantity"),
+        array(lit(0.5), lit(0.25), lit(0.75))).as("q")))
+    }
+    time("qt_extprice_p90") {
+      noop(li.agg(percentile(col("l_extendedprice"), lit(0.9)).as("p")))
+    }
+    time("qt_extprice_sort_count") {
+      noop(li.select(col("l_extendedprice")).orderBy(col("l_extendedprice"))
+        .limit(540010).agg(count(lit(1))))
+    }
+
     // ---- ngram jaccard phases over documents ----
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").persist()
     docs.count()
